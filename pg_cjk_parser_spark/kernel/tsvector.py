@@ -1,0 +1,293 @@
+"""tsvector / tsquery semantics over the tokenizer kernel.
+
+Reproduces the PostgreSQL FTS pipeline the reference plugs into, with
+the reference CI's search configuration (/root/reference/postgres-16.sh:14-58):
+
+* every token type except ``blank`` (12) is mapped to a dictionary;
+* ``asciiword`` (1) -> ``english_stem`` (lowercase + Snowball English
+  stemmer + English stopword list; a stopword consumes a position but
+  emits no lexeme);
+* every other mapped type -> ``simple`` (lowercase).
+
+Positions are 1-based over mapped tokens only (blanks and swallowed
+CJK run-tails never consume a position), clamped to PG's limits
+(MAXENTRYPOS=16383 and at most 256 positions per lexeme).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .fsm import ASCIIWORD, SPACE_T, Parser
+from .stem import stem
+from .stopwords import ENGLISH_STOPWORDS
+
+MAXENTRYPOS = (1 << 14) - 1   # 16383
+MAXNUMPOS = 256
+MAXSTRLEN = 2046              # bytes; longer tokens are not indexed
+
+
+def lexize(text: str, ttype: int) -> list[str] | None:
+    """Map a raw token to lexemes.
+
+    Returns ``None`` for unmapped types (no position consumed), ``[]``
+    for stopwords (position consumed, nothing indexed), else the
+    normalized lexemes.
+    """
+    if ttype == SPACE_T or ttype <= 0:
+        return None
+    if len(text.encode("utf-8", "surrogatepass")) >= MAXSTRLEN:
+        return None
+    low = text.lower()
+    if ttype == ASCIIWORD:
+        if low in ENGLISH_STOPWORDS:
+            return []
+        return [stem(low)]
+    return [low]
+
+
+def iter_lexemes(s: str):
+    """Yield (lexeme, position) pairs for a document string."""
+    p = Parser(s)
+    pos = 0
+    while True:
+        tok = p.next_token()
+        if tok is None:
+            return
+        lex = lexize(tok.text(s), tok.type)
+        if lex is None:
+            continue
+        pos += 1
+        cpos = min(pos, MAXENTRYPOS)
+        for term in lex:
+            yield term, cpos
+
+
+def to_tsvector(s: str) -> dict[str, list[int]]:
+    """lexeme -> ascending position list (PG-equivalent tsvector)."""
+    out: dict[str, list[int]] = {}
+    for term, pos in iter_lexemes(s):
+        lst = out.setdefault(term, [])
+        if len(lst) < MAXNUMPOS and (not lst or lst[-1] != pos):
+            lst.append(pos)
+    return out
+
+
+def tsvector_str(v: dict[str, list[int]]) -> str:
+    """Render like PG: 'lex':p1,p2 ... sorted by lexeme."""
+    parts = []
+    for term in sorted(v):
+        ps = ",".join(str(p) for p in v[term])
+        parts.append(f"'{term}':{ps}")
+    return " ".join(parts)
+
+
+# --- tsquery -------------------------------------------------------------
+
+
+@dataclass
+class Phrase:
+    """A phrase chain: [(lexeme, offset)] where offsets come from the
+    positions the operand's tokens received, so stopwords inside a
+    phrase leave distance gaps (PG `<N>` semantics)."""
+
+    items: list[tuple[str, int]]
+
+
+@dataclass
+class And:
+    children: list
+
+
+@dataclass
+class Or:
+    children: list
+
+
+@dataclass
+class Not:
+    child: object
+
+
+def _operand_to_node(text: str) -> Phrase | None:
+    """Run an operand string through the SAME parser; multiple lexemes
+    become a phrase chain (reference behavior: to_tsquery('のび太') =
+    'のび' <-> 'び太', /root/reference/postgres-16.sh:62)."""
+    items = [(term, pos) for term, pos in iter_lexemes(text)]
+    if not items:
+        return None
+    base = items[0][1]
+    return Phrase([(t, p - base) for t, p in items])
+
+
+def plainto_tsquery(q: str) -> And | Phrase | None:
+    """AND of phrase chains, one per whitespace-separated chunk."""
+    nodes = [n for chunk in q.split() if (n := _operand_to_node(chunk))]
+    if not nodes:
+        return None
+    if len(nodes) == 1:
+        return nodes[0]
+    return And(nodes)
+
+
+def to_tsquery(q: str):
+    """Minimal to_tsquery: supports & | ! ( ) <-> <N> and quoted or bare
+    operands; a bare multi-token operand becomes a phrase chain."""
+    tokens = _tq_lex(q)
+    node, rest = _tq_parse_or(tokens)
+    if rest:
+        raise ValueError(f"trailing tsquery tokens: {rest!r}")
+    return node
+
+
+def _tq_lex(q: str) -> list[str]:
+    out, i, n = [], 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c in "&|!()":
+            out.append(c)
+            i += 1
+        elif c == "<":
+            j = q.index(">", i)
+            out.append(q[i : j + 1])
+            i = j + 1
+        elif c == "'":
+            j = q.index("'", i + 1)
+            out.append("'" + q[i + 1 : j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and q[j] not in "&|!()<'" and not q[j].isspace():
+                j += 1
+            out.append("'" + q[i:j])
+            i = j
+    return out
+
+
+def _tq_parse_or(toks):
+    left, toks = _tq_parse_and(toks)
+    while toks and toks[0] == "|":
+        right, toks = _tq_parse_and(toks[1:])
+        left = Or([left, right])
+    return left, toks
+
+
+def _tq_parse_and(toks):
+    left, toks = _tq_parse_phrase(toks)
+    while toks and toks[0] == "&":
+        right, toks = _tq_parse_phrase(toks[1:])
+        left = And([left, right])
+    return left, toks
+
+
+def _tq_parse_phrase(toks):
+    left, toks = _tq_parse_atom(toks)
+    while toks and toks[0].startswith("<") and toks[0].endswith(">"):
+        op = toks[0]
+        dist = 1 if op == "<->" else int(op[1:-1])
+        right, toks = _tq_parse_atom(toks[1:])
+        left = _phrase_join(left, right, dist)
+    return left, toks
+
+
+def _phrase_join(a, b, dist: int) -> Phrase:
+    if not isinstance(a, Phrase) or not isinstance(b, Phrase):
+        raise ValueError("phrase operator over non-phrase operands")
+    off = max(p for _, p in a.items) + dist
+    return Phrase(a.items + [(t, p + off) for t, p in b.items])
+
+
+def _tq_parse_atom(toks):
+    if not toks:
+        raise ValueError("empty tsquery operand")
+    t = toks[0]
+    if t == "!":
+        child, rest = _tq_parse_atom(toks[1:])
+        return Not(child), rest
+    if t == "(":
+        node, rest = _tq_parse_or(toks[1:])
+        if not rest or rest[0] != ")":
+            raise ValueError("unbalanced parens in tsquery")
+        return node, rest[1:]
+    if t.startswith("'"):
+        node = _operand_to_node(t[1:])
+        if node is None:
+            raise ValueError(f"operand {t[1:]!r} produced no lexemes")
+        return node, toks[1:]
+    raise ValueError(f"unexpected tsquery token {t!r}")
+
+
+def tsquery_str(node) -> str:
+    if isinstance(node, Phrase):
+        if len(node.items) == 1:
+            return f"'{node.items[0][0]}'"
+        parts = []
+        prev = None
+        for t, p in node.items:
+            if prev is not None:
+                d = p - prev
+                parts.append("<->" if d == 1 else f"<{d}>")
+            parts.append(f"'{t}'")
+            prev = p
+        return " ".join(parts)
+    if isinstance(node, And):
+        return " & ".join(_paren(c) for c in node.children)
+    if isinstance(node, Or):
+        return " | ".join(_paren(c) for c in node.children)
+    if isinstance(node, Not):
+        return "!" + _paren(node.child)
+    return "<empty>"
+
+
+def _paren(n) -> str:
+    s = tsquery_str(n)
+    return f"( {s} )" if isinstance(n, (And, Or)) else s
+
+
+def query_terms(node) -> set[str]:
+    """All positive lexemes referenced by a query (for index lookup)."""
+    if node is None:
+        return set()
+    if isinstance(node, Phrase):
+        return {t for t, _ in node.items}
+    if isinstance(node, (And, Or)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= query_terms(c)
+        return out
+    if isinstance(node, Not):
+        return set()
+    return set()
+
+
+def ts_match(v: dict[str, list[int]], node) -> bool:
+    """The @@ operator: does tsvector v satisfy the query?"""
+    if node is None:
+        return False
+    if isinstance(node, Phrase):
+        return _phrase_match(v, node)
+    if isinstance(node, And):
+        return all(ts_match(v, c) for c in node.children)
+    if isinstance(node, Or):
+        return any(ts_match(v, c) for c in node.children)
+    if isinstance(node, Not):
+        return not ts_match(v, node.child)
+    return False
+
+
+def _phrase_match(v: dict[str, list[int]], ph: Phrase) -> bool:
+    first_t, first_off = ph.items[0]
+    if first_t not in v:
+        return False
+    for p in v[first_t]:
+        base = p - first_off
+        if all(base + off in _posset(v, t) for t, off in ph.items):
+            return True
+    return False
+
+
+def _posset(v, t):
+    ps = v.get(t)
+    return set(ps) if ps else ()
