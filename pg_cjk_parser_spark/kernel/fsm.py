@@ -148,6 +148,10 @@ _STATE_NAMES = (
 )
 globals().update({f"TPS_{n}": i for i, n in enumerate(_STATE_NAMES)})
 _S = {n: i for i, n in enumerate(_STATE_NAMES)}
+
+# plain-list view of the charclass table: Python-int indexing is ~3x
+# faster than NumPy scalar indexing in the per-char interpreter loop
+CLS_LIST: list[int] = CLS.tolist()
 TPS_Base = _S["Base"]
 TPS_InCJK = _S["InCJK"]
 NO_STATE = -1  # the reference uses TPS_Null for "keep current state"
@@ -767,7 +771,7 @@ class Parser:
         if test == T_EOF:
             return pos >= n
         cp = cps[pos] if pos <= n else 0
-        f = CLS[cp]
+        f = CLS_LIST[cp]
         if test == T_CJK:
             return bool(f & CJK)
         if test == T_EQ:
@@ -925,8 +929,8 @@ class Parser:
             pos = self.stack[-1][0]
             cur = cps[tok.start]
             nxt = cps[pos] if pos < self.n else 0
-            curf = CLS[cur]
-            nxtf = CLS[nxt]
+            curf = CLS_LIST[cur]
+            nxtf = CLS_LIST[nxt]
             if (curf & BAND2) and (nxtf & BAND2) and not (nxtf & ZEROW):
                 # widen to an overlapping 2-gram (p_isCJK2gram_twice)
                 tok.length += 1
@@ -939,16 +943,16 @@ class Parser:
     def _is_unigram(self, cur: int, pos: int) -> bool:
         """p_isCJKunigram (pg_cjk_parser.c:834-911)."""
         cps = self.cps
-        f = CLS[cur]
+        f = CLS_LIST[cur]
         if cur >= 0x10000:
             return bool(f & CJK_EXT)
         if cur < 0x800:
             return False
         if f & BAND2:
             nxt = cps[pos] if pos < self.n else 0
-            if not (CLS[nxt] & BAND2):
+            if not (CLS_LIST[nxt] & BAND2):
                 prev = cps[pos - 2] if (pos - self.origin) >= 2 else 0
-                if not (CLS[prev] & BAND2):
+                if not (CLS_LIST[prev] & BAND2):
                     return True
             return False
         if f & UNIPUNCT:

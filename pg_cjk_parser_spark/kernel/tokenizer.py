@@ -1,0 +1,270 @@
+"""Hybrid tokenizer: vectorized fast path + exact-FSM fallback.
+
+The FSM in :mod:`fsm` is the semantics oracle (reference parity).  This
+module adds a fast path that handles the overwhelmingly common cases of
+web text with C-speed primitives and falls back to the FSM for anything
+that could behave differently:
+
+* **CJK runs** - a maximal run of CJK characters is widened to
+  overlapping 2-grams / unigrams / swallowed blanks with NumPy, which
+  is exactly the per-char FSM outcome because ``TPS_InCJK`` consumes
+  one char at a time from ``TPS_Base`` and the widening decision only
+  depends on the previous/next code point.
+* **Safe ASCII words** - ``[A-Za-z]+`` followed by a character that
+  unconditionally ends ``TPS_InAsciiWord`` (no '.', '-', '_', '@',
+  ':', '/', digit, letter, or non-ASCII follows).
+* **Safe unsigned ints** - same idea for ``TPS_InUnsignedInt``.
+* **Blank runs** - characters that reach ``TPS_InSpace`` from
+  ``TPS_Base`` and the chars that keep it there.
+
+Everything else (tags, URLs, emails, numbers with dots, hyphenated
+words, entities, files, special chars, <script> ignore regions) runs
+through the exact FSM until it re-synchronises at ``TPS_Base`` with an
+empty stack and clear flags.  Differential tests assert hybrid == FSM.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .charclass import ALNUM, BAND2, CJK, CJK_EXT, CLS, MAX_CP, UNIPUNCT, ZEROW
+from .fsm import CLS_LIST
+from .fsm import (
+    ASCIIWORD,
+    CJK_CHAR,
+    SPACE_T,
+    TPS_Base,
+    UNSIGNEDINT,
+    Parser,
+    parse_fsm,
+)
+from .stem import stem
+from .stopwords import ENGLISH_STOPWORDS
+
+MAXENTRYPOS = (1 << 14) - 1
+MAXNUMPOS = 256
+
+
+def _ranges_to_class(mask: np.ndarray) -> str:
+    """Compress a boolean code-point mask into a regex char class body."""
+    idx = np.flatnonzero(mask)
+    if idx.size == 0:
+        return ""
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate(([idx[0]], idx[breaks + 1]))
+    ends = np.concatenate((idx[breaks], [idx[-1]]))
+    parts = []
+    for a, b in zip(starts.tolist(), ends.tolist()):
+        if a == b:
+            parts.append(re.escape(chr(a)))
+        else:
+            parts.append(f"{re.escape(chr(a))}-{re.escape(chr(b))}")
+    return "".join(parts)
+
+
+def _build_master() -> re.Pattern:
+    cjk_mask = (CLS & CJK) != 0
+    # exclude surrogate range from regex classes
+    cjk_mask[0xD800:0xE000] = False
+    cjk_cls = _ranges_to_class(cjk_mask)
+
+    ascii_cp = np.arange(128)
+    alnum = (CLS[:128] & ALNUM) != 0
+    # chars that unconditionally end TPS_InAsciiWord
+    term_w = ~alnum.copy()
+    for ch in "._@:/-":
+        term_w[ord(ch)] = False
+    # chars that unconditionally end TPS_InUnsignedInt (':' ends it too)
+    term_u = ~alnum.copy()
+    for ch in "._@/-":
+        term_u[ord(ch)] = False
+    # blank continuation: stays in TPS_InSpace
+    bl_cont = ~alnum.copy()
+    for ch in "<-+&/":
+        bl_cont[ord(ch)] = False
+    # blank start: reaches TPS_InSpace from TPS_Base
+    bl_start = bl_cont.copy()
+    for ch in "~.":
+        bl_start[ord(ch)] = False
+
+    def cls128(mask):
+        full = np.zeros(MAX_CP, dtype=bool)
+        full[:128] = mask
+        return _ranges_to_class(full)
+
+    tw = cls128(term_w) + cjk_cls
+    tu = cls128(term_u) + cjk_cls
+    bs = cls128(bl_start)
+    bc = cls128(bl_cont)
+    # Sentence punctuation after words/numbers is safe when the char
+    # after it cannot resurrect a host/file/decimal/protocol parse:
+    #   word.  -> ends the word unless [0-9A-Za-z_] follows the dot
+    #            (InHostFirstDomain continues on [0-9A-Za-z],
+    #             InFileNext on [0-9A-Za-z_])
+    #   word:  -> ends the word unless '//' follows (InProtocolFirst)
+    #   123.   -> ends the uint unless [0-9A-Za-z] follows
+    #            (InHostFirstDomain / InUDecimalFirst)
+    # A '.' at Base falls through to a blank unless [./] follows
+    # (InPathFirstFirst), and never yields a trailing token at EOF.
+    wdot = r"\.(?![0-9A-Za-z_])|:(?!//)"
+    udot = r"\.(?![0-9A-Za-z])"
+    pat = (
+        f"(?P<c>[{cjk_cls}]+)"
+        f"|(?P<w>[A-Za-z]+)(?=[{tw}]|$|{wdot})"
+        f"|(?P<u>[0-9]+)(?=[{tu}]|$|{udot})"
+        f"|(?P<b>(?:[{bs}]|\\.(?!$|[./]))[{bc}]*)"
+    )
+    return re.compile(pat)
+
+
+_MASTER = _build_master()
+
+
+def tokenize(s: str) -> list[tuple[int, int, int]]:
+    """Tokenize ``s``; returns (start, length, type) triples, including
+    blanks and zero-length swallowed CJK run-tails (full ts_debug
+    parity with the reference stream)."""
+    n = len(s)
+    if n == 0:
+        return []
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+    flags = CLS[cps]
+    out: list[tuple[int, int, int]] = []
+    parser: Parser | None = None
+    match = _MASTER.match
+    p = 0
+    while p < n:
+        m = match(s, p)
+        if m is not None:
+            q = m.end()
+            g = m.lastgroup
+            if g == "c":
+                if q - p < 48:
+                    _emit_cjk_run_scalar(out, s, p, q, n)
+                else:
+                    _emit_cjk_run(out, flags, p, q, n)
+            elif g == "w":
+                out.append((p, q - p, ASCIIWORD))
+            elif g == "u":
+                out.append((p, q - p, UNSIGNEDINT))
+            else:
+                out.append((p, q - p, SPACE_T))
+            p = q
+        else:
+            if parser is None:
+                parser = Parser(s, cps=cps.tolist() + [0])
+            parser.stack[:] = [[p, 0, TPS_Base, -1]]
+            while True:
+                tok = parser.next_token()
+                if tok is None:
+                    p = n
+                    break
+                out.append((tok.start, tok.length, tok.type))
+                st = parser.stack
+                if (
+                    len(st) == 1
+                    and st[0][2] == TPS_Base
+                    and not parser.ignore
+                    and not parser.wanthost
+                ):
+                    p = st[0][0]
+                    break
+    return out
+
+
+def _emit_cjk_run_scalar(out, s: str, p: int, q: int, n: int) -> None:
+    """Per-char CJK widening; faster than NumPy for short runs."""
+    cls = CLS_LIST
+    prev_f = cls[ord(s[p - 1])] if p > 0 else 0
+    cur_f = cls[ord(s[p])]
+    for i in range(p, q):
+        nxt_f = cls[ord(s[i + 1])] if i + 1 < n else 0
+        if cur_f & BAND2 and nxt_f & BAND2 and not nxt_f & ZEROW:
+            out.append((i, 2, CJK_CHAR))
+        elif (
+            cur_f & (CJK_EXT | UNIPUNCT)
+            or (cur_f & BAND2 and not nxt_f & BAND2 and not prev_f & BAND2)
+        ):
+            out.append((i, 1, CJK_CHAR))
+        else:
+            out.append((i, 0, SPACE_T))
+        prev_f = cur_f
+        cur_f = nxt_f
+
+
+def _emit_cjk_run(out, flags, p: int, q: int, n: int) -> None:
+    f = flags[p:q]
+    if q < n:
+        f_next = flags[p + 1 : q + 1]
+    else:
+        f_next = np.concatenate((flags[p + 1 : q], [0])).astype(flags.dtype)
+    if p > 0:
+        f_prev = flags[p - 1 : q - 1]
+    else:
+        f_prev = np.concatenate(([0], flags[p : q - 1])).astype(flags.dtype)
+
+    b2 = (f & BAND2) != 0
+    nxt_raw = (f_next & BAND2) != 0
+    widen = b2 & nxt_raw & ((f_next & ZEROW) == 0)
+    uni = (
+        ((f & CJK_EXT) != 0)
+        | ((f & UNIPUNCT) != 0)
+        | (b2 & ~nxt_raw & ~((f_prev & BAND2) != 0))
+    )
+    lens = np.where(widen, 2, np.where(uni, 1, 0))
+    types = np.where(lens > 0, CJK_CHAR, SPACE_T)
+    out.extend(zip(range(p, q), lens.tolist(), types.tolist()))
+
+
+def tokenize_exact(s: str) -> list[tuple[int, int, int]]:
+    """Pure-FSM tokenization (differential-testing oracle)."""
+    return [(t.start, t.length, t.type) for t in parse_fsm(s)]
+
+
+def token_strings(s: str) -> list[tuple[str, str]]:
+    """(alias, token_text) pairs - ts_debug-style output."""
+    from .fsm import TOKEN_ALIASES
+
+    return [
+        (TOKEN_ALIASES[tt], s[st : st + ln]) for st, ln, tt in tokenize(s)
+    ]
+
+
+# stemming cache: maps raw asciiword -> lexeme ('' = stopword).
+# English vocabulary is tiny relative to corpus size, so hit rate ~ 1.
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 1 << 20
+
+
+def lexemes(s: str) -> list[tuple[str, int]]:
+    """Fused tokenize+dictionary pass: (lexeme, position) pairs ready
+    for tsvector/posting construction.  Positions follow PG semantics
+    (stopwords consume a position; blanks don't)."""
+    out: list[tuple[str, int]] = []
+    pos = 0
+    cache = _STEM_CACHE
+    for start, ln, tt in tokenize(s):
+        if tt == SPACE_T:
+            continue
+        pos += 1
+        if ln >= 512 and len(s[start : start + ln].encode("utf-8", "surrogatepass")) >= 2046:
+            pos -= 1  # PG skips over-long tokens entirely (no position)
+            continue
+        text = s[start : start + ln]
+        if tt == ASCIIWORD:
+            lex = cache.get(text)
+            if lex is None:
+                low = text.lower()
+                lex = "" if low in ENGLISH_STOPWORDS else stem(low)
+                if len(cache) < _STEM_CACHE_MAX:
+                    cache[text] = lex
+            if not lex:
+                continue
+            out.append((lex, pos if pos < MAXENTRYPOS else MAXENTRYPOS))
+        else:
+            out.append(
+                (text.lower(), pos if pos < MAXENTRYPOS else MAXENTRYPOS)
+            )
+    return out

@@ -1,0 +1,75 @@
+"""Differential tests: hybrid fast-path tokenizer == exact FSM."""
+
+import random
+
+from pg_cjk_parser_spark.kernel.tokenizer import tokenize, tokenize_exact
+
+ATOMS = [
+    "ドラえもん", "のび太の牧場物語", "野比大雄", "多拉A梦", "大韩民国",
+    "개인정보 보호법", "제15조", "「", "」", "（", "）", "、", "。",
+    "Doraemnon", "Nobita", "state-of-the-art", "foo-bar-1", "χΨψΩω",
+    "https://www.doraemon.com/welcome.html", "http://x.co:8080/a?b=c",
+    "nobita@doraemon.com", "42", "-5", "+7", "3.14", "1e-5", "1.2E+3",
+    "1.2.3", "5..3", "&amp;", "&#123;", "&#x1F;", "/usr/local/bin",
+    "~/x", "./run.sh", "a.out", "readme.txt", "<b>", "</b>", "<br/>",
+    "<!-- c -->", "<!DOCTYPE html>", "<?xml version='1.0'?>",
+    "<script>var x=1;</script>", "<style>.a{color:red}</style>",
+    "<a href=\"https://x.co/y\">", "doraemon.com", "www.x-y_z.org",
+    " ", "  ", "\t", "\n", ", ", ". ", "... ", "!?", "()", "[]",
+    "---", "++", "a_b", "_x", "mixed漢字word", "テストtest테스트",
+    "ドラ゙もん", "𠀀𠀁", "étude", "​", "xःy",
+    "<", ">", "&", "@", ":", ";", "'", '"', "\\", "|", "100%", "a:b",
+    "1:2", "v1.2.3-rc1", "CJK漢字123", "字", "字a字", "ん", "っ",
+]
+
+
+def assert_same(s):
+    assert tokenize(s) == tokenize_exact(s), repr(s)
+
+
+def test_atoms_and_goldens():
+    for a in ATOMS:
+        assert_same(a)
+    assert_same(
+        "Doraemnon Nobita「ドラえもん のび太の牧場物語」多拉A梦 野比大雄χΨψΩω "
+        "https://www.doraemon.com/welcome.html"
+    )
+    assert_same("大韩民国개인정보의 수집 및 이용 목적(「개인정보 보호법」 제15조)")
+
+
+def test_random_concatenations():
+    rng = random.Random(42)
+    for trial in range(300):
+        k = rng.randint(1, 12)
+        joiner = rng.choice(["", " ", "", " ", "\n", ", "])
+        s = joiner.join(rng.choice(ATOMS) for _ in range(k))
+        assert_same(s)
+
+
+def test_random_char_soup():
+    rng = random.Random(7)
+    pool = (
+        "abcXYZ019 .-_@:/<>&~;!?'\"()\\="
+        + "漢字のひ太국개「」"
+        + "゙́​𠀀"
+    )
+    for trial in range(300):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 60)))
+        assert_same(s)
+
+
+def test_hypothesis_fuzz():
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        return
+    alphabet = st.sampled_from(
+        list("ab1 .-@:/<&~'\"") + list("漢のひ국「𠀀゙​")
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(alphabet, max_size=40).map("".join))
+    def inner(s):
+        assert tokenize(s) == tokenize_exact(s)
+
+    inner()
