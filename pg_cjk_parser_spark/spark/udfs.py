@@ -1,0 +1,114 @@
+"""Spark-facing vectorized (Arrow/pandas) UDFs over the tokenizer kernel.
+
+All heavy lifting is Arrow-batched pandas UDFs (never row-at-a-time
+Python UDFs), per the engine's design target: the reference's
+tokenizer semantics as a vectorized UDF feeding DataFrame pipelines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TOKEN_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("alias", StringType()),
+            StructField("token", StringType()),
+            StructField("type", IntegerType()),
+        ]
+    )
+)
+
+LEXEME_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("term", StringType()),
+            StructField("pos", IntegerType()),
+        ]
+    )
+)
+
+TSVECTOR_SCHEMA = StructType(
+    [
+        StructField("doclen", IntegerType()),
+        StructField(
+            "postings",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("term", StringType()),
+                        StructField("tf", IntegerType()),
+                        StructField("positions", ArrayType(IntegerType())),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@pandas_udf(TOKEN_SCHEMA)
+def ts_debug_udf(texts: pd.Series) -> pd.Series:
+    """Full token stream incl. blanks: ts_debug parity."""
+    from ..kernel.fsm import TOKEN_ALIASES
+    from ..kernel.tokenizer import tokenize
+
+    def one(t):
+        if t is None:
+            return []
+        return [
+            (TOKEN_ALIASES[tt], t[st : st + ln], tt)
+            for st, ln, tt in tokenize(t)
+        ]
+
+    return texts.map(one)
+
+
+@pandas_udf(LEXEME_SCHEMA)
+def lexemes_udf(texts: pd.Series) -> pd.Series:
+    """(lexeme, position) pairs after dictionary normalization."""
+    from ..kernel.tokenizer import lexemes
+
+    return texts.map(lambda t: lexemes(t) if t is not None else [])
+
+
+@pandas_udf(TSVECTOR_SCHEMA)
+def tsvector_udf(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc tsvector: doclen + per-term (tf, positions).
+
+    One kernel pass per document; doclen rides along so BM25 scoring
+    never needs a docid join (a deliberate scale decision: doc length
+    is duplicated into postings instead of shuffled in later).
+    """
+    from ..kernel.tokenizer import lexemes
+
+    doclens = []
+    postings = []
+    for t in texts:
+        if t is None:
+            doclens.append(0)
+            postings.append([])
+            continue
+        lex = lexemes(t)
+        d: dict[str, list[int]] = {}
+        for term, pos in lex:
+            d.setdefault(term, []).append(pos)
+        doclens.append(len(lex))
+        postings.append([(term, len(ps), ps) for term, ps in d.items()])
+    return pd.DataFrame({"doclen": doclens, "postings": postings})
+
+
+@pandas_udf(StringType())
+def zht2zhs_udf(texts: pd.Series) -> pd.Series:
+    """Traditional->simplified CJK normalization (cjk_zht2zhs)."""
+    from ..functions.zht2zhs import zht2zhs
+
+    return texts.map(lambda t: zht2zhs(t) if t is not None else None)

@@ -1,0 +1,89 @@
+"""End-to-end: synth corpus -> index build -> BM25 top-k == brute-force
+oracle (rank- and score-identical), plus checkpoint resume."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from pg_cjk_parser_spark.index.build import build_index
+from pg_cjk_parser_spark.query.oracle import brute_force_topk
+from pg_cjk_parser_spark.query.topk import search
+from pg_cjk_parser_spark.spark.corpus import synth_corpus
+
+N_DOCS = 400
+QUERIES = [
+    "のび太",
+    "野比大雄",
+    "「大韩民国개인정보",
+    "Doraemnon",
+    "doraemon.com",
+    "Nobita 牧場物語",
+    "inverted indexes",
+    "개인정보 보호법",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    docs = synth_corpus(spark, N_DOCS, seed=42, num_partitions=4)
+    stats = build_index(
+        spark, docs, index_dir, num_buckets=16, num_salts=2, block_size=32
+    )
+    pdocs = [
+        (r.docid, r.text)
+        for r in docs.selectExpr("xxhash64(url) as docid", "text").collect()
+    ]
+    return index_dir, stats, pdocs
+
+
+def test_stats_sane(built):
+    _, stats, pdocs = built
+    assert stats["n_docs"] == N_DOCS
+    assert stats["avgdl"] > 5
+    assert stats["n_postings"] > 1000
+
+
+def test_rank_identical_vs_oracle(spark, built):
+    index_dir, _, pdocs = built
+    for q in QUERIES:
+        got = [
+            (r.docid, r.score)
+            for r in search(spark, index_dir, q, k=10).collect()
+        ]
+        want = brute_force_topk(pdocs, q, k=10)
+        assert got == want, (q, got[:3], want[:3])
+        assert got, f"query {q!r} matched nothing"
+
+
+def test_empty_and_stopword_queries(spark, built):
+    index_dir, _, _ = built
+    assert search(spark, index_dir, "zzzznotaword9", k=5).count() == 0
+    assert search(spark, index_dir, "the", k=5).count() == 0  # pure stopword
+    assert search(spark, index_dir, "", k=5).count() == 0
+
+
+def test_resume_from_checkpoint(spark, built, tmp_path):
+    index_dir, stats, pdocs = built
+    # simulate a failed build: remove 3 bucket partitions + manifests
+    victims = [0, 5, 11]
+    for b in victims:
+        shutil.rmtree(os.path.join(index_dir, "postings", f"bucket={b}"),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "termstats", f"bucket={b}"),
+                      ignore_errors=True)
+        os.remove(os.path.join(index_dir, "manifests", f"bucket={b}.json"))
+
+    docs = synth_corpus(spark, N_DOCS, seed=42, num_partitions=4)
+    build_index(
+        spark, docs, index_dir, num_buckets=16, num_salts=2, block_size=32,
+        resume=True,
+    )
+    manifests = os.listdir(os.path.join(index_dir, "manifests"))
+    assert len(manifests) == 16
+    for q in QUERIES[:4]:
+        got = [(r.docid, r.score) for r in search(spark, index_dir, q, k=10).collect()]
+        want = brute_force_topk(pdocs, q, k=10)
+        assert got == want, q
