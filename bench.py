@@ -1,0 +1,157 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  SPARK_GRAFT_SYNTH_DOCS  synthetic web-corpus size (default 40x documents)
+
+Covers the engine's headline paths: inverted-index build throughput
+(driver documents table + CJK-heavy synthetic web corpus), BM25 top-k
+query latency (reference CJK query set + ASCII queries), and the
+auxiliary operators (term stats, zht2zhs, cosine ANN).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pg_cjk_parser_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pg_cjk_parser_spark.index.build import build_index
+    from pg_cjk_parser_spark.query.topk import search
+    from pg_cjk_parser_spark.spark.corpus import synth_corpus
+    from pg_cjk_parser_spark.spark.udfs import lexemes_udf, zht2zhs_udf
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    t_all = time.time()
+    work = tempfile.mkdtemp(prefix="pg_cjk_bench_")
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # -- 1. index build over the driver documents table ------------------
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    idx_docs = os.path.join(work, "idx_docs")
+    timed(
+        "index_build_documents",
+        lambda: build_index(
+            spark, docs, idx_docs, docid_col="doc_id",
+            num_buckets=32, num_salts=4, block_size=128,
+        ),
+    )
+    extras["documents_rows"] = n_docs
+    extras["documents_docs_per_sec"] = round(
+        n_docs / queries["index_build_documents"], 1
+    )
+
+    # -- 2. BM25 query latency on the documents index --------------------
+    for name, q in (
+        ("q_bm25_and2", "spark merge"),
+        ("q_bm25_and3", "customer query window"),
+        ("q_bm25_single", "vector"),
+    ):
+        timed(name, lambda q=q: search(spark, idx_docs, q, k=10).collect())
+
+    # -- 3. CJK-heavy synthetic web corpus: the headline build ------------
+    synth_n = int(
+        os.environ.get("SPARK_GRAFT_SYNTH_DOCS", str(max(20000, 40 * n_docs)))
+    )
+    corpus = synth_corpus(spark, synth_n, seed=42, num_partitions=cpus * 2)
+    idx_web = os.path.join(work, "idx_web")
+    timed(
+        "index_build_webcorpus",
+        lambda: build_index(
+            spark, corpus, idx_web,
+            num_buckets=64, num_salts=4, block_size=128,
+        ),
+    )
+    extras["webcorpus_rows"] = synth_n
+    extras["webcorpus_docs_per_sec"] = round(
+        synth_n / queries["index_build_webcorpus"], 1
+    )
+
+    # -- 4. reference CJK query set latency -------------------------------
+    for name, q in (
+        ("q_cjk_nobita", "のび太"),
+        ("q_cjk_nobihero", "野比大雄"),
+        ("q_cjk_korean", "「大韩民国개인정보"),
+        ("q_mixed", "Nobita 牧場物語"),
+        ("q_ascii_stem", "inverted indexes"),
+    ):
+        timed(name, lambda q=q: search(spark, idx_web, q, k=10).collect())
+
+    # -- 5. auxiliary operators -------------------------------------------
+    timed(
+        "term_stats_documents",
+        lambda: docs.select(
+            F.explode(lexemes_udf(F.col("text"))).alias("l")
+        )
+        .groupBy("l.term")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(20)
+        .collect(),
+    )
+    timed(
+        "zht2zhs_webcorpus",
+        lambda: corpus.select(
+            F.sum(F.length(zht2zhs_udf(F.col("text")))).alias("n")
+        ).collect(),
+    )
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        import __spark_entry__ as entry_mod
+
+        timed(
+            "ann_cosine_topk",
+            lambda: entry_mod.queries()["ann_cosine_topk"](
+                spark, sf_dir
+            ).collect(),
+        )
+
+    total = round(time.time() - t_all, 3)
+    shutil.rmtree(work, ignore_errors=True)
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "extras": extras,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""Pure-Python XXH64 matching Spark's ``xxhash64`` expression.
+
+Spark's ``F.xxhash64(string_col)`` is XXH64 over the UTF-8 bytes with
+seed 42, returned as a signed int64.  Implementing it driver-side (the
+public XXH64 spec) lets query routing compute term buckets without a
+Spark job; a test asserts bit-identity against the Spark expression.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _round(acc: int, x: int) -> int:
+    acc = (acc + x * _P2) & _M
+    return (_rotl(acc, 31) * _P1) & _M
+
+
+def _merge(h: int, v: int) -> int:
+    h ^= _round(0, v)
+    return (h * _P1 + _P4) & _M
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i <= n - 32:
+            x1, x2, x3, x4 = struct.unpack_from("<QQQQ", data, i)
+            v1 = _round(v1, x1)
+            v2 = _round(v2, x2)
+            v3 = _round(v3, x3)
+            v4 = _round(v4, x4)
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        h = _merge(h, v1)
+        h = _merge(h, v2)
+        h = _merge(h, v3)
+        h = _merge(h, v4)
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        (k1,) = struct.unpack_from("<Q", data, i)
+        h ^= _round(0, k1)
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h ^= (k * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64_str(s: str) -> int:
+    """Signed int64, identical to Spark's xxhash64(string)."""
+    h = xxh64(s.encode("utf-8"), 42)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def spark_xxhash64_long(v: int) -> int:
+    """Signed int64, identical to Spark's xxhash64(bigint)."""
+    h = xxh64(struct.pack("<q", v), 42)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def pmod(x: int, m: int) -> int:
+    return x % m if x >= 0 else (x % m + m) % m

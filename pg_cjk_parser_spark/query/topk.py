@@ -52,14 +52,33 @@ def idf(n_docs: int, df: int) -> float:
 
 
 def term_buckets(spark: SparkSession, terms: list[str], num_buckets: int) -> dict[str, int]:
-    """Bucket per term via Spark's xxhash64 (bit-identical with build)."""
-    if not terms:
-        return {}
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = tdf.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-    ).collect()
-    return {r.term: r.bucket for r in rows}
+    """Bucket per term, driver-side (bit-identical with Spark's
+    pmod(xxhash64(term), B) used at build; no Spark job)."""
+    from ..index.xxh64 import pmod, spark_xxhash64_str
+
+    return {t: pmod(spark_xxhash64_str(t), num_buckets) for t in terms}
+
+
+def _read_termstats(index_dir: str, bset: list[int], terms: list[str]):
+    """Point-lookup df per term from the pruned termstats shards.
+
+    Driver-side pyarrow read (a few bucket directories, term-filtered):
+    on a cluster this is the same object-store point read, no executor
+    round-trip needed for a |q|-row lookup.
+    """
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(
+        os.path.join(index_dir, "termstats"), partitioning="hive"
+    )
+    tbl = dataset.to_table(
+        columns=["term", "df"],
+        filter=(ds.field("bucket").isin(bset) & ds.field("term").isin(terms)),
+    )
+    out: dict[str, int] = {}
+    for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+        out[t] = out.get(t, 0) + int(d)
+    return out
 
 
 @dataclass
@@ -111,14 +130,7 @@ def search(
     buckets = term_buckets(spark, pq.terms, stats["num_buckets"])
     bset = sorted(set(buckets.values()))
 
-    ts = (
-        spark.read.parquet(os.path.join(index_dir, "termstats"))
-        .where(F.col("bucket").isin(bset) & F.col("term").isin(pq.terms))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .collect()
-    )
-    df_map = {r.term: int(r.df) for r in ts}
+    df_map = _read_termstats(index_dir, bset, pq.terms)
     if pq.conjunctive and len(df_map) < len(pq.terms):
         # a required term is absent from the corpus: no matches
         return spark.createDataFrame([], "docid long, score double")
