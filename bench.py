@@ -45,6 +45,14 @@ def main() -> None:
     from pg_cjk_parser_spark.spark.corpus import synth_corpus
     from pg_cjk_parser_spark.spark.udfs import lexemes_udf, zht2zhs_udf
 
+    parts_sel = os.environ.get("SPARK_GRAFT_BENCH_PARTS", "all")
+
+    # warm up the executor-side Python workers (JVM + pyspark + pandas
+    # imports) so measurements reflect steady-state throughput, as on a
+    # long-lived cluster, not interpreter cold start
+    warm = synth_corpus(spark, cpus * 64, seed=1, num_partitions=cpus)
+    warm.select(lexemes_udf(F.col("text"))).agg(F.count(F.lit(1))).collect()
+
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
     t_all = time.time()
@@ -60,26 +68,28 @@ def main() -> None:
     # -- 1. index build over the driver documents table ------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
-    idx_docs = os.path.join(work, "idx_docs")
-    timed(
-        "index_build_documents",
-        lambda: build_index(
-            spark, docs, idx_docs, docid_col="doc_id",
-            num_buckets=32, num_salts=4, block_size=128,
-        ),
-    )
-    extras["documents_rows"] = n_docs
-    extras["documents_docs_per_sec"] = round(
-        n_docs / queries["index_build_documents"], 1
-    )
+    if parts_sel in ("all", "docs"):
+        idx_docs = os.path.join(work, "idx_docs")
+        timed(
+            "index_build_documents",
+            lambda: build_index(
+                spark, docs, idx_docs, docid_col="doc_id",
+                num_buckets=32, num_salts=4, block_size=128,
+                n_docs=n_docs,
+            ),
+        )
+        extras["documents_rows"] = n_docs
+        extras["documents_docs_per_sec"] = round(
+            n_docs / queries["index_build_documents"], 1
+        )
 
-    # -- 2. BM25 query latency on the documents index --------------------
-    for name, q in (
-        ("q_bm25_and2", "spark merge"),
-        ("q_bm25_and3", "customer query window"),
-        ("q_bm25_single", "vector"),
-    ):
-        timed(name, lambda q=q: search(spark, idx_docs, q, k=10).collect())
+        # -- 2. BM25 query latency on the documents index ----------------
+        for name, q in (
+            ("q_bm25_and2", "spark merge"),
+            ("q_bm25_and3", "customer query window"),
+            ("q_bm25_single", "vector"),
+        ):
+            timed(name, lambda q=q: search(spark, idx_docs, q, k=10).collect())
 
     # -- 3. CJK-heavy synthetic web corpus: the headline build ------------
     synth_n = int(
@@ -92,6 +102,7 @@ def main() -> None:
         lambda: build_index(
             spark, corpus, idx_web,
             num_buckets=64, num_salts=4, block_size=128,
+            n_docs=synth_n,
         ),
     )
     extras["webcorpus_rows"] = synth_n
@@ -110,6 +121,17 @@ def main() -> None:
         timed(name, lambda q=q: search(spark, idx_web, q, k=10).collect())
 
     # -- 5. auxiliary operators -------------------------------------------
+    if parts_sel == "web":
+        total = round(time.time() - t_all, 3)
+        shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps({
+            "metric": "headline_suite_seconds", "value": total,
+            "unit": "sec", "queries": queries, "sf": sf, "cpus": cpus,
+            "extras": extras,
+        }))
+        spark.stop()
+        return
+
     timed(
         "term_stats_documents",
         lambda: docs.select(

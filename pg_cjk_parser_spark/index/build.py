@@ -40,8 +40,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..spark.udfs import tsvector_udf
-from .codec import delta_encode, encode_positions, encode_varints
+from .codec import delta_encode, encode_varints
 
 BLOCK_SCHEMA = (
     "bucket int, salt int, term string, block_id int, n int, "
@@ -76,113 +75,193 @@ def _valid_buckets(index_dir: str, fingerprint: str) -> set[int]:
     return ok
 
 
+POSTING_ROW_SCHEMA = (
+    "docid long, doclen int, term string, tf int, positions binary"
+)
+
+
+def _enc_pos(ps: list[int]) -> bytes:
+    """Per-(doc,term) positions blob: varint [npos, delta positions...].
+
+    Same wire format as codec.encode_positions for a single doc, but
+    built with a plain-Python loop - positions lists are tiny (tf is
+    almost always 1-3) so this beats a NumPy round-trip per call.
+    """
+    out = bytearray()
+    n = len(ps)
+    while n >= 128:
+        out.append((n & 127) | 128)
+        n >>= 7
+    out.append(n)
+    prev = 0
+    for p in ps:
+        d = p - prev
+        prev = p
+        while d >= 128:
+            out.append((d & 127) | 128)
+            d >>= 7
+        out.append(d)
+    return bytes(out)
+
+
+def _postings_gen(batches):
+    """Per-doc tokenize + aggregate, emitting flat pre-exploded rows.
+
+    Flat str/int/binary columns keep the Arrow python->JVM transfer on
+    the fast path; nested array<struct<..array<int>>> output measured
+    ~6x slower and degraded under high parallelism.
+    """
+    from ..kernel.tokenizer import lexemes
+
+    docid_out: list[int] = []
+    dl_out: list[int] = []
+    term_out: list[str] = []
+    tf_out: list[int] = []
+    pos_out: list[bytes] = []
+
+    def frame():
+        return pd.DataFrame(
+            {
+                "docid": np.array(docid_out, dtype=np.int64),
+                "doclen": np.array(dl_out, dtype=np.int32),
+                "term": term_out,
+                "tf": np.array(tf_out, dtype=np.int32),
+                "positions": pos_out,
+            }
+        )
+
+    for pdf in batches:
+        for docid, text in zip(pdf["docid"].tolist(), pdf["text"].tolist()):
+            lex = lexemes(text) if text is not None else []
+            agg: dict[str, list[int]] = {}
+            for term, pos in lex:
+                l = agg.get(term)
+                if l is None:
+                    agg[term] = [pos]
+                else:
+                    l.append(pos)
+            dl = len(lex)
+            for term, ps in agg.items():
+                docid_out.append(docid)
+                dl_out.append(dl)
+                term_out.append(term)
+                tf_out.append(len(ps))
+                pos_out.append(_enc_pos(ps))
+        if len(docid_out) >= 200_000:
+            yield frame()
+            docid_out, dl_out, term_out, tf_out, pos_out = [], [], [], [], []
+    if docid_out:
+        yield frame()
+
+
 def explode_postings(docs: DataFrame, docid_col: str | None, text_col: str) -> DataFrame:
-    """(docid, doclen, term, tf, positions) - one row per (doc, term)."""
+    """(docid, doclen, term, tf, positions:binary) - one row per (doc, term)."""
     if docid_col is None:
         docs = docs.withColumn("docid", F.xxhash64(F.col("url")))
     else:
         docs = docs.withColumn("docid", F.col(docid_col).cast("long"))
-    tv = docs.select("docid", tsvector_udf(F.col(text_col)).alias("tv"))
-    return tv.select(
-        "docid",
-        F.col("tv.doclen").alias("doclen"),
-        F.explode("tv.postings").alias("p"),
-    ).select(
-        "docid",
-        "doclen",
-        F.col("p.term").alias("term"),
-        F.col("p.tf").alias("tf"),
-        F.col("p.positions").alias("positions"),
-    )
+    sel = docs.select("docid", F.col(text_col).alias("text"))
+    return sel.mapInPandas(_postings_gen, POSTING_ROW_SCHEMA)
+
+
+_BLOCK_COLS = [
+    "bucket", "salt", "term", "block_id", "n", "min_docid", "max_docid",
+    "docids", "tfs", "doclens", "positions", "max_tf", "min_dl",
+]
 
 
 def _encode_partition(batches, block_size: int):
-    """Streaming block encoder over (bucket,salt,term,docid)-sorted rows."""
-    key = None
-    block_id = 0
-    buf_docids: list[int] = []
-    buf_tfs: list[int] = []
-    buf_dls: list[int] = []
-    buf_pos: list[list[int]] = []
-    out_rows: list[tuple] = []
+    """Streaming block encoder over (bucket,salt,term,docid)-sorted rows.
 
-    def flush(final: bool):
-        nonlocal block_id, buf_docids, buf_tfs, buf_dls, buf_pos
-        while buf_docids and (final or len(buf_docids) >= block_size):
-            n = min(block_size, len(buf_docids))
-            if not final and n < block_size:
-                break
-            d = np.array(buf_docids[:n], dtype=np.int64)
-            t = np.array(buf_tfs[:n], dtype=np.int64)
-            dl = np.array(buf_dls[:n], dtype=np.int64)
+    Group boundaries are found vectorized per Arrow batch; per-group
+    work is NumPy over slices (no per-row Python).  The trailing
+    (possibly batch-spanning) group is carried over with its running
+    block_id so a head term larger than a batch never materializes in
+    full: full blocks are emitted as soon as they fill.
+    """
+    out_rows: list[tuple] = []
+    # carried tail group: (key, block_id, [arrays...])
+    ckey = None
+    cblock = 0
+    cd = ct = cdl = None
+    cpos: list = []
+
+    def emit(key, block_id0, d, t, dl, poss, final: bool):
+        """Emit blocks; return (next_block_id, remainder arrays)."""
+        nonlocal out_rows
+        n_total = len(d)
+        full_end = n_total if final else (n_total // block_size) * block_size
+        bid = block_id0
+        off = 0
+        while off < full_end:
+            end = min(off + block_size, full_end)
+            dd, tt, ll = d[off:end], t[off:end], dl[off:end]
             out_rows.append(
                 (
-                    key[0],
-                    key[1],
-                    key[2],
-                    block_id,
-                    n,
-                    int(d[0]),
-                    int(d[-1]),
-                    delta_encode(d),
-                    encode_varints(t.view(np.uint64)),
-                    encode_varints(dl.view(np.uint64)),
-                    encode_positions(buf_pos[:n]),
-                    int(t.max()),
-                    int(dl.min()),
+                    key[0], key[1], key[2], bid, end - off,
+                    int(dd[0]), int(dd[-1]),
+                    delta_encode(dd),
+                    encode_varints(tt.view(np.uint64)),
+                    encode_varints(ll.view(np.uint64)),
+                    b"".join(poss[off:end]),
+                    int(tt.max()), int(ll.min()),
                 )
             )
-            block_id += 1
-            buf_docids = buf_docids[n:]
-            buf_tfs = buf_tfs[n:]
-            buf_dls = buf_dls[n:]
-            buf_pos = buf_pos[n:]
+            bid += 1
+            off = end
+        return bid, d[off:], t[off:], dl[off:], poss[off:]
 
-    cols = ("bucket", "salt", "term", "docid", "tf", "doclen", "positions")
     for pdf in batches:
-        arrs = [pdf[c].tolist() for c in cols]
-        for bucket, salt, term, docid, tf, doclen, positions in zip(*arrs):
-            k = (bucket, salt, term)
-            if k != key:
-                flush(final=True)
-                if out_rows and len(out_rows) >= 2000:
-                    yield pd.DataFrame(
-                        out_rows,
-                        columns=[
-                            "bucket", "salt", "term", "block_id", "n",
-                            "min_docid", "max_docid", "docids", "tfs",
-                            "doclens", "positions", "max_tf", "min_dl",
-                        ],
+        if len(pdf) == 0:
+            continue
+        b = pdf["bucket"].to_numpy()
+        s = pdf["salt"].to_numpy()
+        term = pdf["term"].to_numpy()
+        d = pdf["docid"].to_numpy().astype(np.int64, copy=False)
+        t = pdf["tf"].to_numpy().astype(np.int64)
+        dl = pdf["doclen"].to_numpy().astype(np.int64)
+        poss = pdf["positions"].tolist()
+
+        change = np.empty(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = (term[1:] != term[:-1]) | (s[1:] != s[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, len(pdf))
+
+        for gi in range(len(starts)):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            key = (int(b[lo]), int(s[lo]), term[lo])
+            gd, gt, gdl = d[lo:hi], t[lo:hi], dl[lo:hi]
+            gpos = poss[lo:hi]
+            if key == ckey:
+                gd = np.concatenate((cd, gd))
+                gt = np.concatenate((ct, gt))
+                gdl = np.concatenate((cdl, gdl))
+                gpos = cpos + gpos
+                bid = cblock
+            else:
+                if ckey is not None:
+                    # previous carried group ended at a batch boundary
+                    cblock, cd, ct, cdl, cpos = emit(
+                        ckey, cblock, cd, ct, cdl, cpos, final=True
                     )
-                    out_rows.clear()
-                key = k
-                block_id = 0
-            buf_docids.append(docid)
-            buf_tfs.append(tf)
-            buf_dls.append(doclen)
-            buf_pos.append(list(positions))
-            if len(buf_docids) >= block_size:
-                flush(final=False)
-                if len(out_rows) >= 2000:
-                    yield pd.DataFrame(
-                        out_rows,
-                        columns=[
-                            "bucket", "salt", "term", "block_id", "n",
-                            "min_docid", "max_docid", "docids", "tfs",
-                            "doclens", "positions", "max_tf", "min_dl",
-                        ],
-                    )
-                    out_rows.clear()
-    flush(final=True)
+                bid = 0
+            last_in_batch = gi == len(starts) - 1
+            if last_in_batch:
+                ckey = key
+                cblock, cd, ct, cdl, cpos = emit(
+                    key, bid, gd, gt, gdl, gpos, final=False
+                )
+            else:
+                emit(key, bid, gd, gt, gdl, gpos, final=True)
+                ckey = None
+        if len(out_rows) >= 2000:
+            yield pd.DataFrame(out_rows, columns=_BLOCK_COLS)
+            out_rows = []
+    if ckey is not None:
+        emit(ckey, cblock, cd, ct, cdl, cpos, final=True)
     if out_rows:
-        yield pd.DataFrame(
-            out_rows,
-            columns=[
-                "bucket", "salt", "term", "block_id", "n", "min_docid",
-                "max_docid", "docids", "tfs", "doclens", "positions",
-                "max_tf", "min_dl",
-            ],
-        )
+        yield pd.DataFrame(out_rows, columns=_BLOCK_COLS)
 
 
 def build_index(
@@ -200,6 +279,7 @@ def build_index(
     fingerprint: str | None = None,
     num_partitions: int | None = None,
     keep_staging: bool = False,
+    n_docs: int | None = None,
 ) -> dict:
     """Build (or resume) the inverted index for ``docs``; returns stats."""
     os.makedirs(index_dir, exist_ok=True)
@@ -222,7 +302,8 @@ def build_index(
 
     staged = spark.read.parquet(staging)
 
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     agg = staged.agg(
         F.sum("tf").alias("total_tf"),
         F.count(F.lit(1)).alias("n_postings"),

@@ -25,6 +25,7 @@ def run_once(cpus: int, synth_docs: int, sf_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SYNTH_DOCS=str(synth_docs),
         SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_PARTS="web",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -38,8 +39,8 @@ def run_once(cpus: int, synth_docs: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    n = int(os.environ.get("SCALING_BASE_CPUS", "8"))
-    synth_docs = int(os.environ.get("SCALING_SYNTH_DOCS", "40000"))
+    n = int(os.environ.get("SCALING_BASE_CPUS", "2"))
+    synth_docs = int(os.environ.get("SCALING_SYNTH_DOCS", "100000"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     res_n = run_once(n, synth_docs, sf_dir)
