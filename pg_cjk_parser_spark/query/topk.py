@@ -172,79 +172,162 @@ def search(
     )
 
 
+class _TermList:
+    """Decoded posting list for one term in one partition, with lazy
+    per-block position decoding for phrase rechecks."""
+
+    __slots__ = (
+        "ids", "tfs", "dls", "blk_ids", "blk_pos", "blk_n",
+        "blk_lo", "blk_hi", "_poscache",
+    )
+
+    def __init__(self, tb, decode_pos_blobs: bool):
+        ids_l, tfs_l, dls_l = [], [], []
+        blk_ids, blk_pos, blk_n = [], [], []
+        for buf_d, buf_t, buf_l, buf_p, n in zip(
+            tb["docids"], tb["tfs"], tb["doclens"], tb["positions"], tb["n"]
+        ):
+            bi = delta_decode(buf_d).view(np.int64)
+            ids_l.append(bi)
+            tfs_l.append(buf_t)
+            dls_l.append(buf_l)
+            if decode_pos_blobs:
+                blk_ids.append(bi)
+                blk_pos.append(buf_p)
+                blk_n.append(int(n))
+        ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+        tfs = decode_varints(b"".join(tfs_l)).astype(np.float64)
+        dls = decode_varints(b"".join(dls_l)).astype(np.float64)
+        srt = np.argsort(ids, kind="stable")
+        self.ids = ids[srt]
+        self.tfs = tfs[srt]
+        self.dls = dls[srt]
+        self.blk_ids = blk_ids
+        self.blk_pos = blk_pos
+        self.blk_n = blk_n
+        if blk_ids:
+            self.blk_lo = np.array([int(x[0]) for x in blk_ids])
+            self.blk_hi = np.array([int(x[-1]) for x in blk_ids])
+        else:
+            self.blk_lo = self.blk_hi = np.empty(0, np.int64)
+        self._poscache: dict[int, list] = {}
+
+    def positions_of(self, docid: int):
+        """Positions array for one doc (None if absent); decodes the
+        containing block once and caches it.  Block ranges of different
+        salt shards overlap, so a few blocks may need probing."""
+        for bi in np.flatnonzero(
+            (self.blk_lo <= docid) & (self.blk_hi >= docid)
+        ).tolist():
+            bids = self.blk_ids[bi]
+            j = int(np.searchsorted(bids, docid))
+            if j >= bids.size or bids[j] != docid:
+                continue
+            dec = self._poscache.get(bi)
+            if dec is None:
+                dec = decode_positions(self.blk_pos[bi], bids.size)
+                self._poscache[bi] = dec
+            return dec[j]
+        return None
+
+
 def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos):
-    """Exact local top-k over one salt shard's blocks."""
-    terms = sorted(set(pdf["term"])) if conj else list(idf_map)
-    per_term = {t: pdf[pdf["term"] == t] for t in sorted(set(pdf["term"]))}
+    """Exact local top-k over one salt-partition's blocks."""
+    term_names = sorted(set(pdf["term"]))
+    per_term = {t: pdf[pdf["term"] == t] for t in term_names}
     if conj:
         if len(per_term) < len(idf_map):
-            return None  # some required term missing in this shard
+            return None  # some required term missing in this partition
+        phrase_terms = {t for chain in phrases for t, _ in chain}
+        # decode rarest term first; range-prune later terms' blocks
         order = sorted(per_term, key=lambda t: int(per_term[t]["n"].sum()))
+        lists: dict[str, _TermList] = {}
         cand: np.ndarray | None = None
         for t in order:
             tb = per_term[t]
-            if cand is not None and cand.size == 0:
-                return None
-            if cand is None:
-                ids = _decode_docids(tb)
-            else:
-                lo, hi = int(cand.min()), int(cand.max())
-                keep = tb[(tb["max_docid"] >= lo) & (tb["min_docid"] <= hi)]
-                ids = _decode_docids(keep)
-            cand = ids if cand is None else cand[np.isin(cand, ids)]
+            if cand is not None:
+                if cand.size == 0:
+                    return None
+                lo, hi = int(cand[0]), int(cand[-1])
+                tb = tb[(tb["max_docid"] >= lo) & (tb["min_docid"] <= hi)]
+            tl = _TermList(tb, need_pos and t in phrase_terms)
+            lists[t] = tl
+            cand = tl.ids if cand is None else cand[
+                np.isin(cand, tl.ids, assume_unique=True)
+            ]
         if cand is None or cand.size == 0:
             return None
         scores = np.zeros(cand.size)
-        posmaps: dict[str, dict[int, np.ndarray]] = {}
-        for t, tb in per_term.items():
-            lo, hi = int(cand.min()), int(cand.max())
-            keep = tb[(tb["max_docid"] >= lo) & (tb["min_docid"] <= hi)]
-            ids, tfs, dls, poss = _decode_full(keep, need_pos)
-            sel = np.isin(ids, cand)
-            ids_s, tfs_s, dls_s = ids[sel], tfs[sel], dls[sel]
-            contrib = idf_map[t] * tfs_s / (
-                tfs_s + k1 * (1 - b + b * dls_s / avgdl)
+        for t, tl in lists.items():
+            sel = np.isin(tl.ids, cand, assume_unique=True)
+            ids_s = tl.ids[sel]
+            contrib = idf_map[t] * tl.tfs[sel] / (
+                tl.tfs[sel] + k1 * (1 - b + b * tl.dls[sel] / avgdl)
             )
-            # map back into cand order
-            pos_in_cand = np.searchsorted(cand, ids_s)
-            scores[pos_in_cand] += contrib
-            if need_pos:
-                pm = {}
-                sel_idx = np.flatnonzero(sel)
-                for j, di in zip(sel_idx.tolist(), ids_s.tolist()):
-                    pm[di] = poss[j]
-                posmaps[t] = pm
-        if phrases:
-            ok = np.ones(cand.size, dtype=bool)
-            for i, d in enumerate(cand.tolist()):
-                for chain in phrases:
-                    if not _phrase_ok(chain, posmaps, d):
-                        ok[i] = False
-                        break
-            cand, scores = cand[ok], scores[ok]
-        return _topk_frame(cand, scores, k)
+            scores[np.searchsorted(cand, ids_s)] += contrib
+        if not phrases:
+            return _topk_frame(cand, scores, k)
+        # lazy phrase recheck: walk candidates in score order, decoding
+        # positions only until k docs pass
+        order_idx = np.lexsort((cand, -scores))
+        out_ids: list[int] = []
+        out_scores: list[float] = []
+        for i in order_idx.tolist():
+            d = int(cand[i])
+            if all(_phrase_ok_lazy(chain, lists, d) for chain in phrases):
+                out_ids.append(d)
+                out_scores.append(float(scores[i]))
+                if len(out_ids) >= k:
+                    break
+        if not out_ids:
+            return None
+        return pd.DataFrame({"docid": out_ids, "score": out_scores})
 
-    # disjunctive: block-max pruning then exact union scoring
-    theta = 0.0
+    # disjunctive (OR) mode: union scoring with per-term block-max
+    # pruning - after the running top-k threshold theta is established,
+    # blocks whose idf-weighted upper bound (using the idf-free
+    # max_tf/min_dl bound stored at build) cannot beat theta AND whose
+    # docids cannot intersect already-seen candidates are skipped.
     acc: dict[int, float] = {}
-    # order terms by descending idf (rare first builds theta quickly)
     order = sorted(per_term, key=lambda t: -idf_map.get(t, 0.0))
+    n_seen_terms = 0
     for t in order:
         tb = per_term[t]
         w = idf_map.get(t, 0.0)
-        ub_blocks = w * (
-            tb["max_tf"] / (tb["max_tf"] + k1 * (1 - b + b * tb["min_dl"] / avgdl))
+        n_seen_terms += 1
+        remaining_ub = sum(
+            idf_map.get(u, 0.0) for u in order[n_seen_terms:]
         )
-        if len(acc) >= k and float(ub_blocks.max() or 0.0) < theta:
-            # cheap per-term skip only valid as heuristic when candidates
-            # could still combine terms; keep exact: never skip fully
-            pass
-        ids, tfs, dls, _ = _decode_full(tb, False)
-        contrib = w * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
-        for d, c in zip(ids.tolist(), contrib.tolist()):
+        if len(acc) >= k and w + remaining_ub > 0:
+            theta = np.partition(
+                np.fromiter(acc.values(), dtype=np.float64), -k
+            )[-k]
+            ub = w * (
+                tb["max_tf"].to_numpy()
+                / (
+                    tb["max_tf"].to_numpy()
+                    + k1 * (1 - b + b * tb["min_dl"].to_numpy() / avgdl)
+                )
+            )
+            # a block can still matter if it could push an *existing*
+            # candidate above theta, so only skip when even
+            # (block ub + remaining terms' full idf) can't reach theta
+            # for a fresh doc AND the block range misses all candidates
+            keep_mask = (ub + remaining_ub) >= theta
+            if not keep_mask.all():
+                seen = np.fromiter(acc.keys(), dtype=np.int64)
+                lo = tb["min_docid"].to_numpy()
+                hi = tb["max_docid"].to_numpy()
+                seen.sort()
+                has_cand = (
+                    np.searchsorted(seen, hi, "right")
+                    - np.searchsorted(seen, lo, "left")
+                ) > 0
+                tb = tb[keep_mask | has_cand]
+        tl = _TermList(tb, False)
+        contrib = w * tl.tfs / (tl.tfs + k1 * (1 - b + b * tl.dls / avgdl))
+        for d, c in zip(tl.ids.tolist(), contrib.tolist()):
             acc[d] = acc.get(d, 0.0) + c
-        if len(acc) >= k:
-            theta = sorted(acc.values())[-k]
     if not acc:
         return None
     ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
@@ -252,47 +335,20 @@ def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos):
     return _topk_frame(ids, sc, k)
 
 
-def _decode_docids(tb) -> np.ndarray:
-    parts = [delta_decode(buf).view(np.int64) for buf in tb["docids"]]
-    if not parts:
-        return np.empty(0, dtype=np.int64)
-    return np.sort(np.concatenate(parts))
-
-
-def _decode_full(tb, need_pos):
-    ids_l, tfs_l, dls_l, pos_l = [], [], [], []
-    for _, row in tb.iterrows():
-        ids = delta_decode(row["docids"]).view(np.int64)
-        ids_l.append(ids)
-        tfs_l.append(decode_varints(row["tfs"]).astype(np.float64))
-        dls_l.append(decode_varints(row["doclens"]).astype(np.float64))
-        if need_pos:
-            pos_l.extend(decode_positions(row["positions"], len(ids)))
-    if not ids_l:
-        return (np.empty(0, np.int64), np.empty(0), np.empty(0), [])
-    ids = np.concatenate(ids_l)
-    tfs = np.concatenate(tfs_l)
-    dls = np.concatenate(dls_l)
-    srt = np.argsort(ids, kind="stable")
-    pos_sorted = [pos_l[i] for i in srt.tolist()] if need_pos else []
-    return ids[srt], tfs[srt], dls[srt], pos_sorted
-
-
-def _phrase_ok(chain, posmaps, docid) -> bool:
+def _phrase_ok_lazy(chain, lists: dict[str, "_TermList"], docid: int) -> bool:
     first_t, first_off = chain[0]
-    pm = posmaps.get(first_t, {})
-    starts = pm.get(docid)
+    starts = lists[first_t].positions_of(docid)
     if starts is None:
         return False
+    possets = {}
+    for t, _ in chain[1:]:
+        ps = lists[t].positions_of(docid)
+        if ps is None:
+            return False
+        possets[t] = set(ps.tolist())
     for p in starts.tolist():
         base = p - first_off
-        hit = True
-        for t, off in chain[1:]:
-            ps = posmaps.get(t, {}).get(docid)
-            if ps is None or (base + off) not in ps:
-                hit = False
-                break
-        if hit:
+        if all(base + off in possets[t] for t, off in chain[1:]):
             return True
     return False
 
