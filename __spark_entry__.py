@@ -328,6 +328,105 @@ FROM pairs ORDER BY cos DESC, vec_id ASC LIMIT 20
 """
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-gram Jaccard over a small id slice (the
+    verification oracle of the near-dup family)."""
+    from pg_cjk_parser_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
+    return ngram_jaccard_pairs(docs, n=3, min_jaccard=0.0).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+g AS (
+  SELECT DISTINCT d.doc_id AS id, array_to_string(
+           list_slice(string_split(d.text,' '), i.i, i.i+2), ' ') AS gram
+  FROM d, (SELECT unnest(generate_series(1, 2000)) AS i) i
+  WHERE i.i <= greatest(len(string_split(d.text,' ')) - 2, 1)
+), sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       round(i.inter::DOUBLE/(sa.sz + sb.sz - i.inter), 4) AS jaccard
+FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+WHERE round(i.inter::DOUBLE/(sa.sz + sb.sz - i.inter), 4) > 0.0
+ORDER BY id_a, id_b
+"""
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_cjk_parser_spark.ops.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_cjk_parser_spark.ops.textstats import char_window_fingerprint
+
+    return (
+        char_window_fingerprint(_docs(spark, sf_dir), k=8, n_mins=4)
+        .select("doc_id", F.array_join("fingerprint", ",").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+_FINGERPRINT_SQL = """
+WITH w AS (
+  SELECT d.doc_id, md5(substr(d.text, i.i, 8)) AS h
+  FROM documents d,
+       (SELECT unnest(generate_series(1, 4000)) AS i) i
+  WHERE i.i <= greatest(length(d.text) - 7, 1)
+), ranked AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+  FROM w
+)
+SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fp
+FROM ranked WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact Jaccard
+    (probabilistic path: rows-only driver check; pytest compares it
+    against the exact-Jaccard oracle on a synthetic corpus)."""
+    from pg_cjk_parser_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=64, shingle_k=5)
+    pairs = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    return verify_jaccard(docs, pairs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_cjk_parser_spark.ops.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir)).orderBy("id")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_cjk_parser_spark.ops.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -337,6 +436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "quality_signals": _q_quality,
         "ann_cosine_topk": _q_ann_cosine,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "token_counts": _q_token_counts,
+        "char_fingerprint": _q_fingerprint,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
     }
 
 
@@ -349,4 +454,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_SQL,
         "quality_signals": _QUALITY_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "char_fingerprint": _FINGERPRINT_SQL,
+        # minhash_near_dups / simhash / lang_id: probabilistic or
+        # heuristic operators - rows-only driver check; pytest verifies
+        # them against exact oracles on synthetic corpora.
     }

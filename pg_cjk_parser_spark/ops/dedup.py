@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are DataFrame-native and shuffle-conscious:
+
+* exact dedup: hash-groupBy on the full text (one shuffle on a short
+  digest, not the text itself).
+* MinHash + LSH near-dup: per-doc signatures in one Arrow pass ->
+  banded LSH buckets -> candidate pairs from bucket joins (only
+  colliding docs shuffle) -> exact shingle-Jaccard verification of the
+  (small) candidate set.
+* SimHash: 64-bit near-dup fingerprint per doc, Hamming-bucket join.
+* exact n-gram Jaccard: self-join on distinct n-grams; used as the
+  verification oracle for the probabilistic paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..index.xxh64 import xxh64
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a.astype(np.uint64), b.astype(np.uint64)
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicate groups by text digest: (text_md5, n_dups, keep_id)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.collect_list(id_col).alias("members"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def shingles(text: str, k: int = 5) -> list[str]:
+    words = text.split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures, one Arrow pass."""
+    a, b = _perm_params(n_hashes, seed)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                sh = shingles(t or "", shingle_k)
+                if not sh:
+                    sig = np.zeros(n_hashes, dtype=np.int64)
+                else:
+                    hv = np.fromiter(
+                        (xxh64(s.encode("utf-8")) & ((1 << 61) - 1) for s in sh),
+                        dtype=np.uint64,
+                        count=len(sh),
+                    )
+                    # (a*h + b) mod mersenne prime, min over shingles
+                    m = (hv[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+                    sig = m.min(axis=1).astype(np.int64)
+                ids.append(i)
+                sigs.append(sig)
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(gen, f"id long, sig array<long>")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded LSH buckets."""
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.slice(
+                    "sig", i * rows_per_band + 1, rows_per_band
+                ),
+            )
+        ).alias("band", "key"),
+    ).select("id", "band", F.xxhash64(F.col("key").cast("string"), "band").alias("bucket"))
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs; keeps >= threshold."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(_shingle_col(text_col, shingle_k))
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    pg = pairs.join(grams.withColumnRenamed("id", "id_a"), "id_a")
+    inter = (
+        pg.join(
+            grams.selectExpr("id as id_b", "gram"),
+            ["id_b", "gram"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.selectExpr("id as id_a", "n as na"), "id_a")
+        .join(sizes.selectExpr("id as id_b", "n as nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_col(text_col: str, k: int):
+    """k-word shingles as a Spark column (JVM-side, no Python)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-word-gram Jaccard for ALL pairs (use on filtered/small
+    id ranges; the LSH path is the scale path)."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_shingle_col(text_col, n))).alias("gram"),
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    g2 = grams.selectExpr("id as id_b", "gram")
+    inter = (
+        grams.selectExpr("id as id_a", "gram")
+        .join(g2, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.selectExpr("id as id_a", "sz as na"), "id_a")
+        .join(sizes.selectExpr("id as id_b", "sz as nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") > min_jaccard)
+    )
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over word features: (id, simhash long)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                words = (t or "").split()
+                if not words:
+                    ids.append(i)
+                    hashes.append(0)
+                    continue
+                hv = np.fromiter(
+                    (xxh64(w.encode("utf-8")) for w in words),
+                    dtype=np.uint64,
+                    count=len(words),
+                )
+                bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sh = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                ids.append(i)
+                hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({"id": ids, "simhash": np.array(hashes, dtype=np.int64)})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, "id long, simhash long")

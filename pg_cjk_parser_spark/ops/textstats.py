@@ -1,0 +1,128 @@
+"""Text-analysis operators: language id, quality signals, token
+counting, fingerprinting.  JVM-side Spark SQL where possible; Arrow
+pandas UDFs (never per-row Python UDFs) where the kernel is needed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# script ranges for the n-gram-free language heuristic
+_SCRIPTS = (
+    ("hangul", ((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F))),
+    ("kana", ((0x3040, 0x30FF), (0x31F0, 0x31FF))),
+    ("han", ((0x4E00, 0x9FFF), (0x3400, 0x4DBF))),
+    ("cyrillic", ((0x0400, 0x04FF),)),
+    ("greek", ((0x0370, 0x03FF),)),
+    ("latin", ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F))),
+)
+
+
+def lang_of(text: str) -> str:
+    """Heuristic language id from script distribution.
+
+    ja if any kana; ko if hangul-dominant among CJK; zh if han-dominant;
+    else the dominant alphabetic script ('en' for latin); 'unknown' if
+    no letters.
+    """
+    if not text:
+        return "unknown"
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+    counts = {}
+    for name, ranges in _SCRIPTS:
+        c = 0
+        for lo, hi in ranges:
+            c += int(((cps >= lo) & (cps <= hi)).sum())
+        counts[name] = c
+    total = sum(counts.values())
+    if total == 0:
+        return "unknown"
+    if counts["kana"] >= max(3, 0.05 * total):
+        return "ja"
+    cjk = counts["hangul"] + counts["han"] + counts["kana"]
+    if cjk >= 0.3 * total:
+        if counts["hangul"] >= counts["han"]:
+            return "ko"
+        return "zh"
+    best = max(counts, key=counts.get)
+    return {"latin": "en", "cyrillic": "ru", "greek": "el"}.get(best, best)
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "lang_pred": [lang_of(t) for t in pdf[text_col].tolist()],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, "id long, lang_pred string")
+
+
+# BPE-ish token pattern shared with the DuckDB oracle: letter runs,
+# digit runs, or single non-space symbols
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts - all JVM-side."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+def quality_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / word stats / punctuation & stopword ratios (JVM-side)."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_m"),
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.translate(text_col, " ", "")).cast("double") / n_words, 4
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+            .cast("double")
+            / n_words,
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            (
+                F.length(text_col)
+                - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+            ).cast("double")
+            / F.length(text_col),
+            4,
+        ).alias("punct_ratio"),
+    )
+
+
+def char_window_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_mins: int = 4,
+) -> DataFrame:
+    """Document fingerprint: the n_mins smallest md5 digests over all
+    k-char windows (a winnowing-style min-sampling; entirely JVM-side:
+    sequence -> transform -> substring -> md5 -> array_sort -> slice)."""
+    t = F.col(text_col)
+    nwin = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    digests = F.transform(
+        F.sequence(F.lit(1), nwin), lambda i: F.md5(t.substr(i, F.lit(k)))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.slice(F.array_sort(digests), 1, n_mins).alias("fingerprint"),
+    )
