@@ -427,6 +427,57 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir)).orderBy("id")
 
 
+def _q_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_headline snippets for 'spark merge' over documents."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf("spark merge", min_words=5, max_words=12)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_ts_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ts_debug token stream for the first 30 documents."""
+    from pg_cjk_parser_spark.spark.udfs import ts_debug_udf
+
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 30)
+        .select("doc_id", F.posexplode(ts_debug_udf(F.col("text"))).alias("i", "t"))
+        .select(
+            "doc_id", "i",
+            F.col("t.alias").alias("alias"),
+            F.col("t.token").alias("token"),
+        )
+        .orderBy("doc_id", "i")
+    )
+
+
+_TS_DEBUG_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE doc_id < 30
+), words AS (
+  SELECT d.doc_id, s.i, d.ws[s.i] AS w
+  FROM d, (SELECT unnest(generate_series(1, 2000)) AS i) s
+  WHERE s.i <= len(d.ws)
+), toks AS (
+  SELECT doc_id, (i-1)*2 AS idx,
+         CASE WHEN w IN ('42','15') THEN 'uint' ELSE 'asciiword' END AS alias,
+         w AS token
+  FROM words
+  UNION ALL
+  SELECT doc_id, (i-1)*2 - 1 AS idx, 'blank' AS alias, ' ' AS token
+  FROM words WHERE i > 1
+)
+SELECT doc_id, idx AS i, alias, token FROM toks ORDER BY doc_id, i
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -442,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
+        "ts_headline": _q_headline,
+        "ts_debug": _q_ts_debug,
     }
 
 
@@ -457,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "char_fingerprint": _FINGERPRINT_SQL,
+        "ts_debug": _TS_DEBUG_SQL,
         # minhash_near_dups / simhash / lang_id: probabilistic or
         # heuristic operators - rows-only driver check; pytest verifies
         # them against exact oracles on synthetic corpora.

@@ -112,3 +112,16 @@ def zht2zhs_udf(texts: pd.Series) -> pd.Series:
     from ..functions.zht2zhs import zht2zhs
 
     return texts.map(lambda t: zht2zhs(t) if t is not None else None)
+
+
+def make_headline_udf(query: str, **opts):
+    """ts_headline over a text column for a fixed query string."""
+    from ..functions.headline import headline
+
+    @pandas_udf(StringType())
+    def headline_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: headline(t, query, **opts) if t is not None else None
+        )
+
+    return headline_udf

@@ -1,0 +1,71 @@
+"""ts_headline behavior tests (semantics per reference
+mark_hl_words/mark_hl_fragments + PG rendering conventions)."""
+
+from pg_cjk_parser_spark.functions.headline import headline
+
+
+LONG = (
+    "PostgreSQL full text search supports many languages. "
+    "The Doraemon comics follow Nobita and his robot cat through many "
+    "adventures in Tokyo and beyond. Fans of the series praise its humor "
+    "warmth and imagination across generations of readers everywhere. "
+    "Other unrelated sentences pad this document with more filler words "
+    "so the snippet selector has something to trim away happily."
+)
+
+
+def test_basic_highlight():
+    out = headline(LONG, "Nobita")
+    assert "<b>Nobita</b>" in out
+    assert "filler" not in out  # window does not span the whole doc
+
+
+def test_multi_term_cover():
+    out = headline(LONG, "robot adventures")
+    assert "<b>robot</b>" in out
+    assert "<b>adventures</b>" in out
+
+
+def test_cjk_highlight():
+    text = "前置き " + "これは「ドラえもん のび太の牧場物語」についての文章です。" + " 後書き"
+    out = headline(text, "のび太", min_words=3, max_words=8)
+    assert "<b>" in out
+    assert "のび" in out
+
+
+def test_custom_selectors_and_fragments():
+    out = headline(
+        LONG,
+        "Nobita imagination",
+        max_fragments=2,
+        start_sel="[",
+        stop_sel="]",
+        fragment_delimiter=" // ",
+        min_words=4,
+        max_words=8,
+    )
+    assert "[" in out and "]" in out
+
+
+def test_highlight_all():
+    out = headline("a tiny doc about cats", "cats", highlight_all=True)
+    assert out.endswith("<b>cats</b>")
+    assert out.startswith("a tiny doc")
+
+
+def test_no_match_shows_min_words_prefix():
+    out = headline(LONG, "zebra", min_words=5, max_words=10)
+    assert out.startswith("PostgreSQL full text search")
+    assert "<b>" not in out
+
+
+def test_stopword_only_query():
+    out = headline(LONG, "the")
+    assert "<b>" not in out
+
+
+def test_option_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        headline(LONG, "x", min_words=40, max_words=35)

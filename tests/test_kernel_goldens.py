@@ -130,3 +130,22 @@ def test_tags_and_script_suppression():
 def test_comment_and_doctype():
     assert ("tag", "<!-- hey -->") in stream("a <!-- hey --> b")
     assert stream("<!DOCTYPE html>")[0] == ("tag", "<!DOCTYPE html>")
+
+
+def test_lextype_catalog():
+    import pg_cjk_parser_spark as m
+
+    cat = m.lextype()
+    assert len(cat) == 24
+    assert cat[0] == (1, "asciiword", "Word, all ASCII")
+    assert cat[23] == (24, "cjk", "CJK Char")
+    assert cat[11] == (12, "blank", "Space symbols")
+
+
+def test_zht2zhs_golden():
+    import pg_cjk_parser_spark as m
+
+    assert m.cjk_zht2zhs("大韓民國") == "大韩民国"
+    assert m.cjk_zht2zhs("ascii stays 123") == "ascii stays 123"
+    assert m.cjk_zht2zhs("𠀀 4-byte passes") == "𠀀 4-byte passes"
+    assert m.cjk_zht2zhs("中文簡體混合 mixed 體") == "中文简体混合 mixed 体"
