@@ -1,0 +1,173 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are treated as ``binary`` columns with metadata
+structs; the Spark-side plumbing (schemas, Arrow batch shapes,
+partition-friendly mapInPandas transforms) is real and tested, while
+actual media codecs are stubbed: this container has no image/audio
+libraries, so decode is a clearly-marked deterministic fake behind
+``use_fake_decoder`` and raises ``NotImplementedError`` otherwise.
+
+``html_to_text`` is fully real: it extracts indexable text from HTML
+bytes with the tokenizer kernel (tags stripped, <script>/<style>
+bodies suppressed), i.e. the same byte-identical extraction the
+full-text pipeline guarantees per url.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernel.fsm import SPACE_T, TAG_T
+from ..kernel.tokenizer import tokenize
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "sample_rate int, n_frames int"
+)
+
+
+def html_to_text(docs: DataFrame, html_col: str = "html", out_col: str = "text_extracted") -> DataFrame:
+    """Extract visible text from HTML bytes (tags/script/style dropped)."""
+
+    def gen(batches):
+        for pdf in batches:
+            outs = []
+            for raw in pdf[html_col].tolist():
+                if raw is None:
+                    outs.append(None)
+                    continue
+                s = bytes(raw).decode("utf-8", "replace")
+                parts = [
+                    s[st : st + ln]
+                    for st, ln, tt in tokenize(s)
+                    if tt not in (TAG_T, SPACE_T)
+                ]
+                outs.append(" ".join(parts))
+            pdf = pdf.copy()
+            pdf[out_col] = outs
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    ) + f", {out_col} string"
+    return docs.mapInPandas(gen, schema)
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decoder: derives a (h, w) uint8 'image' from
+    the payload digest so downstream plumbing is testable offline."""
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
+def image_features(
+    media: DataFrame,
+    use_fake_decoder: bool = False,
+    resize_to: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Decode -> resize -> mean/std + tiny thumbnail-hash features.
+
+    Arrow-batched mapInPandas over binary payloads; the decode step is
+    a deterministic fake (or NotImplementedError) - the real codec is
+    the only missing piece, the distributed plumbing is complete.
+    """
+
+    rh, rw = resize_to
+
+    def gen(batches):
+        for pdf in batches:
+            ids, means, stds, phash = [], [], [], []
+            for mid, kind, payload, w, h in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["width"], pdf["height"],
+            ):
+                if kind != "image":
+                    continue
+                if not use_fake_decoder:
+                    raise NotImplementedError(
+                        "real image codecs unavailable in this environment; "
+                        "pass use_fake_decoder=True for the deterministic stub"
+                    )
+                img = _fake_decode_image(bytes(payload), int(w), int(h))
+                # box-resample resize to (rh, rw)
+                ys = np.linspace(0, img.shape[0], rh + 1).astype(int)
+                xs = np.linspace(0, img.shape[1], rw + 1).astype(int)
+                small = np.array(
+                    [
+                        [
+                            img[ys[i]: max(ys[i + 1], ys[i] + 1),
+                                xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+                            for j in range(rw)
+                        ]
+                        for i in range(rh)
+                    ]
+                )
+                bits = (small > small.mean()).flatten()
+                ph = int(
+                    (bits.astype(np.uint64) << np.arange(bits.size, dtype=np.uint64)).sum()
+                )
+                ids.append(mid)
+                means.append(float(img.mean()))
+                stds.append(float(img.std()))
+                phash.append(ph - (1 << 64) if ph >= (1 << 63) else ph)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "mean_intensity": pd.Series(means, dtype="float64"),
+                    "std_intensity": pd.Series(stds, dtype="float64"),
+                    "phash": pd.Series(phash, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        gen,
+        "media_id long, mean_intensity double, std_intensity double, phash long",
+    )
+
+
+def frame_sample(
+    media: DataFrame, every_n: int = 10, use_fake_decoder: bool = False
+) -> DataFrame:
+    """Sample every-nth frame index from video rows (metadata-driven;
+    frame decode itself is the stubbed step)."""
+    v = media.where(F.col("kind") == "video")
+    if not use_fake_decoder:
+        # plumbing-only path: emit the frame indices to be decoded
+        return v.select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    raise NotImplementedError("no video codec in this environment")
+
+
+def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table in MEDIA_SCHEMA shape."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            rows = []
+            for i in ids:
+                kind = ("image", "audio", "video")[i % 3]
+                payload = (i * 2654435761 + seed).to_bytes(8, "little") * 4
+                rows.append(
+                    (
+                        i, kind, payload,
+                        32 + (i % 32), 32 + (i % 16),
+                        16000 if kind == "audio" else 0,
+                        120 if kind == "video" else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "sample_rate", "n_frames",
+                ],
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)

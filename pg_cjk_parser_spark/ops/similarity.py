@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns.
+
+* brute-force cosine top-k: exact baseline; broadcast the query
+  vector, JVM-side zip_with/aggregate arithmetic, global orderBy+limit.
+* LSH-bucketed ANN: random-hyperplane signatures (sign of dot with
+  h fixed Gaussian vectors, seeded) -> multi-probe bucket join ->
+  exact cosine only within colliding buckets.  At 10^12 scale the
+  bucket join touches a tiny candidate fraction; the signature pass is
+  one Arrow sweep and bucketing is an equi-join Catalyst can shuffle
+  or broadcast as sizes dictate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _cos_cols(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    n2 = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (n1 * n2)
+
+
+def brute_force_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(_cos_cols(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) random-hyperplane LSH buckets: ``n_tables``
+    independent hash tables of ``n_planes`` bits each (classic LSH -
+    more tables raises recall, more planes shrinks buckets)."""
+    H = _hyperplanes(dim, n_planes, n_tables, seed)
+    shifts = np.arange(n_planes, dtype=np.uint64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            frames = []
+            for t in range(n_tables):
+                bits = (M @ H[t].T) > 0
+                buckets = (
+                    (bits.astype(np.uint64) << shifts).sum(axis=1).astype(np.int64)
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {"id": ids, "table": t, "bucket": buckets}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        gen, "id long, table int, bucket long"
+    )
+
+
+def ann_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    probe_bits: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors that collide with the
+    query in any table within ``probe_bits`` Hamming distance
+    (multi-table, multi-probe random-hyperplane LSH)."""
+    dim = len(query_vec)
+    H = _hyperplanes(dim, n_planes, n_tables, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    shifts = np.arange(n_planes, dtype=np.uint64)
+    probe_rows = []
+    for t in range(n_tables):
+        qbits = (H[t] @ qv) > 0
+        qb = int((qbits.astype(np.uint64) << shifts).sum())
+        probes = {qb}
+        if probe_bits >= 1:
+            for i in range(n_planes):
+                probes.add(qb ^ (1 << i))
+        if probe_bits >= 2:
+            for i in range(n_planes):
+                for j in range(i + 1, n_planes):
+                    probes.add(qb ^ (1 << i) ^ (1 << j))
+        probe_rows.extend((t, int(p)) for p in probes)
+
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, "table int, bucket long")
+    sigs = lsh_signatures(emb, dim, n_planes, n_tables, seed, id_col, vec_col)
+    cand_ids = (
+        sigs.join(F.broadcast(probe_df), ["table", "bucket"])
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    cand = emb.join(cand_ids, id_col)
+    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,86 @@
+"""ANN similarity + multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pg_cjk_parser_spark.ops.multimodal import (
+    frame_sample,
+    html_to_text,
+    image_features,
+    synth_media,
+)
+from pg_cjk_parser_spark.ops.similarity import (
+    ann_cosine_topk,
+    brute_force_cosine_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import os
+
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+def test_ann_recall_vs_brute_force(spark, emb):
+    q = emb.where(F.col("vec_id") == 7).collect()[0].embedding
+    exact = [r.vec_id for r in brute_force_cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ann_cosine_topk(emb, q, k=10, n_planes=8, n_tables=8, probe_bits=1).collect()
+    ]
+    assert approx[0] == 7  # the query vector itself is its own NN
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
+
+
+def test_ann_candidates_are_subset(spark, emb):
+    q = emb.where(F.col("vec_id") == 3).collect()[0].embedding
+    approx = ann_cosine_topk(emb, q, k=5, n_planes=10, n_tables=4, probe_bits=1).collect()
+    exact = {
+        r.vec_id: r.cos
+        for r in brute_force_cosine_topk(emb, q, k=500).collect()
+    }
+    for r in approx:
+        assert abs(exact[r.vec_id] - r.cos) < 1e-9  # same scores, fewer cands
+
+
+def test_html_to_text_strips_tags(spark):
+    from pg_cjk_parser_spark.spark.corpus import synth_corpus
+
+    docs = synth_corpus(spark, 20, seed=42, num_partitions=2)
+    out = html_to_text(docs, "html").select("url", "text", "text_extracted")
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert "<" not in r.text_extracted
+        assert "var x" not in r.text_extracted  # script body suppressed
+        assert f"t{0}" not in ("",)  # smoke
+
+
+def test_image_features_fake_decoder(spark):
+    media = synth_media(spark, 30, seed=42)
+    feats = image_features(media, use_fake_decoder=True).collect()
+    assert len(feats) == 10  # every third row is an image
+    for r in feats:
+        assert 0 <= r.mean_intensity <= 255
+        assert r.std_intensity > 0
+    # deterministic: same seed, same features
+    feats2 = image_features(synth_media(spark, 30, seed=42), use_fake_decoder=True).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+
+def test_image_features_stub_raises(spark):
+    media = synth_media(spark, 3, seed=42)
+    with pytest.raises(Exception, match="NotImplementedError|real image codecs"):
+        image_features(media, use_fake_decoder=False).collect()
+
+
+def test_frame_sampling_plumbing(spark):
+    media = synth_media(spark, 30, seed=42)
+    frames = frame_sample(media, every_n=30).collect()
+    vids = media.where(F.col("kind") == "video").count()
+    assert len(frames) == vids * 4  # 120 frames / every 30 -> 4 samples
