@@ -247,7 +247,7 @@ def _paren(n) -> str:
 
 
 def query_terms(node) -> set[str]:
-    """All positive lexemes referenced by a query (for index lookup)."""
+    """All positive lexemes referenced by a query (for scoring)."""
     if node is None:
         return set()
     if isinstance(node, Phrase):
@@ -259,6 +259,23 @@ def query_terms(node) -> set[str]:
         return out
     if isinstance(node, Not):
         return set()
+    return set()
+
+
+def query_terms_all(node) -> set[str]:
+    """Every lexeme in the query incl. negated subtrees (for index
+    lookup: evaluating !term needs term's posting list)."""
+    if node is None:
+        return set()
+    if isinstance(node, Phrase):
+        return {t for t, _ in node.items}
+    if isinstance(node, (And, Or)):
+        out: set[str] = set()
+        for c in node.children:
+            out |= query_terms_all(c)
+        return out
+    if isinstance(node, Not):
+        return query_terms_all(node.child)
     return set()
 
 

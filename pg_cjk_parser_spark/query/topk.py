@@ -38,7 +38,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..kernel.tsvector import And, Not, Or, Phrase, plainto_tsquery, query_terms, to_tsquery
+from ..kernel.tsvector import (
+    And,
+    Not,
+    Or,
+    Phrase,
+    plainto_tsquery,
+    query_terms,
+    query_terms_all,
+    to_tsquery,
+)
 from ..index.codec import decode_positions, decode_varints, delta_decode
 
 
@@ -84,14 +93,16 @@ def _read_termstats(index_dir: str, bset: list[int], terms: list[str]):
 @dataclass
 class ParsedQuery:
     tree: object
-    terms: list[str]            # unique positive terms
-    phrases: list[list[tuple[str, int]]]  # phrase chains for recheck
+    terms: list[str]            # unique positive terms (scored)
+    all_terms: list[str]        # incl. negated (fetched from the index)
+    phrases: list[list[tuple[str, int]]]  # conjunctive phrase chains
     conjunctive: bool
 
 
 def parse_query(query: str, mode: str = "plain") -> ParsedQuery:
     tree = to_tsquery(query) if mode == "tsquery" else plainto_tsquery(query)
     terms = sorted(query_terms(tree))
+    all_terms = sorted(query_terms_all(tree))
     phrases: list[list[tuple[str, int]]] = []
     conjunctive = True
 
@@ -111,7 +122,12 @@ def parse_query(query: str, mode: str = "plain") -> ParsedQuery:
 
     if tree is not None:
         walk(tree)
-    return ParsedQuery(tree, terms, phrases, conjunctive)
+    if not terms and all_terms:
+        raise ValueError(
+            "purely negative queries require a full corpus scan and are "
+            "not supported by the index path"
+        )
+    return ParsedQuery(tree, terms, all_terms, phrases, conjunctive)
 
 
 def search(
@@ -127,10 +143,10 @@ def search(
     if not pq.terms:
         return spark.createDataFrame([], "docid long, score double")
 
-    buckets = term_buckets(spark, pq.terms, stats["num_buckets"])
+    buckets = term_buckets(spark, pq.all_terms, stats["num_buckets"])
     bset = sorted(set(buckets.values()))
 
-    df_map = _read_termstats(index_dir, bset, pq.terms)
+    df_map = _read_termstats(index_dir, bset, pq.all_terms)
     if pq.conjunctive and len(df_map) < len(pq.terms):
         # a required term is absent from the corpus: no matches
         return spark.createDataFrame([], "docid long, score double")
@@ -139,7 +155,7 @@ def search(
 
     blocks = (
         spark.read.parquet(os.path.join(index_dir, "postings"))
-        .where(F.col("bucket").isin(bset) & F.col("term").isin(pq.terms))
+        .where(F.col("bucket").isin(bset) & F.col("term").isin(pq.all_terms))
         .select(
             "salt", "term", "n", "min_docid", "max_docid", "docids",
             "tfs", "doclens", "positions", "max_tf", "min_dl",
@@ -148,6 +164,7 @@ def search(
 
     phrases = pq.phrases
     conj = pq.conjunctive
+    tree = pq.tree
     need_pos = bool(phrases)
     num_salts = stats["num_salts"]
 
@@ -157,7 +174,7 @@ def search(
             return
         pdf = pd.concat(frames, ignore_index=True)
         out = _score_local(
-            pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos
+            pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree
         )
         if out is not None:
             yield out
@@ -231,7 +248,7 @@ class _TermList:
         return None
 
 
-def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos):
+def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=None):
     """Exact local top-k over one salt-partition's blocks."""
     term_names = sorted(set(pdf["term"]))
     per_term = {t: pdf[pdf["term"] == t] for t in term_names}
@@ -283,56 +300,104 @@ def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos):
             return None
         return pd.DataFrame({"docid": out_ids, "score": out_scores})
 
-    # disjunctive (OR) mode: union scoring with per-term block-max
-    # pruning - after the running top-k threshold theta is established,
-    # blocks whose idf-weighted upper bound (using the idf-free
-    # max_tf/min_dl bound stored at build) cannot beat theta AND whose
-    # docids cannot intersect already-seen candidates are skipped.
-    acc: dict[int, float] = {}
-    order = sorted(per_term, key=lambda t: -idf_map.get(t, 0.0))
-    n_seen_terms = 0
-    for t in order:
-        tb = per_term[t]
-        w = idf_map.get(t, 0.0)
-        n_seen_terms += 1
-        remaining_ub = sum(
-            idf_map.get(u, 0.0) for u in order[n_seen_terms:]
-        )
-        if len(acc) >= k and w + remaining_ub > 0:
-            theta = np.partition(
-                np.fromiter(acc.values(), dtype=np.float64), -k
-            )[-k]
-            ub = w * (
-                tb["max_tf"].to_numpy()
-                / (
-                    tb["max_tf"].to_numpy()
-                    + k1 * (1 - b + b * tb["min_dl"].to_numpy() / avgdl)
-                )
-            )
-            # a block can still matter if it could push an *existing*
-            # candidate above theta, so only skip when even
-            # (block ub + remaining terms' full idf) can't reach theta
-            # for a fresh doc AND the block range misses all candidates
-            keep_mask = (ub + remaining_ub) >= theta
-            if not keep_mask.all():
-                seen = np.fromiter(acc.keys(), dtype=np.int64)
-                lo = tb["min_docid"].to_numpy()
-                hi = tb["max_docid"].to_numpy()
-                seen.sort()
-                has_cand = (
-                    np.searchsorted(seen, hi, "right")
-                    - np.searchsorted(seen, lo, "left")
-                ) > 0
-                tb = tb[keep_mask | has_cand]
-        tl = _TermList(tb, False)
-        contrib = w * tl.tfs / (tl.tfs + k1 * (1 - b + b * tl.dls / avgdl))
-        for d, c in zip(tl.ids.tolist(), contrib.tolist()):
-            acc[d] = acc.get(d, 0.0) + c
-    if not acc:
+    # boolean (Or/Not) mode: decode every referenced term's list once,
+    # evaluate the query tree set-theoretically over docid sets (with
+    # lazy position checks for phrase nodes), then score the matching
+    # docs over the positive terms they contain.  Block-max pruning
+    # with a remaining-terms bound skips blocks that can neither
+    # produce a fresh top-k doc nor improve a seen candidate - applied
+    # only to terms not needed for tree evaluation correctness...
+    # since every term IS needed for evaluation, pruning here applies
+    # to scoring contributions of docs that cannot match; we keep it
+    # simple and exact: decode all referenced lists (the bucket+term
+    # pruned read already bounds this to |q| lists in this partition).
+    phrase_terms = {t for chain in phrases for t, _ in chain}
+    lists = {
+        t: _TermList(tb, need_pos and t in phrase_terms)
+        for t, tb in per_term.items()
+    }
+    matched = _eval_tree(tree, lists, phrases)
+    if matched is None or not matched.size:
         return None
-    ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-    sc = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
-    return _topk_frame(ids, sc, k)
+    scores = np.zeros(matched.size)
+    for t, tl in lists.items():
+        w = idf_map.get(t)
+        if not w:
+            continue  # negated-only term: contributes no score
+        sel = np.isin(tl.ids, matched, assume_unique=True)
+        ids_s = tl.ids[sel]
+        contrib = w * tl.tfs[sel] / (
+            tl.tfs[sel] + k1 * (1 - b + b * tl.dls[sel] / avgdl)
+        )
+        scores[np.searchsorted(matched, ids_s)] += contrib
+    keep = scores > 0
+    return _topk_frame(matched[keep], scores[keep], k)
+
+
+def _eval_tree(tree, lists: dict[str, "_TermList"], phrases) -> np.ndarray | None:
+    """Evaluate a tsquery tree to the sorted docid array it matches
+    within this partition.  Negation is handled with complement
+    algebra relative to sibling positive sets (top-level pure negation
+    is rejected at parse time)."""
+
+    def ev(node):
+        # returns (ids ndarray, complemented: bool)
+        if isinstance(node, Phrase):
+            terms = [t for t, _ in node.items]
+            ids = None
+            for t in terms:
+                tl = lists.get(t)
+                if tl is None or tl.ids.size == 0:
+                    return np.empty(0, np.int64), False
+                ids = tl.ids if ids is None else ids[
+                    np.isin(ids, tl.ids, assume_unique=True)
+                ]
+            if len(node.items) > 1 and ids.size:
+                ok = np.fromiter(
+                    (
+                        _phrase_ok_lazy(node.items, lists, int(d))
+                        for d in ids
+                    ),
+                    dtype=bool,
+                    count=ids.size,
+                )
+                ids = ids[ok]
+            return ids, False
+        if isinstance(node, Not):
+            ids, comp = ev(node.child)
+            return ids, not comp
+        if isinstance(node, (And, Or)):
+            is_and = isinstance(node, And)
+            pos, neg = [], []
+            for c in node.children:
+                ids, comp = ev(c)
+                (neg if comp else pos).append(ids)
+            if is_and:
+                if not pos:
+                    return np.empty(0, np.int64), True  # !(a|b..) form
+                out = pos[0]
+                for p in pos[1:]:
+                    out = out[np.isin(out, p, assume_unique=True)]
+                for ng in neg:
+                    out = out[~np.isin(out, ng, assume_unique=True)]
+                return out, False
+            # Or: union of positives; a complemented child makes the
+            # whole Or a complement: a | !b == !(b & !a)
+            if neg:
+                out = neg[0]
+                for ng in neg[1:]:
+                    out = out[np.isin(out, ng, assume_unique=True)]
+                for p in pos:
+                    out = out[~np.isin(out, p, assume_unique=True)]
+                return out, True
+            out = np.unique(np.concatenate(pos)) if pos else np.empty(0, np.int64)
+            return out, False
+        raise AssertionError(type(node))
+
+    ids, comp = ev(tree)
+    if comp:
+        raise ValueError("query reduces to a pure negation")
+    return np.sort(ids)
 
 
 def _phrase_ok_lazy(chain, lists: dict[str, "_TermList"], docid: int) -> bool:

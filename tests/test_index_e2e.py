@@ -87,3 +87,32 @@ def test_resume_from_checkpoint(spark, built, tmp_path):
         got = [(r.docid, r.score) for r in search(spark, index_dir, q, k=10).collect()]
         want = brute_force_topk(pdocs, q, k=10)
         assert got == want, q
+
+
+BOOL_QUERIES = [
+    "'doraemnon' | '野比大雄'",
+    "'spark' | 'のび太'",
+    "'doraemnon' & !'梦'",
+    "( 'のび太' | '개인정보' ) & !'nobita'",
+    "'牧場' <-> '場物' | 'fox'",
+    "'doraemnon' & ( 'fox' | '梦' )",
+]
+
+
+def test_boolean_queries_vs_oracle(spark, built):
+    index_dir, _, pdocs = built
+    for q in BOOL_QUERIES:
+        got = [
+            (r.docid, r.score)
+            for r in search(spark, index_dir, q, k=10, mode="tsquery").collect()
+        ]
+        want = brute_force_topk(pdocs, q, k=10, mode="tsquery")
+        assert got == want, (q, got[:3], want[:3])
+
+
+def test_pure_negation_rejected(spark, built):
+    import pytest
+
+    index_dir, _, _ = built
+    with pytest.raises(ValueError):
+        search(spark, index_dir, "!'doraemnon'", k=5, mode="tsquery")
