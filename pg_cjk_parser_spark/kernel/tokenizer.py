@@ -241,30 +241,106 @@ _STEM_CACHE_MAX = 1 << 20
 def lexemes(s: str) -> list[tuple[str, int]]:
     """Fused tokenize+dictionary pass: (lexeme, position) pairs ready
     for tsvector/posting construction.  Positions follow PG semantics
-    (stopwords consume a position; blanks don't)."""
+    (stopwords consume a position; blanks don't).
+
+    Same semantics as running :func:`tokenize` + lexize, but blanks are
+    never materialized and CJK tokens skip the (identity) lowercasing -
+    differential tests assert equality with the FSM + lexize path.
+    """
+    n = len(s)
     out: list[tuple[str, int]] = []
+    if n == 0:
+        return out
     pos = 0
     cache = _STEM_CACHE
-    for start, ln, tt in tokenize(s):
-        if tt == SPACE_T:
-            continue
-        pos += 1
-        if ln >= 512 and len(s[start : start + ln].encode("utf-8", "surrogatepass")) >= 2046:
-            pos -= 1  # PG skips over-long tokens entirely (no position)
-            continue
-        text = s[start : start + ln]
-        if tt == ASCIIWORD:
-            lex = cache.get(text)
-            if lex is None:
-                low = text.lower()
-                lex = "" if low in ENGLISH_STOPWORDS else stem(low)
-                if len(cache) < _STEM_CACHE_MAX:
-                    cache[text] = lex
-            if not lex:
-                continue
-            out.append((lex, pos if pos < MAXENTRYPOS else MAXENTRYPOS))
+    match = _MASTER.match
+    cls = CLS_LIST
+    parser: Parser | None = None
+    p = 0
+    while p < n:
+        m = match(s, p)
+        if m is not None:
+            q = m.end()
+            g = m.lastgroup
+            if g == "c":
+                # inline CJK widening, emitting lexemes directly
+                prev_f = cls[ord(s[p - 1])] if p > 0 else 0
+                cur_f = cls[ord(s[p])]
+                for i in range(p, q):
+                    nxt_f = cls[ord(s[i + 1])] if i + 1 < n else 0
+                    if cur_f & BAND2 and nxt_f & BAND2 and not nxt_f & ZEROW:
+                        pos += 1
+                        out.append(
+                            (s[i : i + 2], pos if pos < MAXENTRYPOS else MAXENTRYPOS)
+                        )
+                    elif (
+                        cur_f & (CJK_EXT | UNIPUNCT)
+                        or (cur_f & BAND2 and not nxt_f & BAND2 and not prev_f & BAND2)
+                    ):
+                        pos += 1
+                        out.append(
+                            (s[i], pos if pos < MAXENTRYPOS else MAXENTRYPOS)
+                        )
+                    prev_f = cur_f
+                    cur_f = nxt_f
+            elif g == "w":
+                pos += 1
+                text = s[p:q]
+                lex = cache.get(text)
+                if lex is None:
+                    low = text.lower()
+                    lex = "" if low in ENGLISH_STOPWORDS else stem(low)
+                    if len(cache) < _STEM_CACHE_MAX:
+                        cache[text] = lex
+                if lex:
+                    out.append((lex, pos if pos < MAXENTRYPOS else MAXENTRYPOS))
+            elif g == "u":
+                pos += 1
+                out.append((s[p:q], pos if pos < MAXENTRYPOS else MAXENTRYPOS))
+            # blanks consume no position and are not emitted
+            p = q
         else:
-            out.append(
-                (text.lower(), pos if pos < MAXENTRYPOS else MAXENTRYPOS)
-            )
+            if parser is None:
+                parser = Parser(s)
+            parser.stack[:] = [[p, 0, TPS_Base, -1]]
+            while True:
+                tok = parser.next_token()
+                if tok is None:
+                    p = n
+                    break
+                tt = tok.type
+                if tt != SPACE_T:
+                    pos += 1
+                    text = tok.text(s)
+                    if tok.length >= 512 and len(
+                        text.encode("utf-8", "surrogatepass")
+                    ) >= 2046:
+                        pos -= 1  # PG skips over-long tokens (no position)
+                    elif tt == ASCIIWORD:
+                        lex = cache.get(text)
+                        if lex is None:
+                            low = text.lower()
+                            lex = "" if low in ENGLISH_STOPWORDS else stem(low)
+                            if len(cache) < _STEM_CACHE_MAX:
+                                cache[text] = lex
+                        if lex:
+                            out.append(
+                                (lex, pos if pos < MAXENTRYPOS else MAXENTRYPOS)
+                            )
+                    else:
+                        out.append(
+                            (
+                                text.lower(),
+                                pos if pos < MAXENTRYPOS else MAXENTRYPOS,
+                            )
+                        )
+                st = parser.stack
+                if (
+                    len(st) == 1
+                    and st[0][2] == TPS_Base
+                    and not parser.ignore
+                    and not parser.wanthost
+                ):
+                    p = st[0][0]
+                    break
     return out

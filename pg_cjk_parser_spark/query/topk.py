@@ -311,6 +311,8 @@ def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=No
     # to scoring contributions of docs that cannot match; we keep it
     # simple and exact: decode all referenced lists (the bucket+term
     # pruned read already bounds this to |q| lists in this partition).
+    if _is_flat_or(tree):
+        return _score_wand_or(pdf, per_term, idf_map, k1, b, avgdl, k)
     phrase_terms = {t for chain in phrases for t, _ in chain}
     lists = {
         t: _TermList(tb, need_pos and t in phrase_terms)
@@ -332,6 +334,66 @@ def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=No
         scores[np.searchsorted(matched, ids_s)] += contrib
     keep = scores > 0
     return _topk_frame(matched[keep], scores[keep], k)
+
+
+def _is_flat_or(tree) -> bool:
+    """Or of single-lexeme phrases: the classic WAND-prunable shape."""
+    return (
+        isinstance(tree, Or)
+        and all(
+            isinstance(c, Phrase) and len(c.items) == 1
+            for c in tree.children
+        )
+    )
+
+
+def _score_wand_or(pdf, per_term, idf_map, k1, b, avgdl, k):
+    """Union top-k with block-max (WAND-style) pruning.
+
+    Terms are processed rarest-first (highest idf). Once k candidates
+    exist, a block is skipped when (its idf-weighted upper bound from
+    the stored max_tf/min_dl) + (the full idf mass of still-unseen
+    terms) cannot lift a fresh doc above the current kth score AND the
+    block's docid range contains no already-seen candidate (whose
+    score the block could still improve). Both conditions keep the
+    result exact; tests assert identity with the brute-force oracle.
+    """
+    acc: dict[int, float] = {}
+    order = sorted(per_term, key=lambda t: -idf_map.get(t, 0.0))
+    for n_seen, t in enumerate(order, start=1):
+        tb = per_term[t]
+        w = idf_map.get(t, 0.0)
+        if w <= 0:
+            continue
+        remaining_ub = sum(idf_map.get(u, 0.0) for u in order[n_seen:])
+        if len(acc) >= k:
+            theta = np.partition(
+                np.fromiter(acc.values(), dtype=np.float64), -k
+            )[-k]
+            mx = tb["max_tf"].to_numpy().astype(np.float64)
+            ub = w * mx / (
+                mx + k1 * (1 - b + b * tb["min_dl"].to_numpy() / avgdl)
+            )
+            keep_mask = (ub + remaining_ub) >= theta
+            if not keep_mask.all():
+                seen = np.fromiter(acc.keys(), dtype=np.int64)
+                seen.sort()
+                lo = tb["min_docid"].to_numpy()
+                hi = tb["max_docid"].to_numpy()
+                has_cand = (
+                    np.searchsorted(seen, hi, "right")
+                    - np.searchsorted(seen, lo, "left")
+                ) > 0
+                tb = tb[keep_mask | has_cand]
+        tl = _TermList(tb, False)
+        contrib = w * tl.tfs / (tl.tfs + k1 * (1 - b + b * tl.dls / avgdl))
+        for d, c in zip(tl.ids.tolist(), contrib.tolist()):
+            acc[d] = acc.get(d, 0.0) + c
+    if not acc:
+        return None
+    ids = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+    sc = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+    return _topk_frame(ids, sc, k)
 
 
 def _eval_tree(tree, lists: dict[str, "_TermList"], phrases) -> np.ndarray | None:

@@ -96,6 +96,8 @@ BOOL_QUERIES = [
     "( 'のび太' | '개인정보' ) & !'nobita'",
     "'牧場' <-> '場物' | 'fox'",
     "'doraemnon' & ( 'fox' | '梦' )",
+    "'の牧' | '수집' | 'doraemnon'",
+    "'fox' | 'nobita' | '개인' | '梦'",
 ]
 
 

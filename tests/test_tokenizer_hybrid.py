@@ -73,3 +73,34 @@ def test_hypothesis_fuzz():
         assert tokenize(s) == tokenize_exact(s)
 
     inner()
+
+
+def test_lexemes_equals_fsm_lexize_path():
+    import random
+    from pg_cjk_parser_spark.kernel.tokenizer import lexemes
+    from pg_cjk_parser_spark.kernel.tsvector import iter_lexemes
+
+    rng = random.Random(99)
+    for trial in range(150):
+        s = rng.choice(["", " "]).join(
+            rng.choice(ATOMS) for _ in range(rng.randint(0, 10))
+        )
+        assert lexemes(s) == list(iter_lexemes(s)), repr(s)
+
+
+def test_all_24_token_types_reachable():
+    from pg_cjk_parser_spark.kernel.tokenizer import tokenize
+    from pg_cjk_parser_spark.kernel.fsm import TOKEN_ALIASES
+
+    sample = (
+        "word λόγος num3x a@b.co http://h.co/p h.co 1e5 1.2.3 "
+        "x-1 λ-1b mix-a1 , <b> ftp:// a-b1 big-deal λmix-λx /p?q "
+        "/usr/x 3.14 -5 42 &amp; 漢"
+    )
+    seen = set()
+    for st, ln, tt in tokenize(sample):
+        seen.add(tt)
+    missing = {
+        TOKEN_ALIASES[i] for i in range(1, 25) if i not in seen
+    }
+    assert not missing, missing
