@@ -1,0 +1,155 @@
+"""Incremental / streaming index maintenance.
+
+The batch layout was designed so appends compose:
+
+* posting blocks are self-contained (docids+tfs+doclens+positions per
+  block) and the query engine treats every block independently - a
+  term may own many block sequences (salt shards, epochs) and the
+  per-salt scorer merges them by docid;
+* per-block score bounds are avgdl-free (max_tf, min_dl), so changing
+  corpus stats never invalidates written blocks;
+* term df is summed across shards at query time, so per-epoch
+  termstats rows just add up.
+
+So a micro-batch append = the same explode -> salt -> encode pipeline
+written under ``epoch=N/bucket=M`` partitions (bucket pruning still
+applies across epochs), plus a running-stats update and a per-epoch
+manifest that makes re-delivered batches idempotent
+(foreachBatch at-least-once -> exactly-once effect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import BLOCK_SCHEMA, DEFAULT_BLOCK, DEFAULT_BUCKETS, DEFAULT_SALTS, _encode_partition, explode_postings
+
+
+def _stats_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "stats.json")
+
+
+def _epoch_manifest(index_dir: str, epoch: int) -> str:
+    return os.path.join(index_dir, "manifests", f"epoch={epoch}.json")
+
+
+def append_index_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    epoch: int,
+    docid_col: str | None = None,
+    text_col: str = "text",
+    num_buckets: int = DEFAULT_BUCKETS,
+    num_salts: int = DEFAULT_SALTS,
+    block_size: int = DEFAULT_BLOCK,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """Append one micro-batch to the index; idempotent per epoch."""
+    os.makedirs(os.path.join(index_dir, "manifests"), exist_ok=True)
+    mpath = _epoch_manifest(index_dir, epoch)
+    if os.path.exists(mpath):
+        with open(_stats_path(index_dir)) as f:
+            return json.load(f)  # re-delivered batch: already applied
+
+    # clean any partial files from a failed earlier attempt of this epoch
+    for sub in ("postings", "termstats"):
+        shutil.rmtree(
+            os.path.join(index_dir, sub, f"epoch={epoch}"), ignore_errors=True
+        )
+
+    postings = explode_postings(batch, docid_col, text_col)
+    postings = postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    ).withColumn(
+        "salt", F.pmod(F.xxhash64("docid"), F.lit(num_salts)).cast("int")
+    )
+    staging = os.path.join(index_dir, f"_staging_epoch_{epoch}")
+    postings.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+
+    n_batch_docs = batch.count()
+    agg = staged.agg(
+        F.sum("tf").alias("total_tf"),
+        F.count(F.lit(1)).alias("n_postings"),
+    ).collect()[0]
+
+    parts = min(
+        num_buckets * num_salts, spark.sparkContext.defaultParallelism * 2
+    )
+    blocks = (
+        staged.repartition(parts, "bucket", "salt")
+        .sortWithinPartitions("bucket", "salt", "term", "docid")
+        .mapInPandas(lambda it: _encode_partition(it, block_size), BLOCK_SCHEMA)
+        .withColumn("epoch", F.lit(epoch))
+    )
+    blocks.write.mode("append").partitionBy("epoch", "bucket").parquet(
+        os.path.join(index_dir, "postings")
+    )
+    (
+        staged.groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .withColumn("epoch", F.lit(epoch))
+        .write.mode("append")
+        .partitionBy("epoch", "bucket")
+        .parquet(os.path.join(index_dir, "termstats"))
+    )
+
+    # running stats
+    stats = {
+        "n_docs": 0,
+        "avgdl": 0.0,
+        "total_tf": 0,
+        "n_postings": 0,
+        "num_buckets": num_buckets,
+        "num_salts": num_salts,
+        "block_size": block_size,
+        "k1": k1,
+        "b": b,
+        "fingerprint": "streaming",
+        "epochs": [],
+    }
+    if os.path.exists(_stats_path(index_dir)):
+        with open(_stats_path(index_dir)) as f:
+            stats.update(json.load(f))
+    stats["n_docs"] += int(n_batch_docs)
+    stats["total_tf"] += int(agg.total_tf or 0)
+    stats["n_postings"] += int(agg.n_postings)
+    stats["avgdl"] = stats["total_tf"] / max(stats["n_docs"], 1)
+    stats.setdefault("epochs", []).append(epoch)
+    with open(_stats_path(index_dir), "w") as f:
+        json.dump(stats, f, indent=1)
+    with open(mpath, "w") as f:
+        json.dump(
+            {"epoch": epoch, "status": "complete", "applied_at": time.time()},
+            f,
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return stats
+
+
+def stream_index(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Structured Streaming sink: incremental index maintenance via
+    foreachBatch (exactly-once per epoch through the manifest)."""
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        append_index_batch(
+            batch.sparkSession, batch, index_dir, int(epoch), **kwargs
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -1,0 +1,87 @@
+"""Incremental index maintenance: appended micro-batches must answer
+queries identically to a full batch rebuild, and batch re-delivery
+must be idempotent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_cjk_parser_spark.index.build import build_index
+from pg_cjk_parser_spark.index.streaming import append_index_batch, stream_index
+from pg_cjk_parser_spark.query.oracle import brute_force_topk
+from pg_cjk_parser_spark.query.topk import search
+from pg_cjk_parser_spark.spark.corpus import synth_corpus
+
+QUERIES = ["のび太", "野比大雄", "Doraemnon", "개인정보 보호법"]
+
+
+def test_incremental_equals_batch(spark, tmp_path):
+    inc_dir = str(tmp_path / "inc")
+    docs = synth_corpus(spark, 300, seed=42, num_partitions=3)
+    # three micro-batches by id ranges (distinct urls -> distinct docids)
+    ids = docs.withColumn("rn", F.xxhash64("url"))
+    batches = [
+        docs.where(F.pmod(F.xxhash64("url"), F.lit(3)) == i) for i in range(3)
+    ]
+    for epoch, b in enumerate(batches):
+        append_index_batch(
+            spark, b, inc_dir, epoch, num_buckets=8, num_salts=2, block_size=16
+        )
+
+    pdocs = [
+        (r.docid, r.text)
+        for r in docs.selectExpr("xxhash64(url) as docid", "text").collect()
+    ]
+    for q in QUERIES:
+        got = [
+            (r.docid, r.score)
+            for r in search(spark, inc_dir, q, k=10).collect()
+        ]
+        want = brute_force_topk(pdocs, q, k=10)
+        assert got == want, q
+
+
+def test_epoch_redelivery_is_idempotent(spark, tmp_path):
+    inc_dir = str(tmp_path / "idem")
+    docs = synth_corpus(spark, 80, seed=7, num_partitions=2)
+    s1 = append_index_batch(
+        spark, docs, inc_dir, 0, num_buckets=8, num_salts=2, block_size=16
+    )
+    s2 = append_index_batch(  # same epoch delivered again
+        spark, docs, inc_dir, 0, num_buckets=8, num_salts=2, block_size=16
+    )
+    assert s2["n_docs"] == s1["n_docs"] == 80
+    assert s2["n_postings"] == s1["n_postings"]
+    r = search(spark, inc_dir, "のび太", k=5).collect()
+    pdocs = [
+        (r2.docid, r2.text)
+        for r2 in docs.selectExpr("xxhash64(url) as docid", "text").collect()
+    ]
+    assert [(x.docid, x.score) for x in r] == brute_force_topk(
+        pdocs, "のび太", k=5
+    )
+
+
+def test_structured_streaming_sink(spark, tmp_path):
+    import pandas as pd
+
+    inc_dir = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir = str(tmp_path / "src")
+    # file-source stream: write corpus parquet then stream-read it
+    docs = synth_corpus(spark, 120, seed=42, num_partitions=2)
+    docs.write.parquet(src_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    q = stream_index(
+        stream, inc_dir, ckpt, num_buckets=8, num_salts=2, block_size=16
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    pdocs = [
+        (r.docid, r.text)
+        for r in docs.selectExpr("xxhash64(url) as docid", "text").collect()
+    ]
+    got = [
+        (r.docid, r.score)
+        for r in search(spark, inc_dir, "野比大雄", k=10).collect()
+    ]
+    assert got == brute_force_topk(pdocs, "野比大雄", k=10)
