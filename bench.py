@@ -65,6 +65,18 @@ def main() -> None:
         queries[name] = round(dt, 3)
         return out
 
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "5"))
+
+    def timed_query(name, fn):
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        times.sort()
+        queries[name] = round(times[len(times) // 2], 3)   # median
+        extras[f"{name}_p95"] = round(times[-1] if reps < 20 else times[int(len(times) * 0.95)], 3)
+
     # -- 1. index build over the driver documents table ------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
@@ -89,7 +101,7 @@ def main() -> None:
             ("q_bm25_and3", "customer query window"),
             ("q_bm25_single", "vector"),
         ):
-            timed(name, lambda q=q: search(spark, idx_docs, q, k=10).collect())
+            timed_query(name, lambda q=q: search(spark, idx_docs, q, k=10).collect())
 
     # -- 3. CJK-heavy synthetic web corpus: the headline build ------------
     synth_n = int(
@@ -117,8 +129,10 @@ def main() -> None:
         ("q_cjk_korean", "「大韩民国개인정보"),
         ("q_mixed", "Nobita 牧場物語"),
         ("q_ascii_stem", "inverted indexes"),
+        ("q_or_wand", "'野比' | 'doraemnon' | '개인'"),
     ):
-        timed(name, lambda q=q: search(spark, idx_web, q, k=10).collect())
+        mode = "tsquery" if "|" in q else "plain"
+        timed_query(name, lambda q=q, m=mode: search(spark, idx_web, q, k=10, mode=m).collect())
 
     # -- 5. auxiliary operators -------------------------------------------
     if parts_sel == "web":
