@@ -116,17 +116,18 @@ FROM tok GROUP BY term ORDER BY cf DESC, term ASC LIMIT 50
 """
 
 
-def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full engine path: index build + BM25 top-20 for 'spark merge'."""
+def _docs_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or resume) the documents-table index in a stable temp
+    location keyed by corpus identity; safe across processes/rounds."""
+    import hashlib
     import tempfile as _tf
 
     from pg_cjk_parser_spark.index.build import build_index
-    from pg_cjk_parser_spark.query.topk import search
 
     docs = _docs(spark, sf_dir)
-    index_dir = os.path.join(
-        _tf.gettempdir(), f"pg_cjk_spark_idx_{abs(hash(sf_dir))}"
-    )
+    n = docs.count()
+    key = hashlib.md5(f"{sf_dir}|{n}".encode()).hexdigest()[:12]
+    index_dir = os.path.join(_tf.gettempdir(), f"pg_cjk_spark_idx_{key}")
     build_index(
         spark,
         docs,
@@ -136,7 +137,17 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_salts=2,
         block_size=64,
         resume=True,
+        fingerprint=f"docs-{key}",
+        n_docs=n,
     )
+    return index_dir
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: index build + BM25 top-20 for 'spark merge'."""
+    from pg_cjk_parser_spark.query.topk import search
+
+    index_dir = _docs_index(spark, sf_dir)
     res = search(spark, index_dir, "spark merge", k=25).select(
         F.col("docid").alias("doc_id"),
         F.round("score", 4).alias("score"),
@@ -175,6 +186,63 @@ SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE nterms = 2
 ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
 """
+
+
+def _q_bm25_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive BM25 (WAND path): top-20 for 'spark' | 'vector'."""
+    from pg_cjk_parser_spark.query.topk import search
+
+    index_dir = _docs_index(spark, sf_dir)
+    res = search(
+        spark, index_dir, "'spark' | 'vector'", k=25, mode="tsquery"
+    ).select(
+        F.col("docid").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+_BM25_OR_SQL = f"""
+WITH {_TOK_CTE},
+dl AS (
+  SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'vector') GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+              * t.tf / (t.tf + 1.2*(0.25 + 0.75*d.doclen/s.avgdl)) )
+           AS score
+  FROM tf t
+  JOIN df f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
+"""
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; rows-only driver check, recall
+    asserted vs brute force in pytest)."""
+    from pg_cjk_parser_spark.ops.similarity import ann_cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).collect()[0].embedding
+    return ann_cosine_topk(
+        emb.where(F.col("vec_id") != 0), list(q), k=20,
+        n_planes=8, n_tables=8, probe_bits=1,
+    )
 
 
 def _q_zht2zhs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ts_headline": _q_headline,
         "ts_debug": _q_ts_debug,
+        "bm25_or_topk": _q_bm25_or_topk,
+        "ann_lsh_topk": _q_ann_lsh,
     }
 
 
@@ -511,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "char_fingerprint": _FINGERPRINT_SQL,
         "ts_debug": _TS_DEBUG_SQL,
+        "bm25_or_topk": _BM25_OR_SQL,
         # minhash_near_dups / simhash / lang_id: probabilistic or
         # heuristic operators - rows-only driver check; pytest verifies
         # them against exact oracles on synthetic corpora.

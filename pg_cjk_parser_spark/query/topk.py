@@ -185,7 +185,7 @@ def search(
     return (
         scored.orderBy(F.desc("score"), F.asc("docid"))
         .limit(k)
-        .select("docid", F.round("score", 6).alias("score"))
+        .select("docid", "score")
     )
 
 

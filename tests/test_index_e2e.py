@@ -50,7 +50,7 @@ def test_rank_identical_vs_oracle(spark, built):
     index_dir, _, pdocs = built
     for q in QUERIES:
         got = [
-            (r.docid, r.score)
+            (r.docid, round(r.score, 6))
             for r in search(spark, index_dir, q, k=10).collect()
         ]
         want = brute_force_topk(pdocs, q, k=10)
@@ -84,7 +84,7 @@ def test_resume_from_checkpoint(spark, built, tmp_path):
     manifests = os.listdir(os.path.join(index_dir, "manifests"))
     assert len(manifests) == 16
     for q in QUERIES[:4]:
-        got = [(r.docid, r.score) for r in search(spark, index_dir, q, k=10).collect()]
+        got = [(r.docid, round(r.score, 6)) for r in search(spark, index_dir, q, k=10).collect()]
         want = brute_force_topk(pdocs, q, k=10)
         assert got == want, q
 
@@ -105,7 +105,7 @@ def test_boolean_queries_vs_oracle(spark, built):
     index_dir, _, pdocs = built
     for q in BOOL_QUERIES:
         got = [
-            (r.docid, r.score)
+            (r.docid, round(r.score, 6))
             for r in search(spark, index_dir, q, k=10, mode="tsquery").collect()
         ]
         want = brute_force_topk(pdocs, q, k=10, mode="tsquery")

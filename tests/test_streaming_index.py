@@ -33,7 +33,7 @@ def test_incremental_equals_batch(spark, tmp_path):
     ]
     for q in QUERIES:
         got = [
-            (r.docid, r.score)
+            (r.docid, round(r.score, 6))
             for r in search(spark, inc_dir, q, k=10).collect()
         ]
         want = brute_force_topk(pdocs, q, k=10)
@@ -56,7 +56,7 @@ def test_epoch_redelivery_is_idempotent(spark, tmp_path):
         (r2.docid, r2.text)
         for r2 in docs.selectExpr("xxhash64(url) as docid", "text").collect()
     ]
-    assert [(x.docid, x.score) for x in r] == brute_force_topk(
+    assert [(x.docid, round(x.score, 6)) for x in r] == brute_force_topk(
         pdocs, "のび太", k=5
     )
 
@@ -81,7 +81,7 @@ def test_structured_streaming_sink(spark, tmp_path):
         for r in docs.selectExpr("xxhash64(url) as docid", "text").collect()
     ]
     got = [
-        (r.docid, r.score)
+        (r.docid, round(r.score, 6))
         for r in search(spark, inc_dir, "野比大雄", k=10).collect()
     ]
     assert got == brute_force_topk(pdocs, "野比大雄", k=10)
