@@ -134,6 +134,18 @@ def main() -> None:
         mode = "tsquery" if "|" in q else "plain"
         timed_query(name, lambda q=q, m=mode: search(spark, idx_web, q, k=10, mode=m).collect())
 
+    # -- 4b. serving-tier point queries (no Spark job) ---------------------
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    for name, q, m in (
+        ("q_local_nobita", "のび太", "plain"),
+        ("q_local_korean", "「大韩民国개인정보", "plain"),
+        ("q_local_or", "'野比' | 'doraemnon' | '개인'", "tsquery"),
+    ):
+        timed_query(
+            name, lambda q=q, m=m: search_local(idx_web, q, k=10, mode=m)
+        )
+
     # -- 5. auxiliary operators -------------------------------------------
     if parts_sel == "web":
         total = round(time.time() - t_all, 3)

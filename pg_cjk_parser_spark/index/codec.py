@@ -77,15 +77,22 @@ def encode_positions(pos_lists: list[list[int]]) -> bytes:
     return encode_varints(np.array(flat, dtype=np.uint64))
 
 
-def decode_positions(buf: bytes, ndocs: int) -> list[np.ndarray]:
-    vals = decode_varints(buf).astype(np.int64)
+def decode_positions(buf: bytes, ndocs: int) -> list[list[int]]:
+    """Per-doc position lists.  Position lists are tiny (tf ~ 1-3), so
+    plain-Python accumulation beats per-doc NumPy calls."""
+    vals = decode_varints(buf).tolist()
     out = []
     i = 0
     for _ in range(ndocs):
-        n = int(vals[i])
+        n = vals[i]
         i += 1
-        out.append(np.cumsum(vals[i : i + n]))
+        acc = 0
+        lst = []
+        for d in vals[i : i + n]:
+            acc += d
+            lst.append(acc)
         i += n
+        out.append(lst)
     return out
 
 

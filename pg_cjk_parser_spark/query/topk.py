@@ -199,22 +199,32 @@ class _TermList:
     )
 
     def __init__(self, tb, decode_pos_blobs: bool):
-        ids_l, tfs_l, dls_l = [], [], []
+        # batch-decode docids across ALL blocks in one varint pass:
+        # concatenated per-block delta streams -> global cumsum minus a
+        # per-block correction (each block's first delta is absolute)
+        ns = tb["n"].to_numpy().astype(np.int64)
+        bufs_d = list(tb["docids"])
+        deltas = decode_varints(b"".join(bufs_d))
+        if deltas.size:
+            ends = np.cumsum(ns)
+            starts = ends - ns
+            g = np.cumsum(deltas, dtype=np.uint64)
+            prev_end = np.concatenate(
+                ([np.uint64(0)], g[ends[:-1] - 1])
+            ).astype(np.uint64)
+            corr = np.repeat(prev_end, ns)
+            ids = (g - corr).view(np.int64)
+        else:
+            ids = np.empty(0, np.int64)
+            starts = ends = np.empty(0, np.int64)
         blk_ids, blk_pos, blk_n = [], [], []
-        for buf_d, buf_t, buf_l, buf_p, n in zip(
-            tb["docids"], tb["tfs"], tb["doclens"], tb["positions"], tb["n"]
-        ):
-            bi = delta_decode(buf_d).view(np.int64)
-            ids_l.append(bi)
-            tfs_l.append(buf_t)
-            dls_l.append(buf_l)
-            if decode_pos_blobs:
-                blk_ids.append(bi)
+        if decode_pos_blobs:
+            for i, (buf_p, n) in enumerate(zip(tb["positions"], ns.tolist())):
+                blk_ids.append(ids[starts[i] : ends[i]])
                 blk_pos.append(buf_p)
-                blk_n.append(int(n))
-        ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
-        tfs = decode_varints(b"".join(tfs_l)).astype(np.float64)
-        dls = decode_varints(b"".join(dls_l)).astype(np.float64)
+                blk_n.append(n)
+        tfs = decode_varints(b"".join(tb["tfs"])).astype(np.float64)
+        dls = decode_varints(b"".join(tb["doclens"])).astype(np.float64)
         srt = np.argsort(ids, kind="stable")
         self.ids = ids[srt]
         self.tfs = tfs[srt]
@@ -246,6 +256,65 @@ class _TermList:
                 self._poscache[bi] = dec
             return dec[j]
         return None
+
+
+def search_local(
+    index_dir: str, query: str, k: int = 10, mode: str = "plain"
+) -> list[tuple[int, float]]:
+    """Serving-tier point query: no Spark session, no job.
+
+    The index is plain parquet, so a low-latency reader (here: pyarrow
+    + NumPy in-process) can serve top-k directly from the pruned
+    bucket shards - the same layout a real serving fleet would mmap.
+    Results are identical to :func:`search` (tests assert it); use the
+    Spark path for scatter-gather over very large per-term lists.
+    """
+    import pyarrow.dataset as ds
+
+    stats = load_stats(index_dir)
+    pq = parse_query(query, mode)
+    if not pq.terms:
+        return []
+    buckets = term_buckets(None, pq.all_terms, stats["num_buckets"])
+    bset = sorted(set(buckets.values()))
+    df_map = _read_termstats(index_dir, bset, pq.all_terms)
+    if pq.conjunctive and any(t not in df_map for t in pq.terms):
+        return []
+    n_docs, k1, b, avgdl = (
+        stats["n_docs"], stats["k1"], stats["b"], stats["avgdl"],
+    )
+    idf_map = {t: idf(n_docs, df_map.get(t, 0)) for t in pq.terms}
+
+    dataset = ds.dataset(os.path.join(index_dir, "postings"), partitioning="hive")
+    tbl = dataset.to_table(
+        columns=[
+            "salt", "term", "n", "min_docid", "max_docid", "docids",
+            "tfs", "doclens", "positions", "max_tf", "min_dl",
+        ],
+        filter=(
+            ds.field("bucket").isin(bset)
+            & ds.field("term").isin(pq.all_terms)
+        ),
+    )
+    pdf = tbl.to_pandas()
+    if len(pdf) == 0:
+        return []
+    frames = []
+    for _, grp in pdf.groupby("salt", sort=False):
+        out = _score_local(
+            grp.reset_index(drop=True), idf_map, k1, b, avgdl, k,
+            pq.conjunctive, pq.phrases, bool(pq.phrases), pq.tree,
+        )
+        if out is not None:
+            frames.append(out)
+    if not frames:
+        return []
+    allf = pd.concat(frames, ignore_index=True)
+    order = np.lexsort((allf["docid"].to_numpy(), -allf["score"].to_numpy()))[:k]
+    return [
+        (int(allf["docid"].iloc[i]), float(allf["score"].iloc[i]))
+        for i in order
+    ]
 
 
 def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=None):
@@ -472,8 +541,8 @@ def _phrase_ok_lazy(chain, lists: dict[str, "_TermList"], docid: int) -> bool:
         ps = lists[t].positions_of(docid)
         if ps is None:
             return False
-        possets[t] = set(ps.tolist())
-    for p in starts.tolist():
+        possets[t] = set(ps)
+    for p in starts:
         base = p - first_off
         if all(base + off in possets[t] for t, off in chain[1:]):
             return True

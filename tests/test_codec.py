@@ -34,4 +34,4 @@ def test_delta_roundtrip_signed_docids():
 def test_positions_roundtrip():
     lists = [[1, 5, 9], [], [2], [100, 200, 300, 16383]]
     out = decode_positions(encode_positions(lists), len(lists))
-    assert [o.tolist() for o in out] == lists
+    assert out == lists

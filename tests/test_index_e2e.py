@@ -118,3 +118,32 @@ def test_pure_negation_rejected(spark, built):
     index_dir, _, _ = built
     with pytest.raises(ValueError):
         search(spark, index_dir, "!'doraemnon'", k=5, mode="tsquery")
+
+
+def test_search_local_equals_spark_path(spark, built):
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    index_dir, _, pdocs = built
+    for q in QUERIES + ["missingterm zz"]:
+        got = search_local(index_dir, q, k=10)
+        got = [(d, round(s, 6)) for d, s in got]
+        want = brute_force_topk(pdocs, q, k=10)
+        assert got == want, q
+    for q in BOOL_QUERIES:
+        got = [(d, round(s, 6)) for d, s in search_local(index_dir, q, k=10, mode="tsquery")]
+        want = brute_force_topk(pdocs, q, k=10, mode="tsquery")
+        assert got == want, q
+
+
+def test_search_local_latency(built):
+    import time
+
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    index_dir, _, _ = built
+    search_local(index_dir, "のび太")  # warm file metadata
+    t0 = time.perf_counter()
+    for _ in range(5):
+        search_local(index_dir, "のび太", k=10)
+    dt = (time.perf_counter() - t0) / 5
+    assert dt < 0.5, f"local query path too slow: {dt:.3f}s"
