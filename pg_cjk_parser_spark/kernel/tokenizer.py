@@ -301,7 +301,11 @@ def lexemes(s: str) -> list[tuple[str, int]]:
             p = q
         else:
             if parser is None:
-                parser = Parser(s)
+                cps = np.frombuffer(
+                    s.encode("utf-32-le"), dtype="<u4"
+                ).tolist()
+                cps.append(0)
+                parser = Parser(s, cps=cps)
             parser.stack[:] = [[p, 0, TPS_Base, -1]]
             while True:
                 tok = parser.next_token()
