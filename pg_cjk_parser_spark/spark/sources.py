@@ -1,0 +1,49 @@
+"""Corpus sources/sinks: format negotiation for the documents table.
+
+The engine is format-agnostic (every pipeline takes a DataFrame); this
+module standardizes reading the Common-Crawl-style corpus shape
+``(url, warc_ts, html, text, lang)`` from Iceberg when an Iceberg
+catalog is configured on the session, falling back to Parquet.  This
+sandbox ships no Iceberg runtime jar, so the Iceberg branch is
+exercised only by plan construction at deploy time; Parquet is the
+tested path, and the index layout itself (hive-partitioned parquet +
+manifests) is directly registrable as an external Iceberg table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+CORPUS_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_corpus(
+    spark: SparkSession,
+    path_or_table: str,
+    fmt: str = "auto",
+) -> DataFrame:
+    """Read a corpus table by parquet path or Iceberg table name."""
+    if fmt == "auto":
+        fmt = (
+            "iceberg"
+            if "/" not in path_or_table and iceberg_available(spark)
+            else "parquet"
+        )
+    if fmt == "iceberg":
+        df = spark.read.format("iceberg").load(path_or_table)
+    else:
+        df = spark.read.parquet(path_or_table)
+    missing = [c for c in ("url", "text") if c not in df.columns]
+    if missing:
+        raise ValueError(f"corpus table missing columns: {missing}")
+    return df

@@ -1,0 +1,27 @@
+"""Package the engine for spark-submit --py-files."""
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    out_dir = os.path.join(REPO, "dist")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "pg_cjk_parser_spark.zip")
+    pkg = os.path.join(REPO, "pg_cjk_parser_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
