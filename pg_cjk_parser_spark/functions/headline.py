@@ -18,7 +18,7 @@ our query trees).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..kernel.fsm import (
     ASCIIHWORD,

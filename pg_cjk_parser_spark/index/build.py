@@ -32,7 +32,6 @@ Pipeline (all DataFrame/Arrow; designed for 1000-executor scale):
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 

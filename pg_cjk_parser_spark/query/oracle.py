@@ -7,7 +7,6 @@ score-identical against this.
 
 from __future__ import annotations
 
-import math
 
 from ..kernel.tokenizer import lexemes
 from ..kernel.tsvector import ts_match

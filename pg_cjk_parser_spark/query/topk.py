@@ -48,7 +48,7 @@ from ..kernel.tsvector import (
     query_terms_all,
     to_tsquery,
 )
-from ..index.codec import decode_positions, decode_varints, delta_decode
+from ..index.codec import decode_positions, decode_varints
 
 
 def load_stats(index_dir: str) -> dict:
