@@ -80,10 +80,15 @@ def _read_termstats(index_dir: str, bset: list[int], terms: list[str]):
     dataset = ds.dataset(
         os.path.join(index_dir, "termstats"), partitioning="hive"
     )
-    tbl = dataset.to_table(
-        columns=["term", "df"],
-        filter=(ds.field("bucket").isin(bset) & ds.field("term").isin(terms)),
-    )
+    try:
+        tbl = dataset.to_table(
+            columns=["term", "df"],
+            filter=(
+                ds.field("bucket").isin(bset) & ds.field("term").isin(terms)
+            ),
+        )
+    except Exception:
+        return {}  # empty index (no partition files yet)
     out: dict[str, int] = {}
     for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
         out[t] = out.get(t, 0) + int(d)
@@ -147,8 +152,8 @@ def search(
     bset = sorted(set(buckets.values()))
 
     df_map = _read_termstats(index_dir, bset, pq.all_terms)
-    if pq.conjunctive and len(df_map) < len(pq.terms):
-        # a required term is absent from the corpus: no matches
+    if not df_map or (pq.conjunctive and len(df_map) < len(pq.terms)):
+        # required term (or every term) absent from the corpus
         return spark.createDataFrame([], "docid long, score double")
     n_docs, k1, b, avgdl = stats["n_docs"], stats["k1"], stats["b"], stats["avgdl"]
     idf_map = {t: idf(n_docs, df_map.get(t, 0)) for t in pq.terms}
@@ -278,7 +283,9 @@ def search_local(
     buckets = term_buckets(None, pq.all_terms, stats["num_buckets"])
     bset = sorted(set(buckets.values()))
     df_map = _read_termstats(index_dir, bset, pq.all_terms)
-    if pq.conjunctive and any(t not in df_map for t in pq.terms):
+    if not df_map or (
+        pq.conjunctive and any(t not in df_map for t in pq.terms)
+    ):
         return []
     n_docs, k1, b, avgdl = (
         stats["n_docs"], stats["k1"], stats["b"], stats["avgdl"],

@@ -147,3 +147,33 @@ def test_search_local_latency(built):
         search_local(index_dir, "のび太", k=10)
     dt = (time.perf_counter() - t0) / 5
     assert dt < 0.5, f"local query path too slow: {dt:.3f}s"
+
+
+def test_empty_corpus_and_missing_terms(spark, tmp_path):
+    from pg_cjk_parser_spark.query.topk import search_local
+    from pg_cjk_parser_spark.spark.corpus import synth_corpus
+
+    d = str(tmp_path / "idx_empty")
+    empty = synth_corpus(spark, 0, seed=1, num_partitions=1)
+    st = build_index(spark, empty, d, num_buckets=4, num_salts=2)
+    assert st["n_docs"] == 0
+    assert search(spark, d, "のび太", k=5).count() == 0
+    assert search_local(d, "のび太", k=5) == []
+
+
+def test_head_term_split_across_salts(spark, built):
+    """Zipf-head defense: a frequent term's postings live in multiple
+    docid-salt shards, so no single reducer owns it."""
+    import pyarrow.dataset as ds
+
+    index_dir, _, _ = built
+    d = ds.dataset(os.path.join(index_dir, "postings"), partitioning="hive")
+    tbl = d.to_table(columns=["term", "salt"])
+    import collections
+
+    salts = collections.defaultdict(set)
+    for t, slt in zip(tbl["term"].to_pylist(), tbl["salt"].to_pylist()):
+        salts[t].add(slt)
+    # head 2-gram terms appear in every salt shard
+    heads = [t for t, s in salts.items() if len(s) == 2]
+    assert len(heads) > 50

@@ -149,3 +149,35 @@ def test_zht2zhs_golden():
     assert m.cjk_zht2zhs("ascii stays 123") == "ascii stays 123"
     assert m.cjk_zht2zhs("𠀀 4-byte passes") == "𠀀 4-byte passes"
     assert m.cjk_zht2zhs("中文簡體混合 mixed 體") == "中文简体混合 mixed 体"
+
+
+def test_extraction_determinism_pin():
+    """Per-url byte-identical extraction invariant: pin digests of the
+    token stream + extracted text for fixed synthetic pages so any
+    kernel change that altered extraction would fail loudly."""
+    import hashlib
+
+    from pg_cjk_parser_spark.kernel.tokenizer import lexemes, token_strings
+    from pg_cjk_parser_spark.spark.corpus import _doc_fields, _html_of
+
+    digests = []
+    for i in (0, 1, 2, 3, 4, 997):
+        text, lang, url = _doc_fields(i, seed=42)
+        html = _html_of(i, text).decode("utf-8")
+        stream = "\x1f".join(f"{a}\x1e{t}" for a, t in token_strings(html))
+        lex = "\x1f".join(f"{t}\x1e{p}" for t, p in lexemes(text))
+        digests.append(
+            (
+                url,
+                hashlib.md5(stream.encode()).hexdigest()[:12],
+                hashlib.md5(lex.encode()).hexdigest()[:12],
+            )
+        )
+    assert digests == [
+        ("https://site0.example/zh/page0.html", "3e26a1f5b195", "b5f3da556494"),
+        ("https://site1.example/ja/page1.html", "c773b29e1801", "fb960da1318e"),
+        ("https://site2.example/ko/page2.html", "980ec6a82910", "5f3d88739839"),
+        ("https://site3.example/en/page3.html", "2fd907bde334", "7e2b9215f1dc"),
+        ("https://site4.example/mixed/page4.html", "221803dc9646", "25d65de93865"),
+        ("https://site0.example/ko/page997.html", "b57b0d4a09da", "198826acbf9e"),
+    ]
