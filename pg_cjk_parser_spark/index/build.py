@@ -154,7 +154,14 @@ def _postings_gen(batches):
 
 
 def explode_postings(docs: DataFrame, docid_col: str | None, text_col: str) -> DataFrame:
-    """(docid, doclen, term, tf, positions:binary) - one row per (doc, term)."""
+    """(docid, doclen, term, tf, positions:binary) - one row per (doc, term).
+
+    Doc-id density matters: delta-varint docid blocks are ~2.4x smaller
+    (and build ~1.4x faster) with dense/clustered int64 ids than with
+    random hash ids.  Pass a dense ``docid_col`` when the corpus has
+    one (ingest sequence, crawl timestamp); ``xxhash64(url)`` is the
+    fallback when only urls identify documents.
+    """
     if docid_col is None:
         docs = docs.withColumn("docid", F.xxhash64(F.col("url")))
     else:
