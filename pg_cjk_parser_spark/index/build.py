@@ -287,13 +287,25 @@ def build_index(
     keep_staging: bool = False,
     n_docs: int | None = None,
 ) -> dict:
-    """Build (or resume) the inverted index for ``docs``; returns stats."""
+    """Build (or resume) the inverted index for ``docs``; returns stats.
+
+    ``keep_staging=True`` retains the exploded-postings staging parquet
+    (skips re-tokenizing on resume at the cost of ~staged-corpus
+    storage); by default it is deleted after a successful build.
+    """
+    import shutil
+
     os.makedirs(index_dir, exist_ok=True)
     fingerprint = fingerprint or f"fp-{num_buckets}-{num_salts}-{block_size}"
     done = _valid_buckets(index_dir, fingerprint) if resume else set()
     if resume and len(done) == num_buckets:
         with open(os.path.join(index_dir, "stats.json")) as f:
             return json.load(f)
+    if not resume:
+        # clean rebuild: dynamic partition overwrite would leave stale
+        # partitions (old buckets / streaming epochs) behind otherwise
+        for sub in ("postings", "termstats", "manifests"):
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     t0 = time.time()
     staging = os.path.join(index_dir, "_staging_postings")
@@ -331,17 +343,25 @@ def build_index(
             lambda it: _encode_partition(it, block_size), BLOCK_SCHEMA
         )
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(index_dir, "postings")
-    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(index_dir, "postings")
+        )
 
-    termstats = todo.groupBy("bucket", "term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    )
-    termstats.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(index_dir, "termstats")
-    )
+        termstats = todo.groupBy("bucket", "term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+        )
+        termstats.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(index_dir, "termstats")
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_mode)
 
     stats = {
         "n_docs": int(n_docs),
@@ -376,5 +396,5 @@ def build_index(
                 f,
             )
     if not keep_staging:
-        pass  # staging retained for oracle scoring / debugging at test scale
+        shutil.rmtree(staging, ignore_errors=True)
     return stats

@@ -55,8 +55,11 @@ def append_index_batch(
     os.makedirs(os.path.join(index_dir, "manifests"), exist_ok=True)
     mpath = _epoch_manifest(index_dir, epoch)
     if os.path.exists(mpath):
-        with open(_stats_path(index_dir)) as f:
-            return json.load(f)  # re-delivered batch: already applied
+        # re-delivered batch: already applied; re-derive stats in case
+        # a crash interrupted the previous stats refresh
+        return _rebuild_stats(
+            index_dir, num_buckets, num_salts, block_size, k1, b
+        )
 
     # clean any partial files from a failed earlier attempt of this epoch
     for sub in ("postings", "termstats"):
@@ -74,6 +77,9 @@ def append_index_batch(
     postings.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
 
+    # counted from the source (not the staged postings) because docs
+    # with empty/stop-word-only text produce no postings yet must count
+    # toward N for idf/avgdl parity with a batch rebuild
     n_batch_docs = batch.count()
     agg = staged.agg(
         F.sum("tf").alias("total_tf"),
@@ -101,36 +107,61 @@ def append_index_batch(
         .parquet(os.path.join(index_dir, "termstats"))
     )
 
-    # running stats
+    # exactly-once accounting: the epoch's deltas live in its manifest
+    # (written atomically, LAST); global stats are *derived* by summing
+    # all epoch manifests, so a crash at any point before the manifest
+    # rename leaves no trace and redelivery cannot double-count.
+    _atomic_json(
+        mpath,
+        {
+            "epoch": epoch,
+            "status": "complete",
+            "n_docs": int(n_batch_docs),
+            "total_tf": int(agg.total_tf or 0),
+            "n_postings": int(agg.n_postings),
+            "applied_at": time.time(),
+        },
+    )
+    stats = _rebuild_stats(
+        index_dir, num_buckets, num_salts, block_size, k1, b
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    return stats
+
+
+def _atomic_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _rebuild_stats(index_dir, num_buckets, num_salts, block_size, k1, b) -> dict:
+    mdir = os.path.join(index_dir, "manifests")
+    epochs, n_docs, total_tf, n_postings = [], 0, 0, 0
+    for name in sorted(os.listdir(mdir)):
+        if not name.startswith("epoch="):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            m = json.load(f)
+        epochs.append(int(m["epoch"]))
+        n_docs += int(m.get("n_docs", 0))
+        total_tf += int(m.get("total_tf", 0))
+        n_postings += int(m.get("n_postings", 0))
     stats = {
-        "n_docs": 0,
-        "avgdl": 0.0,
-        "total_tf": 0,
-        "n_postings": 0,
+        "n_docs": n_docs,
+        "avgdl": total_tf / max(n_docs, 1),
+        "total_tf": total_tf,
+        "n_postings": n_postings,
         "num_buckets": num_buckets,
         "num_salts": num_salts,
         "block_size": block_size,
         "k1": k1,
         "b": b,
         "fingerprint": "streaming",
-        "epochs": [],
+        "epochs": sorted(epochs),
     }
-    if os.path.exists(_stats_path(index_dir)):
-        with open(_stats_path(index_dir)) as f:
-            stats.update(json.load(f))
-    stats["n_docs"] += int(n_batch_docs)
-    stats["total_tf"] += int(agg.total_tf or 0)
-    stats["n_postings"] += int(agg.n_postings)
-    stats["avgdl"] = stats["total_tf"] / max(stats["n_docs"], 1)
-    stats.setdefault("epochs", []).append(epoch)
-    with open(_stats_path(index_dir), "w") as f:
-        json.dump(stats, f, indent=1)
-    with open(mpath, "w") as f:
-        json.dump(
-            {"epoch": epoch, "status": "complete", "applied_at": time.time()},
-            f,
-        )
-    shutil.rmtree(staging, ignore_errors=True)
+    _atomic_json(_stats_path(index_dir), stats)
     return stats
 
 

@@ -169,7 +169,8 @@ def _load() -> np.ndarray:
     try:
         os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
         tmp = _CACHE_PATH + f".tmp.{os.getpid()}"
-        np.save(tmp, cls)
+        with open(tmp, "wb") as f:  # np.save on a path would append .npy
+            np.save(f, cls)
         os.replace(tmp, _CACHE_PATH)
     except Exception:
         pass

@@ -284,6 +284,9 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                     prev_f = cur_f
                     cur_f = nxt_f
             elif g == "w":
+                if q - p >= 2046:  # PG: over-long tokens aren't indexed
+                    p = q
+                    continue
                 pos += 1
                 text = s[p:q]
                 lex = cache.get(text)
@@ -295,6 +298,9 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                 if lex:
                     out.append((lex, pos if pos < MAXENTRYPOS else MAXENTRYPOS))
             elif g == "u":
+                if q - p >= 2046:
+                    p = q
+                    continue
                 pos += 1
                 out.append((s[p:q], pos if pos < MAXENTRYPOS else MAXENTRYPOS))
             # blanks consume no position and are not emitted

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..index.xxh64 import xxh64
 
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: with a, b, h < 2^31 the products stay under
+# 2^62, so (a*h+b) % p is computed exactly in uint64 - a genuine
+# universal hash family (a 61-bit prime would silently wrap mod 2^64
+# first and lose pairwise independence)
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_params(n_hashes: int, seed: int = 42):
@@ -71,11 +75,11 @@ def minhash_signatures(
                     sig = np.zeros(n_hashes, dtype=np.int64)
                 else:
                     hv = np.fromiter(
-                        (xxh64(s.encode("utf-8")) & ((1 << 61) - 1) for s in sh),
+                        (xxh64(s.encode("utf-8")) & _MERSENNE for s in sh),
                         dtype=np.uint64,
                         count=len(sh),
                     )
-                    # (a*h + b) mod mersenne prime, min over shingles
+                    # (a*h + b) mod p, min over shingles (exact in uint64)
                     m = (hv[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
                     sig = m.min(axis=1).astype(np.int64)
                 ids.append(i)

@@ -39,12 +39,7 @@ def html_to_text(docs: DataFrame, html_col: str = "html", out_col: str = "text_e
                     outs.append(None)
                     continue
                 s = bytes(raw).decode("utf-8", "replace")
-                parts = [
-                    s[st : st + ln]
-                    for st, ln, tt in tokenize(s)
-                    if tt not in (TAG_T, SPACE_T)
-                ]
-                outs.append(" ".join(parts))
+                outs.append(_visible_text(s))
             pdf = pdf.copy()
             pdf[out_col] = outs
             yield pdf
@@ -53,6 +48,32 @@ def html_to_text(docs: DataFrame, html_col: str = "html", out_col: str = "text_e
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
     ) + f", {out_col} string"
     return docs.mapInPandas(gen, schema)
+
+
+def _visible_text(s: str) -> str:
+    """Byte-faithful visible text: the source minus tag spans and
+    script/style bodies.  Token spans are merged (CJK 2-grams, url and
+    hyphenated-word composites overlap their parts) so nothing is
+    duplicated; inter-word blanks survive verbatim."""
+    segs: list[list[int]] = []
+    skip = False
+    for st, ln, tt in tokenize(s):
+        if tt == TAG_T:
+            tl = s[st : st + ln].lower()
+            if tl.startswith(("<script", "<style")):
+                skip = True
+            elif tl.startswith(("</script", "</style")):
+                skip = False
+            continue
+        if skip or ln == 0:
+            continue
+        end = st + ln
+        if segs and st <= segs[-1][1]:
+            if end > segs[-1][1]:
+                segs[-1][1] = end
+        else:
+            segs.append([st, end])
+    return "".join(s[a:b] for a, b in segs).strip()
 
 
 def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:

@@ -80,6 +80,8 @@ def _read_termstats(index_dir: str, bset: list[int], terms: list[str]):
     dataset = ds.dataset(
         os.path.join(index_dir, "termstats"), partitioning="hive"
     )
+    import pyarrow as pa
+
     try:
         tbl = dataset.to_table(
             columns=["term", "df"],
@@ -87,8 +89,11 @@ def _read_termstats(index_dir: str, bset: list[int], terms: list[str]):
                 ds.field("bucket").isin(bset) & ds.field("term").isin(terms)
             ),
         )
-    except Exception:
-        return {}  # empty index (no partition files yet)
+    except pa.lib.ArrowInvalid:
+        # an index written from an empty corpus has no partition files,
+        # so the hive 'bucket' field doesn't exist; real corruption
+        # (IO errors, bad footers) still propagates
+        return {}
     out: dict[str, int] = {}
     for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
         out[t] = out.get(t, 0) + int(d)
@@ -512,7 +517,13 @@ def _eval_tree(tree, lists: dict[str, "_TermList"], phrases) -> np.ndarray | Non
                 (neg if comp else pos).append(ids)
             if is_and:
                 if not pos:
-                    return np.empty(0, np.int64), True  # !(a|b..) form
+                    # !a & !b == !(a | b): complement of the union
+                    out = (
+                        np.unique(np.concatenate(neg))
+                        if neg
+                        else np.empty(0, np.int64)
+                    )
+                    return out, True
                 out = pos[0]
                 for p in pos[1:]:
                     out = out[np.isin(out, p, assume_unique=True)]

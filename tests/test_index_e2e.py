@@ -177,3 +177,39 @@ def test_head_term_split_across_salts(spark, built):
     # head 2-gram terms appear in every salt shard
     heads = [t for t, s in salts.items() if len(s) == 2]
     assert len(heads) > 50
+
+
+def test_pure_negation_subtree(spark, built):
+    """regression: (!a & !b) subtree must exclude a and b, not match all"""
+    index_dir, _, pdocs = built
+    q = "'doraemnon' & ( !'梦' & !'のび' )"
+    got = [
+        (r.docid, round(r.score, 6))
+        for r in search(spark, index_dir, q, k=10, mode="tsquery").collect()
+    ]
+    want = brute_force_topk(pdocs, q, k=10, mode="tsquery")
+    assert got == want
+
+
+def test_clean_rebuild_drops_stale_buckets(spark, tmp_path):
+    from pg_cjk_parser_spark.spark.corpus import synth_corpus
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    d = str(tmp_path / "rebuild")
+    big = synth_corpus(spark, 200, seed=42, num_partitions=2)
+    build_index(spark, big, d, num_buckets=8, num_salts=2, block_size=16)
+    before = search_local(d, "のび太", k=10)
+    small = synth_corpus(spark, 50, seed=42, num_partitions=2)
+    st = build_index(spark, small, d, num_buckets=8, num_salts=2, block_size=16)
+    assert st["n_docs"] == 50
+    after = search_local(d, "のび太", k=50)
+    pdocs = [
+        (r.docid, r.text)
+        for r in small.selectExpr("xxhash64(url) as docid", "text").collect()
+    ]
+    valid_ids = {d_ for d_, _ in pdocs}
+    assert all(d_ in valid_ids for d_, _ in after), "stale docids survived rebuild"
+    # partitionOverwriteMode restored
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    ).upper() == "STATIC"

@@ -84,3 +84,12 @@ def test_frame_sampling_plumbing(spark):
     frames = frame_sample(media, every_n=30).collect()
     vids = media.where(F.col("kind") == "video").count()
     assert len(frames) == vids * 4  # 120 frames / every 30 -> 4 samples
+
+
+def test_html_to_text_no_duplication(spark):
+    df = spark.createDataFrame(
+        [(b"<p>\xe6\x97\xa5\xe6\x9c\xac\xe8\xaa\x9e hello state-of-the-art</p>",)],
+        "html binary",
+    )
+    out = html_to_text(df, "html").collect()[0].text_extracted
+    assert out == "日本語 hello state-of-the-art"

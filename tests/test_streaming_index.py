@@ -85,3 +85,25 @@ def test_structured_streaming_sink(spark, tmp_path):
         for r in search(spark, inc_dir, "野比大雄", k=10).collect()
     ]
     assert got == brute_force_topk(pdocs, "野比大雄", k=10)
+
+
+def test_crash_before_manifest_does_not_double_count(spark, tmp_path):
+    """simulate: epoch applied but manifest lost -> redelivery must not
+    double-count stats or postings"""
+    import os
+
+    inc_dir = str(tmp_path / "crash")
+    docs = synth_corpus(spark, 60, seed=3, num_partitions=2)
+    append_index_batch(spark, docs, inc_dir, 0, num_buckets=8, num_salts=2)
+    os.remove(os.path.join(inc_dir, "manifests", "epoch=0.json"))
+    st = append_index_batch(spark, docs, inc_dir, 0, num_buckets=8, num_salts=2)
+    assert st["n_docs"] == 60
+    pdocs = [
+        (r.docid, r.text)
+        for r in docs.selectExpr("xxhash64(url) as docid", "text").collect()
+    ]
+    got = [
+        (r.docid, round(r.score, 6))
+        for r in search(spark, inc_dir, "のび太", k=5).collect()
+    ]
+    assert got == brute_force_topk(pdocs, "のび太", k=5)

@@ -104,3 +104,15 @@ def test_all_24_token_types_reachable():
         TOKEN_ALIASES[i] for i in range(1, 25) if i not in seen
     }
     assert not missing, missing
+
+
+def test_overlong_token_fast_path_matches_exact():
+    from pg_cjk_parser_spark.kernel.tokenizer import lexemes
+    from pg_cjk_parser_spark.kernel.tsvector import iter_lexemes
+
+    for s in (
+        "hello " + "a" * 3000 + " world",
+        "x " + "9" * 2500 + " y",
+        "a" * 2045 + " tail",
+    ):
+        assert lexemes(s) == list(iter_lexemes(s)), len(s)
