@@ -40,7 +40,7 @@ def run_once(cpus: int, synth_docs: int, sf_dir: str) -> dict:
 
 def main() -> None:
     n = int(os.environ.get("SCALING_BASE_CPUS", "2"))
-    synth_docs = int(os.environ.get("SCALING_SYNTH_DOCS", "100000"))
+    synth_docs = int(os.environ.get("SCALING_SYNTH_DOCS", "800000"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     res_n = run_once(n, synth_docs, sf_dir)
