@@ -1,0 +1,131 @@
+"""Index compaction: merge streaming epochs into one optimal layout.
+
+Incremental appends leave one block sequence per (term, salt, epoch);
+queries stay correct (the scorer merges block sequences by docid) but
+head terms accumulate many short tails. Compaction decodes all block
+rows back to postings, re-sorts per (bucket, salt, term, docid), and
+re-encodes full blocks under a single consolidated epoch, swapping
+directories atomically and collapsing the epoch manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from .build import BLOCK_SCHEMA, _encode_partition
+from .codec import decode_positions, decode_varints, delta_decode
+from .streaming import _atomic_json, _rebuild_stats
+
+_POSTING_SCHEMA = (
+    "bucket int, salt int, term string, docid long, tf int, doclen int, "
+    "positions binary"
+)
+
+
+def _decode_blocks(batches):
+    from .build import _enc_pos
+
+    for pdf in batches:
+        rows = {
+            "bucket": [], "salt": [], "term": [], "docid": [],
+            "tf": [], "doclen": [], "positions": [],
+        }
+        for _, r in pdf.iterrows():
+            ids = delta_decode(r["docids"]).view(np.int64)
+            tfs = decode_varints(r["tfs"]).astype(np.int64)
+            dls = decode_varints(r["doclens"]).astype(np.int64)
+            poss = decode_positions(r["positions"], len(ids))
+            n = len(ids)
+            rows["bucket"].extend([int(r["bucket"])] * n)
+            rows["salt"].extend([int(r["salt"])] * n)
+            rows["term"].extend([r["term"]] * n)
+            rows["docid"].extend(ids.tolist())
+            rows["tf"].extend(tfs.tolist())
+            rows["doclen"].extend(dls.tolist())
+            rows["positions"].extend(_enc_pos(ps) for ps in poss)
+        yield pd.DataFrame(rows)
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    block_size: int | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    block_size = block_size or stats["block_size"]
+    parts = num_partitions or min(
+        stats["num_buckets"] * stats["num_salts"],
+        spark.sparkContext.defaultParallelism * 4,
+    )
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    rows = postings.select(
+        "bucket", "salt", "term", "n", "docids", "tfs", "doclens", "positions"
+    ).mapInPandas(_decode_blocks, _POSTING_SCHEMA)
+    blocks = (
+        rows.repartition(parts, "bucket", "salt")
+        .sortWithinPartitions("bucket", "salt", "term", "docid")
+        .mapInPandas(lambda it: _encode_partition(it, block_size), BLOCK_SCHEMA)
+    )
+    epochs = sorted(stats.get("epochs", [])) or [0]
+    new_epoch = epochs[-1]
+    tmp_postings = os.path.join(index_dir, "_compact_postings")
+    blocks.withColumn("epoch", F.lit(new_epoch)).write.mode(
+        "overwrite"
+    ).partitionBy("epoch", "bucket").parquet(tmp_postings)
+
+    # termstats: re-aggregate across epochs
+    ts = spark.read.parquet(os.path.join(index_dir, "termstats"))
+    tmp_ts = os.path.join(index_dir, "_compact_termstats")
+    (
+        ts.groupBy("bucket", "term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .withColumn("epoch", F.lit(new_epoch))
+        .write.mode("overwrite")
+        .partitionBy("epoch", "bucket")
+        .parquet(tmp_ts)
+    )
+
+    # atomic-ish swap
+    for name, tmp in (("postings", tmp_postings), ("termstats", tmp_ts)):
+        live = os.path.join(index_dir, name)
+        old = os.path.join(index_dir, f"_old_{name}")
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(live, old)
+        os.replace(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # consolidate epoch manifests into one
+    mdir = os.path.join(index_dir, "manifests")
+    if any(n.startswith("epoch=") for n in os.listdir(mdir)):
+        for name in list(os.listdir(mdir)):
+            if name.startswith("epoch="):
+                os.remove(os.path.join(mdir, name))
+        _atomic_json(
+            os.path.join(mdir, f"epoch={new_epoch}.json"),
+            {
+                "epoch": new_epoch,
+                "status": "complete",
+                "compacted": True,
+                "n_docs": stats["n_docs"],
+                "total_tf": stats["total_tf"],
+                "n_postings": stats["n_postings"],
+                "applied_at": time.time(),
+            },
+        )
+        return _rebuild_stats(
+            index_dir, stats["num_buckets"], stats["num_salts"], block_size,
+            stats["k1"], stats["b"],
+        )
+    stats["compacted_at"] = time.time()
+    _atomic_json(os.path.join(index_dir, "stats.json"), stats)
+    return stats

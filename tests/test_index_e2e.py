@@ -213,3 +213,47 @@ def test_clean_rebuild_drops_stale_buckets(spark, tmp_path):
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "STATIC"
     ).upper() == "STATIC"
+
+
+def test_randomized_queries_vs_oracle(spark, built):
+    """Property test: random boolean/phrase queries over corpus terms
+    must be rank- and score-identical to the oracle (serving path)."""
+    import random
+
+    from pg_cjk_parser_spark.kernel.tokenizer import lexemes
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    index_dir, _, pdocs = built
+    vocab = sorted({t for _, text in pdocs[:100] for t, _ in lexemes(text)})
+    rng = random.Random(2024)
+
+    def rand_query():
+        kind = rng.random()
+        terms = [rng.choice(vocab) for _ in range(rng.randint(1, 3))]
+        terms = [t.replace("'", "") for t in terms if t.strip()]
+        if not terms:
+            return "'fallback'", "tsquery"
+        if kind < 0.35:
+            op = rng.choice([" & ", " | "])
+            q = op.join(f"'{t}'" for t in terms)
+            if rng.random() < 0.4 and len(terms) > 1:
+                q += f" & !'{rng.choice(vocab)}'"
+            return q, "tsquery"
+        if kind < 0.55:
+            a, b = rng.choice(vocab), rng.choice(vocab)
+            return f"'{a}' <-> '{b}'", "tsquery"
+        return " ".join(terms), "plain"
+
+    checked = 0
+    for _ in range(40):
+        q, mode = rand_query()
+        try:
+            got = [
+                (d, round(s, 6)) for d, s in search_local(index_dir, q, k=10, mode=mode)
+            ]
+        except ValueError:
+            continue  # pure-negation forms
+        want = brute_force_topk(pdocs, q, k=10, mode=mode)
+        assert got == want, (q, mode, got[:3], want[:3])
+        checked += 1
+    assert checked >= 30

@@ -107,3 +107,43 @@ def test_crash_before_manifest_does_not_double_count(spark, tmp_path):
         for r in search(spark, inc_dir, "のび太", k=5).collect()
     ]
     assert got == brute_force_topk(pdocs, "のび太", k=5)
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    import pyarrow.dataset as ds
+
+    from pg_cjk_parser_spark.index.compact import compact_index
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    inc_dir = str(tmp_path / "compact")
+    docs = synth_corpus(spark, 240, seed=11, num_partitions=3)
+    for epoch in range(3):
+        b = docs.where(F.pmod(F.xxhash64("url"), F.lit(3)) == epoch)
+        append_index_batch(
+            spark, b, inc_dir, epoch, num_buckets=8, num_salts=2, block_size=16
+        )
+    before = {
+        q: search_local(inc_dir, q, k=10) for q in ("のび太", "Doraemnon")
+    }
+    n_blocks_before = ds.dataset(
+        inc_dir + "/postings", partitioning="hive"
+    ).count_rows()
+
+    st = compact_index(spark, inc_dir)
+    assert st["n_docs"] == 240
+
+    n_blocks_after = ds.dataset(
+        inc_dir + "/postings", partitioning="hive"
+    ).count_rows()
+    assert n_blocks_after < n_blocks_before
+    for q, want in before.items():
+        got = search_local(inc_dir, q, k=10)
+        assert [(d, round(s, 6)) for d, s in got] == [
+            (d, round(s, 6)) for d, s in want
+        ], q
+    # appends still work after compaction
+    extra = synth_corpus(spark, 40, seed=12, num_partitions=1)
+    st2 = append_index_batch(
+        spark, extra, inc_dir, 7, num_buckets=8, num_salts=2, block_size=16
+    )
+    assert st2["n_docs"] == 280
