@@ -92,6 +92,79 @@ def lsh_signatures(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded sample (driver-side
+    NumPy; at corpus scale the sample is a tiny fraction and training
+    cost is independent of N)."""
+    sample = emb.select(vec_col).limit(sample_limit).collect()
+    M = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = M[rng.choice(len(M), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = (M @ C.T).argmax(axis=1)
+        for c in range(n_clusters):
+            members = M[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                C[c] = v / np.maximum(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) nearest-centroid assignment, one Arrow pass."""
+    C = centroids
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {"id": ids, "cluster": (M @ C.T).argmax(axis=1).astype(np.int32)}
+            )
+
+    return emb.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        gen, "id long, cluster int"
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: rescore only vectors assigned to the ``nprobe``
+    centroids nearest the query (at scale the assignment is
+    precomputed/partitioned-by-cluster so the probe is a partition-
+    pruned read; here it composes with a broadcast semi-join)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / np.maximum(np.linalg.norm(qv), 1e-12)
+    probes = np.argsort(-(centroids @ qv))[:nprobe].tolist()
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    cand_ids = assign.where(
+        F.col("cluster").isin([int(c) for c in probes])
+    ).select(F.col("id").alias(id_col))
+    cand = emb.join(F.broadcast(cand_ids), id_col)
+    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def ann_cosine_topk(
     emb: DataFrame,
     query_vec: list[float],

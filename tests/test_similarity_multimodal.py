@@ -93,3 +93,29 @@ def test_html_to_text_no_duplication(spark):
     )
     out = html_to_text(df, "html").collect()[0].text_extracted
     assert out == "日本語 hello state-of-the-art"
+
+
+def test_ivf_recall_and_scores(spark, emb):
+    from pg_cjk_parser_spark.ops.similarity import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    C = train_ivf_centroids(emb, n_clusters=8, iters=8, seed=42)
+    q = emb.where(F.col("vec_id") == 7).collect()[0].embedding
+    approx = ivf_cosine_topk(emb, q, C, k=10, nprobe=4).collect()
+    exact = {
+        r.vec_id: r.cos
+        for r in brute_force_cosine_topk(emb, q, k=500).collect()
+    }
+    assert approx[0].vec_id == 7
+    for r in approx:
+        assert abs(exact[r.vec_id] - r.cos) < 1e-9
+    top10 = sorted(exact, key=lambda v: (-exact[v], v))[:10]
+    recall = len({r.vec_id for r in approx} & set(top10)) / 10
+    assert recall >= 0.5, recall
+    # determinism: same seed -> same centroids
+    C2 = train_ivf_centroids(emb, n_clusters=8, iters=8, seed=42)
+    import numpy as np
+
+    assert np.allclose(C, C2)
