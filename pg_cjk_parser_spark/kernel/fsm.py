@@ -146,7 +146,6 @@ _STATE_NAMES = (
     "InHyphenWordPart", "InHyphenAsciiWordPart", "InHyphenNumWordPart",
     "InHyphenUnsignedInt", "InCJK",
 )
-globals().update({f"TPS_{n}": i for i, n in enumerate(_STATE_NAMES)})
 _S = {n: i for i, n in enumerate(_STATE_NAMES)}
 
 # plain-list view of the charclass table: Python-int indexing is ~3x

@@ -88,7 +88,7 @@ def minhash_signatures(
 
     return docs.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(gen, f"id long, sig array<long>")
+    ).mapInPandas(gen, "id long, sig array<long>")
 
 
 def lsh_candidate_pairs(

@@ -140,6 +140,22 @@ def parse_query(query: str, mode: str = "plain") -> ParsedQuery:
     return ParsedQuery(tree, terms, all_terms, phrases, conjunctive)
 
 
+def _route(index_dir: str, query: str, mode: str):
+    """Shared query routing: stats, parsed query, pruned bucket set,
+    term df lookup, idf map.  Returns None when no doc can match."""
+    stats = load_stats(index_dir)
+    pq = parse_query(query, mode)
+    if not pq.terms:
+        return None
+    buckets = term_buckets(None, pq.all_terms, stats["num_buckets"])
+    bset = sorted(set(buckets.values()))
+    df_map = _read_termstats(index_dir, bset, pq.all_terms)
+    if not df_map or (pq.conjunctive and any(t not in df_map for t in pq.terms)):
+        return None  # required term (or every term) absent from the corpus
+    idf_map = {t: idf(stats["n_docs"], df_map.get(t, 0)) for t in pq.terms}
+    return stats, pq, bset, idf_map
+
+
 def search(
     spark: SparkSession,
     index_dir: str,
@@ -148,20 +164,11 @@ def search(
     mode: str = "plain",
 ) -> DataFrame:
     """Top-k ``(docid, score)`` for the query; deterministic tiebreak."""
-    stats = load_stats(index_dir)
-    pq = parse_query(query, mode)
-    if not pq.terms:
+    routed = _route(index_dir, query, mode)
+    if routed is None:
         return spark.createDataFrame([], "docid long, score double")
-
-    buckets = term_buckets(spark, pq.all_terms, stats["num_buckets"])
-    bset = sorted(set(buckets.values()))
-
-    df_map = _read_termstats(index_dir, bset, pq.all_terms)
-    if not df_map or (pq.conjunctive and len(df_map) < len(pq.terms)):
-        # required term (or every term) absent from the corpus
-        return spark.createDataFrame([], "docid long, score double")
-    n_docs, k1, b, avgdl = stats["n_docs"], stats["k1"], stats["b"], stats["avgdl"]
-    idf_map = {t: idf(n_docs, df_map.get(t, 0)) for t in pq.terms}
+    stats, pq, bset, idf_map = routed
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
 
     blocks = (
         spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -281,21 +288,11 @@ def search_local(
     """
     import pyarrow.dataset as ds
 
-    stats = load_stats(index_dir)
-    pq = parse_query(query, mode)
-    if not pq.terms:
+    routed = _route(index_dir, query, mode)
+    if routed is None:
         return []
-    buckets = term_buckets(None, pq.all_terms, stats["num_buckets"])
-    bset = sorted(set(buckets.values()))
-    df_map = _read_termstats(index_dir, bset, pq.all_terms)
-    if not df_map or (
-        pq.conjunctive and any(t not in df_map for t in pq.terms)
-    ):
-        return []
-    n_docs, k1, b, avgdl = (
-        stats["n_docs"], stats["k1"], stats["b"], stats["avgdl"],
-    )
-    idf_map = {t: idf(n_docs, df_map.get(t, 0)) for t in pq.terms}
+    stats, pq, bset, idf_map = routed
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
 
     dataset = ds.dataset(os.path.join(index_dir, "postings"), partitioning="hive")
     tbl = dataset.to_table(
@@ -331,8 +328,7 @@ def search_local(
 
 def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=None):
     """Exact local top-k over one salt-partition's blocks."""
-    term_names = sorted(set(pdf["term"]))
-    per_term = {t: pdf[pdf["term"] == t] for t in term_names}
+    per_term = {t: g for t, g in pdf.groupby("term", sort=True)}
     if conj:
         if len(per_term) < len(idf_map):
             return None  # some required term missing in this partition
