@@ -140,7 +140,7 @@ def _rebuild_stats(index_dir, num_buckets, num_salts, block_size, k1, b) -> dict
     mdir = os.path.join(index_dir, "manifests")
     epochs, n_docs, total_tf, n_postings = [], 0, 0, 0
     for name in sorted(os.listdir(mdir)):
-        if not name.startswith("epoch="):
+        if not (name.startswith("epoch=") and name.endswith(".json")):
             continue
         with open(os.path.join(mdir, name)) as f:
             m = json.load(f)

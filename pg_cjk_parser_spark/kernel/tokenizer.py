@@ -129,7 +129,9 @@ def tokenize(s: str) -> list[tuple[int, int, int]]:
     n = len(s)
     if n == 0:
         return []
-    cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+    cps = np.frombuffer(
+        s.encode("utf-32-le", "surrogatepass"), dtype="<u4"
+    )
     flags = CLS[cps]
     out: list[tuple[int, int, int]] = []
     parser: Parser | None = None
@@ -308,7 +310,7 @@ def lexemes(s: str) -> list[tuple[str, int]]:
         else:
             if parser is None:
                 cps = np.frombuffer(
-                    s.encode("utf-32-le"), dtype="<u4"
+                    s.encode("utf-32-le", "surrogatepass"), dtype="<u4"
                 ).tolist()
                 cps.append(0)
                 parser = Parser(s, cps=cps)

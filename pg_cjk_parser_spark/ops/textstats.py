@@ -28,7 +28,9 @@ def lang_of(text: str) -> str:
     """
     if not text:
         return "unknown"
-    cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+    cps = np.frombuffer(
+        text.encode("utf-32-le", "surrogatepass"), dtype="<u4"
+    )
     counts = {}
     for name, ranges in _SCRIPTS:
         c = 0

@@ -80,20 +80,17 @@ def _read_termstats(index_dir: str, bset: list[int], terms: list[str]):
     dataset = ds.dataset(
         os.path.join(index_dir, "termstats"), partitioning="hive"
     )
-    import pyarrow as pa
-
-    try:
-        tbl = dataset.to_table(
-            columns=["term", "df"],
-            filter=(
-                ds.field("bucket").isin(bset) & ds.field("term").isin(terms)
-            ),
-        )
-    except pa.lib.ArrowInvalid:
+    if "bucket" not in dataset.schema.names:
         # an index written from an empty corpus has no partition files,
-        # so the hive 'bucket' field doesn't exist; real corruption
-        # (IO errors, bad footers) still propagates
+        # so the hive 'bucket' field was never discovered; real
+        # corruption (bad footers, IO errors) still propagates below
         return {}
+    tbl = dataset.to_table(
+        columns=["term", "df"],
+        filter=(
+            ds.field("bucket").isin(bset) & ds.field("term").isin(terms)
+        ),
+    )
     out: dict[str, int] = {}
     for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
         out[t] = out.get(t, 0) + int(d)

@@ -34,9 +34,16 @@ def read_corpus(
 ) -> DataFrame:
     """Read a corpus table by parquet path or Iceberg table name."""
     if fmt == "auto":
+        import os
+
+        looks_like_path = (
+            "/" in path_or_table
+            or "://" in path_or_table
+            or os.path.exists(path_or_table)
+        )
         fmt = (
             "iceberg"
-            if "/" not in path_or_table and iceberg_available(spark)
+            if not looks_like_path and iceberg_available(spark)
             else "parquet"
         )
     if fmt == "iceberg":

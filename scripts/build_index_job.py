@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--query", action="append", default=[],
                     help="optional smoke queries to run after the build")
     args = ap.parse_args()
+    if not args.input and not args.synth_docs:
+        ap.error("one of --input or --synth-docs is required")
 
     from pyspark.sql import SparkSession
 
