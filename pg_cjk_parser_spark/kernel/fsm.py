@@ -728,6 +728,86 @@ def _tables():
 TABLES = _tables()
 
 
+# --- rule dispatch cache ---------------------------------------------------
+#
+# TParserGet scans each state's rule list linearly per input char; on web
+# text that averages dozens of predicate calls per char.  For an *interior*
+# position (pos < n) with ``ignore``/``wanthost`` clear and no resume index,
+# the winning rule is a pure function of (state, code point):
+#
+# * T_EOF never fires at pos < n,
+# * T_IGNORE / T_STOPHOST are deterministically false when their flag is
+#   clear (and evaluate without side effects),
+# * every other predicate depends only on the char class flags (plus
+#   ``cp == ord(ch)`` / ``cp < 128`` for T_EQ / T_ASCLET),
+# * EXCEPT the T_HOST / T_URLPATH sub-parses, which recurse into the
+#   input; a state resolves to -1 ("scan dynamically") once one of those
+#   is reached before a match.
+#
+# So we precompute, per state, a 128-entry table for ASCII and memoize by
+# class-flag value for everything else (for cp >= 128 the T_EQ/T_ASCLET
+# guards fail, leaving only flag tests).  get_token() consults this and
+# falls back to the original scan for EOF positions, resumes after POP,
+# and the ignore/wanthost modes.  Pure memoization: semantics unchanged.
+
+_DETFALSE = (T_EOF, T_IGNORE, T_STOPHOST)
+
+
+def _resolve_rule(state: int, cp: int) -> int:
+    f = CLS_LIST[cp]
+    for i, rule in enumerate(TABLES[state]):
+        t = rule[0]
+        if t == T_ANY:
+            return i
+        if t in _DETFALSE:
+            continue
+        if t == T_HOST or t == T_URLPATH:
+            return -1
+        if t == T_EQ:
+            if cp < 128 and cp == ord(rule[1]):
+                return i
+        elif t == T_CJK:
+            if f & CJK:
+                return i
+        elif t == T_ASCLET:
+            if cp < 128 and f & ASCLET:
+                return i
+        elif t == T_ALPHA:
+            if f & ALPHA:
+                return i
+        elif t == T_DIGIT:
+            if f & DIGIT:
+                return i
+        elif t == T_ALNUM:
+            if f & ALNUM:
+                return i
+        elif t == T_NOTALNUM:
+            if not (f & ALNUM):
+                return i
+        elif t == T_SPACE:
+            if f & SPACE:
+                return i
+        elif t == T_XDIGIT:
+            if f & XDIGIT:
+                return i
+        elif t == T_URLCHAR:
+            if f & URLCHAR:
+                return i
+        elif t == T_SPECIAL:
+            if f & SPECIAL:
+                return i
+        else:  # pragma: no cover
+            raise AssertionError(t)
+    raise AssertionError(state)  # pragma: no cover - tables end in T_ANY/EOF
+
+
+DISPATCH_ASCII: tuple[tuple[int, ...], ...] = tuple(
+    tuple(_resolve_rule(s, cp) for cp in range(128))
+    for s in range(len(TABLES))
+)
+_DISPATCH_FLAGS: dict[int, int] = {}
+
+
 class Token:
     """A raw token: a [start, start+length) slice of the input + type id."""
 
@@ -860,19 +940,36 @@ class Parser:
         out_type = 0
         bingo = False
 
+        cps = self.cps
+        dflags = _DISPATCH_FLAGS
         while st[0] <= n:
+            rules = TABLES[st[2]]
+            rule = None
             if st[3] >= 0:
                 idx = st[3] + 1
                 st[3] = -1
             else:
                 idx = 0
-            rules = TABLES[st[2]]
-            while True:
-                rule = rules[idx]
-                test = rule[0]
-                if test == T_ANY or self._match(test, rule[1], st[0]):
-                    break
-                idx += 1
+                if st[0] < n and not self.ignore and not self.wanthost:
+                    cp = cps[st[0]]
+                    if cp < 128:
+                        i = DISPATCH_ASCII[st[2]][cp]
+                    else:
+                        key = (st[2], CLS_LIST[cp])
+                        i = dflags.get(key)
+                        if i is None:
+                            i = _resolve_rule(st[2], cp)
+                            dflags[key] = i
+                    if i >= 0:
+                        idx = i
+                        rule = rules[i]
+            if rule is None:
+                while True:
+                    rule = rules[idx]
+                    test = rule[0]
+                    if test == T_ANY or self._match(test, rule[1], st[0]):
+                        break
+                    idx += 1
             flags = rule[2]
 
             if rule[5]:
