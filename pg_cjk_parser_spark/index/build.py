@@ -44,7 +44,8 @@ from .codec import delta_encode, encode_varints
 BLOCK_SCHEMA = (
     "bucket int, salt int, term string, block_id int, n int, "
     "min_docid long, max_docid long, docids binary, tfs binary, "
-    "doclens binary, positions binary, max_tf int, min_dl int"
+    "doclens binary, positions binary, max_tf int, min_dl int, "
+    "sum_tf long"
 )
 
 DEFAULT_BUCKETS = 64
@@ -54,6 +55,13 @@ DEFAULT_BLOCK = 128
 
 def _manifest_path(index_dir: str, bucket: int) -> str:
     return os.path.join(index_dir, "manifests", f"bucket={bucket}.json")
+
+
+def _bucket_dirs(path: str) -> list[str]:
+    """hive bucket= partition dirs under ``path`` ([] for an empty index)."""
+    if not os.path.isdir(path):
+        return []
+    return [x for x in os.listdir(path) if x.startswith("bucket=")]
 
 
 def _valid_buckets(index_dir: str, fingerprint: str) -> set[int]:
@@ -172,7 +180,7 @@ def explode_postings(docs: DataFrame, docid_col: str | None, text_col: str) -> D
 
 _BLOCK_COLS = [
     "bucket", "salt", "term", "block_id", "n", "min_docid", "max_docid",
-    "docids", "tfs", "doclens", "positions", "max_tf", "min_dl",
+    "docids", "tfs", "doclens", "positions", "max_tf", "min_dl", "sum_tf",
 ]
 
 
@@ -210,7 +218,7 @@ def _encode_partition(batches, block_size: int):
                     encode_varints(tt.view(np.uint64)),
                     encode_varints(ll.view(np.uint64)),
                     b"".join(poss[off:end]),
-                    int(tt.max()), int(ll.min()),
+                    int(tt.max()), int(ll.min()), int(tt.sum()),
                 )
             )
             bid += 1
@@ -296,7 +304,7 @@ def build_index(
     import shutil
 
     os.makedirs(index_dir, exist_ok=True)
-    fingerprint = fingerprint or f"fp-{num_buckets}-{num_salts}-{block_size}"
+    fingerprint = fingerprint or f"fp2-{num_buckets}-{num_salts}-{block_size}"
     done = _valid_buckets(index_dir, fingerprint) if resume else set()
     if resume and len(done) == num_buckets:
         with open(os.path.join(index_dir, "stats.json")) as f:
@@ -308,30 +316,36 @@ def build_index(
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     t0 = time.time()
+    pdir = os.path.join(index_dir, "postings")
+    ts_dir = os.path.join(index_dir, "termstats")
     staging = os.path.join(index_dir, "_staging_postings")
-    if not (resume and os.path.exists(os.path.join(staging, "_SUCCESS"))):
-        postings = explode_postings(docs, docid_col, text_col)
-        postings = postings.withColumn(
+
+    def exploded():
+        p = explode_postings(docs, docid_col, text_col)
+        return p.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
         ).withColumn(
             "salt", F.pmod(F.xxhash64("docid"), F.lit(num_salts)).cast("int")
         )
-        postings.write.mode("overwrite").parquet(staging)
 
-    staged = spark.read.parquet(staging)
+    # The default path is fully fused: the tokenizer pass feeds the
+    # (bucket, salt) shuffle directly and postings are never
+    # materialized outside the shuffle files.  Staging to parquet is
+    # only worth its extra corpus-sized write + re-read when a resume
+    # needs to skip re-tokenizing completed buckets.
+    if resume or keep_staging:
+        if not (resume and os.path.exists(os.path.join(staging, "_SUCCESS"))):
+            exploded().write.mode("overwrite").parquet(staging)
+        src = spark.read.parquet(staging)
+    else:
+        src = exploded()
 
     if n_docs is None:
         n_docs = docs.count()
-    agg = staged.agg(
-        F.sum("tf").alias("total_tf"),
-        F.count(F.lit(1)).alias("n_postings"),
-        F.approx_count_distinct("term").alias("n_terms_approx"),
-    ).collect()[0]
-    avgdl = (agg.total_tf or 0) / max(n_docs, 1)
 
-    todo = staged
+    todo = src
     if done:
-        todo = staged.where(~F.col("bucket").isin([int(x) for x in sorted(done)]))
+        todo = src.where(~F.col("bucket").isin([int(x) for x in sorted(done)]))
 
     parts = num_partitions or min(
         num_buckets * num_salts, spark.sparkContext.defaultParallelism * 4
@@ -347,28 +361,54 @@ def build_index(
     prev_mode = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "dynamic")
     try:
-        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(index_dir, "postings")
-        )
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(pdir)
 
-        termstats = todo.groupBy("bucket", "term").agg(
-            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-        )
-        termstats.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(index_dir, "termstats")
-        )
+        # termstats + corpus totals derive from per-block metadata: a
+        # column-pruned read of (bucket, term, n, sum_tf) over the
+        # just-written blocks - ~1/block_size of the postings volume -
+        # instead of a second full shuffle over raw postings.
+        # df = sum(n) and cf = sum(sum_tf) are exact: every posting
+        # lands in exactly one block.
+        if _bucket_dirs(pdir):
+            meta = spark.read.parquet(pdir).select(
+                "bucket", "term", "n", "sum_tf"
+            )
+            termstats = meta.groupBy("bucket", "term").agg(
+                F.sum("n").alias("df"), F.sum("sum_tf").alias("cf")
+            )
+            termstats.write.mode("overwrite").partitionBy("bucket").parquet(
+                ts_dir
+            )
     finally:
         if prev_mode is None:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev_mode)
 
+    if _bucket_dirs(ts_dir):
+        g = (
+            spark.read.parquet(ts_dir)
+            .agg(
+                F.sum("cf").alias("total_tf"),
+                F.sum("df").alias("n_postings"),
+                F.count(F.lit(1)).alias("n_terms"),
+            )
+            .collect()[0]
+        )
+        total_tf, n_postings, n_terms = (
+            int(g.total_tf or 0), int(g.n_postings or 0), int(g.n_terms)
+        )
+    else:
+        os.makedirs(ts_dir, exist_ok=True)
+        total_tf = n_postings = n_terms = 0
+    avgdl = total_tf / max(n_docs, 1)
+
     stats = {
         "n_docs": int(n_docs),
         "avgdl": float(avgdl),
-        "total_tf": int(agg.total_tf or 0),
-        "n_postings": int(agg.n_postings),
-        "n_terms_approx": int(agg.n_terms_approx),
+        "total_tf": total_tf,
+        "n_postings": n_postings,
+        "n_terms_approx": n_terms,
         "num_buckets": num_buckets,
         "num_salts": num_salts,
         "block_size": block_size,

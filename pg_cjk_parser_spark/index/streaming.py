@@ -27,7 +27,15 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .build import BLOCK_SCHEMA, DEFAULT_BLOCK, DEFAULT_BUCKETS, DEFAULT_SALTS, _encode_partition, explode_postings
+from .build import (
+    BLOCK_SCHEMA,
+    DEFAULT_BLOCK,
+    DEFAULT_BUCKETS,
+    DEFAULT_SALTS,
+    _bucket_dirs,
+    _encode_partition,
+    explode_postings,
+)
 
 
 def _stats_path(index_dir: str) -> str:
@@ -73,24 +81,20 @@ def append_index_batch(
     ).withColumn(
         "salt", F.pmod(F.xxhash64("docid"), F.lit(num_salts)).cast("int")
     )
-    staging = os.path.join(index_dir, f"_staging_epoch_{epoch}")
-    postings.write.mode("overwrite").parquet(staging)
-    staged = spark.read.parquet(staging)
 
-    # counted from the source (not the staged postings) because docs
-    # with empty/stop-word-only text produce no postings yet must count
+    # counted from the source (not the postings) because docs with
+    # empty/stop-word-only text produce no postings yet must count
     # toward N for idf/avgdl parity with a batch rebuild
     n_batch_docs = batch.count()
-    agg = staged.agg(
-        F.sum("tf").alias("total_tf"),
-        F.count(F.lit(1)).alias("n_postings"),
-    ).collect()[0]
 
+    # fused: tokenize feeds the shuffle directly (no per-epoch staging
+    # parquet); epoch termstats + totals derive from the column-pruned
+    # block metadata of the epoch just written, like the batch build
     parts = min(
         num_buckets * num_salts, spark.sparkContext.defaultParallelism * 2
     )
     blocks = (
-        staged.repartition(parts, "bucket", "salt")
+        postings.repartition(parts, "bucket", "salt")
         .sortWithinPartitions("bucket", "salt", "term", "docid")
         .mapInPandas(lambda it: _encode_partition(it, block_size), BLOCK_SCHEMA)
         .withColumn("epoch", F.lit(epoch))
@@ -98,14 +102,22 @@ def append_index_batch(
     blocks.write.mode("append").partitionBy("epoch", "bucket").parquet(
         os.path.join(index_dir, "postings")
     )
-    (
-        staged.groupBy("bucket", "term")
-        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-        .withColumn("epoch", F.lit(epoch))
-        .write.mode("append")
-        .partitionBy("epoch", "bucket")
-        .parquet(os.path.join(index_dir, "termstats"))
-    )
+    edir = os.path.join(index_dir, "postings", f"epoch={epoch}")
+    total_tf = n_postings = 0
+    if _bucket_dirs(edir):
+        meta = spark.read.parquet(edir).select("bucket", "term", "n", "sum_tf")
+        (
+            meta.groupBy("bucket", "term")
+            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+            .withColumn("epoch", F.lit(epoch))
+            .write.mode("append")
+            .partitionBy("epoch", "bucket")
+            .parquet(os.path.join(index_dir, "termstats"))
+        )
+        g = meta.agg(
+            F.sum("sum_tf").alias("total_tf"), F.sum("n").alias("n_postings")
+        ).collect()[0]
+        total_tf, n_postings = int(g.total_tf or 0), int(g.n_postings or 0)
 
     # exactly-once accounting: the epoch's deltas live in its manifest
     # (written atomically, LAST); global stats are *derived* by summing
@@ -117,16 +129,14 @@ def append_index_batch(
             "epoch": epoch,
             "status": "complete",
             "n_docs": int(n_batch_docs),
-            "total_tf": int(agg.total_tf or 0),
-            "n_postings": int(agg.n_postings),
+            "total_tf": total_tf,
+            "n_postings": n_postings,
             "applied_at": time.time(),
         },
     )
-    stats = _rebuild_stats(
+    return _rebuild_stats(
         index_dir, num_buckets, num_salts, block_size, k1, b
     )
-    shutil.rmtree(staging, ignore_errors=True)
-    return stats
 
 
 def _atomic_json(path: str, obj: dict) -> None:
