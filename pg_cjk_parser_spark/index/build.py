@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .codec import delta_encode, encode_varints
+from .codec import encode_varints_offsets
 
 BLOCK_SCHEMA = (
     "bucket int, salt int, term string, block_id int, n int, "
@@ -161,6 +161,201 @@ def _postings_gen(batches):
         yield frame()
 
 
+PACKED_SCHEMA = "bucket int, salt int, payload binary"
+
+
+def _pack_cell(terms_b, docids, tfs, dls, poss) -> bytes:
+    """Pack one (bucket, salt) cell's postings into a single blob:
+    [i64 n][docids 8n][tf 4n][doclen 4n][poslen 4n][termlen 4n]
+    [term utf8 blob][positions blob]."""
+    import struct
+
+    return b"".join(
+        (
+            struct.pack("<q", len(terms_b)),
+            np.array(docids, np.int64).tobytes(),
+            np.array(tfs, np.int32).tobytes(),
+            np.array(dls, np.int32).tobytes(),
+            np.fromiter(map(len, poss), np.int32, len(poss)).tobytes(),
+            np.fromiter(map(len, terms_b), np.int32, len(terms_b)).tobytes(),
+            b"".join(terms_b),
+            b"".join(poss),
+        )
+    )
+
+
+def _unpack_cell(buf: bytes):
+    n = int(np.frombuffer(buf, np.int64, 1)[0])
+    o = 8
+    d = np.frombuffer(buf, np.int64, n, o); o += 8 * n
+    t = np.frombuffer(buf, np.int32, n, o); o += 4 * n
+    dl = np.frombuffer(buf, np.int32, n, o); o += 4 * n
+    plen = np.frombuffer(buf, np.int32, n, o); o += 4 * n
+    tlen = np.frombuffer(buf, np.int32, n, o); o += 4 * n
+    tb_end = o + int(tlen.sum())
+    return d, t, dl, plen, tlen, buf[o:tb_end], buf[tb_end:]
+
+
+def _blob_slices(blob: bytes, lens: np.ndarray) -> list[bytes]:
+    offs = np.empty(len(lens) + 1, np.int64)
+    offs[0] = 0
+    np.cumsum(lens, out=offs[1:])
+    ol = offs.tolist()
+    return [blob[ol[i]:ol[i + 1]] for i in range(len(lens))]
+
+
+def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000):
+    """Map side of the packed shuffle: tokenize docs and emit ONE fat
+    binary row per (bucket, salt) cell per ~flush_at postings, instead
+    of one row per posting.  The Python<->JVM Arrow boundary is paid
+    per *cell* (~B*S rows per flush), not per posting - at 10M postings
+    the per-row boundary cost dominated the whole build.
+
+    bucket/salt use the pure-Python spark-xxhash64 port
+    (bit-identical to F.xxhash64; tests/test_xxh64.py), so packed and
+    staged builds address the same shards."""
+    from ..kernel.tokenizer import lexemes
+    from .xxh64 import pmod, spark_xxhash64_long, spark_xxhash64_str
+
+    ncells = num_buckets * num_salts
+    terms: list[list] = [[] for _ in range(ncells)]
+    docids: list[list] = [[] for _ in range(ncells)]
+    tfs: list[list] = [[] for _ in range(ncells)]
+    dls: list[list] = [[] for _ in range(ncells)]
+    poss: list[list] = [[] for _ in range(ncells)]
+    bucket_cache: dict[str, int] = {}
+    count = 0
+
+    def flush():
+        rb, rs, rp = [], [], []
+        for c in range(ncells):
+            tl = terms[c]
+            if not tl:
+                continue
+            rp.append(_pack_cell(tl, docids[c], tfs[c], dls[c], poss[c]))
+            rb.append(c // num_salts)
+            rs.append(c % num_salts)
+            terms[c] = []
+            docids[c] = []
+            tfs[c] = []
+            dls[c] = []
+            poss[c] = []
+        return pd.DataFrame(
+            {
+                "bucket": np.array(rb, np.int32),
+                "salt": np.array(rs, np.int32),
+                "payload": rp,
+            }
+        )
+
+    for pdf in batches:
+        for docid, text in zip(pdf["docid"].tolist(), pdf["text"].tolist()):
+            lex = lexemes(text) if text is not None else []
+            if not lex:
+                continue
+            salt = pmod(spark_xxhash64_long(docid), num_salts)
+            agg: dict[str, list[int]] = {}
+            for term, p_ in lex:
+                l = agg.get(term)
+                if l is None:
+                    agg[term] = [p_]
+                else:
+                    l.append(p_)
+            dl = len(lex)
+            for term, ps in agg.items():
+                bkt = bucket_cache.get(term)
+                if bkt is None:
+                    bkt = pmod(spark_xxhash64_str(term), num_buckets)
+                    if len(bucket_cache) < (1 << 20):
+                        bucket_cache[term] = bkt
+                c = bkt * num_salts + salt
+                terms[c].append(term.encode("utf-8", "surrogatepass"))
+                docids[c].append(docid)
+                tfs[c].append(len(ps))
+                dls[c].append(dl)
+                poss[c].append(_enc_pos(ps))
+                count += 1
+        if count >= flush_at:
+            df = flush()
+            if len(df):
+                yield df
+            count = 0
+    df = flush()
+    if len(df):
+        yield df
+
+
+def _encode_cells(batches, block_size: int):
+    """Reduce side of the packed shuffle: gather each (bucket, salt)
+    cell's payloads, unpack, sort by (term, docid) with integer term
+    ranks (numpy lexsort; no wide-unicode arrays), and emit posting
+    blocks via the same vectorized block slicer as the row path.
+
+    Memory: one reduce partition's payloads live in RAM; size
+    num_salts (docid-disjoint shards) so cells fit - the salt count is
+    the scale lever, exactly as for head-term skew."""
+    bs = block_size
+    cells: dict[tuple[int, int], list[bytes]] = {}
+    for pdf in batches:
+        for b, s, payload in zip(
+            pdf["bucket"].tolist(), pdf["salt"].tolist(), pdf["payload"].tolist()
+        ):
+            cells.setdefault((int(b), int(s)), []).append(payload)
+
+    out_rows: list[tuple] = []
+    for bkt, salt in sorted(cells):
+        parts = [_unpack_cell(p) for p in cells[(bkt, salt)]]
+        d = np.concatenate([x[0] for x in parts])
+        t = np.concatenate([x[1] for x in parts]).astype(np.int64)
+        dl = np.concatenate([x[2] for x in parts]).astype(np.int64)
+        tb: list[bytes] = []
+        pb: list[bytes] = []
+        for x in parts:
+            tb += _blob_slices(x[5], x[4])
+            pb += _blob_slices(x[6], x[3])
+        uniq = sorted(set(tb))
+        rank_of = {u: i for i, u in enumerate(uniq)}
+        ranks = np.fromiter((rank_of[x] for x in tb), np.int64, len(tb))
+        idx = np.lexsort((d, ranks))
+        rs_ = ranks[idx]
+        ds = np.ascontiguousarray(d[idx])
+        ts = np.ascontiguousarray(t[idx])
+        dls_ = np.ascontiguousarray(dl[idx])
+        poss = [pb[i] for i in idx.tolist()]
+
+        n = len(rs_)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = rs_[1:] != rs_[:-1]
+        gstarts = np.flatnonzero(change)
+        gends = np.append(gstarts[1:], n)
+        glens = gends - gstarts
+        ofs = np.arange(n, dtype=np.int64) - np.repeat(gstarts, glens)
+        bstarts = np.flatnonzero((ofs % bs) == 0)
+        gid = np.searchsorted(gstarts, bstarts, side="right") - 1
+        bends = np.minimum(bstarts + bs, gends[gid])
+        bids = (bstarts - gstarts[gid]) // bs
+        uniq_str = [u.decode("utf-8", "surrogatepass") for u in uniq]
+        gterm = [uniq_str[int(rs_[i])] for i in gstarts.tolist()]
+        gl = gid.tolist()
+        _slice_blocks(
+            out_rows, lambda i: (bkt, salt, gterm[gl[i]]), bids,
+            bstarts, bends, ds, ts, dls_, poss,
+            ds.view(np.uint64), ts.view(np.uint64), dls_.view(np.uint64),
+        )
+        if len(out_rows) >= 2000:
+            yield pd.DataFrame(out_rows, columns=_BLOCK_COLS)
+            out_rows = []
+    if out_rows:
+        yield pd.DataFrame(out_rows, columns=_BLOCK_COLS)
+
+
+def _with_docid(docs: DataFrame, docid_col: str | None) -> DataFrame:
+    if docid_col is None:
+        return docs.withColumn("docid", F.xxhash64(F.col("url")))
+    return docs.withColumn("docid", F.col(docid_col).cast("long"))
+
+
 def explode_postings(docs: DataFrame, docid_col: str | None, text_col: str) -> DataFrame:
     """(docid, doclen, term, tf, positions:binary) - one row per (doc, term).
 
@@ -170,11 +365,9 @@ def explode_postings(docs: DataFrame, docid_col: str | None, text_col: str) -> D
     one (ingest sequence, crawl timestamp); ``xxhash64(url)`` is the
     fallback when only urls identify documents.
     """
-    if docid_col is None:
-        docs = docs.withColumn("docid", F.xxhash64(F.col("url")))
-    else:
-        docs = docs.withColumn("docid", F.col(docid_col).cast("long"))
-    sel = docs.select("docid", F.col(text_col).alias("text"))
+    sel = _with_docid(docs, docid_col).select(
+        "docid", F.col(text_col).alias("text")
+    )
     return sel.mapInPandas(_postings_gen, POSTING_ROW_SCHEMA)
 
 
@@ -184,49 +377,86 @@ _BLOCK_COLS = [
 ]
 
 
+def _slice_blocks(
+    out_rows, keys_of, bids, bstarts, bends, d, t, dl, poss, du, tu, lu
+):
+    """Assemble block rows: one vectorized varint encode per column for
+    ALL blocks, then per-block byte-range slicing.  ``bstarts`` must
+    partition [0, len(du)) contiguously (block starts include every
+    group start), so ``reduceat`` segments == blocks."""
+    deltas = du.copy()
+    deltas[1:] -= du[:-1]
+    deltas[bstarts] = du[bstarts]  # first docid of each block is absolute
+    dbuf, dend = encode_varints_offsets(deltas)
+    tbuf, tend = encode_varints_offsets(tu)
+    lbuf, lend = encode_varints_offsets(lu)
+    max_tf = np.maximum.reduceat(tu, bstarts)
+    min_dl = np.minimum.reduceat(lu, bstarts)
+    sum_tf = np.add.reduceat(tu, bstarts)
+    b0d = np.where(bstarts > 0, dend[bstarts - 1], 0)
+    b1d = dend[bends - 1]
+    b0t = np.where(bstarts > 0, tend[bstarts - 1], 0)
+    b1t = tend[bends - 1]
+    b0l = np.where(bstarts > 0, lend[bstarts - 1], 0)
+    b1l = lend[bends - 1]
+    ns = bends - bstarts
+    dmin = d[bstarts]
+    dmax = d[bends - 1]
+    bl = bstarts.tolist()
+    be = bends.tolist()
+    for i in range(len(bl)):
+        key = keys_of(i)
+        out_rows.append(
+            (
+                key[0], key[1], key[2], int(bids[i]), int(ns[i]),
+                int(dmin[i]), int(dmax[i]),
+                dbuf[b0d[i]:b1d[i]].tobytes(),
+                tbuf[b0t[i]:b1t[i]].tobytes(),
+                lbuf[b0l[i]:b1l[i]].tobytes(),
+                b"".join(poss[bl[i]:be[i]]),
+                int(max_tf[i]), int(min_dl[i]), int(sum_tf[i]),
+            )
+        )
+
+
+def _emit_final_group(out_rows, key, bid0, d, t, dl, poss, bs):
+    """Flush one complete group (all blocks, incl. trailing partial)."""
+    n = len(d)
+    if n == 0:
+        return
+    d = np.ascontiguousarray(d)
+    t = np.ascontiguousarray(t)
+    dl = np.ascontiguousarray(dl)
+    bstarts = np.arange(0, n, bs, dtype=np.int64)
+    bends = np.minimum(bstarts + bs, n)
+    bids = bstarts // bs + bid0
+    _slice_blocks(
+        out_rows, lambda i: key, bids, bstarts, bends,
+        d, t, dl, poss,
+        d.view(np.uint64), t.view(np.uint64), dl.view(np.uint64),
+    )
+
+
 def _encode_partition(batches, block_size: int):
     """Streaming block encoder over (bucket,salt,term,docid)-sorted rows.
 
-    Group boundaries are found vectorized per Arrow batch; per-group
-    work is NumPy over slices (no per-row Python).  The trailing
-    (possibly batch-spanning) group is carried over with its running
-    block_id so a head term larger than a batch never materializes in
-    full: full blocks are emitted as soon as they fill.
-    """
+    Vectorized per Arrow batch, not per block: group/block boundaries,
+    per-block reductions (``reduceat``) and the three varint streams
+    (docid deltas, tfs, doclens) are each computed ONCE per batch and
+    sliced per block afterwards, so numpy call count is O(batches)
+    rather than O(blocks).  The trailing (possibly batch-spanning)
+    group is carried over with its running block_id so a head term
+    larger than a batch never materializes in full."""
+    bs = block_size
     out_rows: list[tuple] = []
-    # carried tail group: (key, block_id, [arrays...])
-    ckey = None
+    ckey = None     # carried tail group: key, next block_id, arrays
     cblock = 0
     cd = ct = cdl = None
     cpos: list = []
 
-    def emit(key, block_id0, d, t, dl, poss, final: bool):
-        """Emit blocks; return (next_block_id, remainder arrays)."""
-        nonlocal out_rows
-        n_total = len(d)
-        full_end = n_total if final else (n_total // block_size) * block_size
-        bid = block_id0
-        off = 0
-        while off < full_end:
-            end = min(off + block_size, full_end)
-            dd, tt, ll = d[off:end], t[off:end], dl[off:end]
-            out_rows.append(
-                (
-                    key[0], key[1], key[2], bid, end - off,
-                    int(dd[0]), int(dd[-1]),
-                    delta_encode(dd),
-                    encode_varints(tt.view(np.uint64)),
-                    encode_varints(ll.view(np.uint64)),
-                    b"".join(poss[off:end]),
-                    int(tt.max()), int(ll.min()), int(tt.sum()),
-                )
-            )
-            bid += 1
-            off = end
-        return bid, d[off:], t[off:], dl[off:], poss[off:]
-
     for pdf in batches:
-        if len(pdf) == 0:
+        nb_rows = len(pdf)
+        if nb_rows == 0:
             continue
         b = pdf["bucket"].to_numpy()
         s = pdf["salt"].to_numpy()
@@ -236,44 +466,67 @@ def _encode_partition(batches, block_size: int):
         dl = pdf["doclen"].to_numpy().astype(np.int64)
         poss = pdf["positions"].tolist()
 
-        change = np.empty(len(pdf), dtype=bool)
+        change = np.empty(nb_rows, dtype=bool)
         change[0] = True
         change[1:] = (term[1:] != term[:-1]) | (s[1:] != s[:-1]) | (b[1:] != b[:-1])
-        starts = np.flatnonzero(change)
-        bounds = np.append(starts, len(pdf))
+        gstarts = np.flatnonzero(change)
+        gkeys = [(int(b[i]), int(s[i]), term[i]) for i in gstarts.tolist()]
 
-        for gi in range(len(starts)):
-            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            key = (int(b[lo]), int(s[lo]), term[lo])
-            gd, gt, gdl = d[lo:hi], t[lo:hi], dl[lo:hi]
-            gpos = poss[lo:hi]
-            if key == ckey:
-                gd = np.concatenate((cd, gd))
-                gt = np.concatenate((ct, gt))
-                gdl = np.concatenate((cdl, gdl))
-                gpos = cpos + gpos
-                bid = cblock
+        base0 = 0       # block_id base for group 0 (continuing carry)
+        carry_len = 0
+        if ckey is not None:
+            if gkeys[0] == ckey:
+                base0 = cblock
+                carry_len = len(cd)
+                if carry_len:
+                    d = np.concatenate((cd, d))
+                    t = np.concatenate((ct, t))
+                    dl = np.concatenate((cdl, dl))
+                    poss = cpos + poss
             else:
-                if ckey is not None:
-                    # previous carried group ended at a batch boundary
-                    cblock, cd, ct, cdl, cpos = emit(
-                        ckey, cblock, cd, ct, cdl, cpos, final=True
-                    )
-                bid = 0
-            last_in_batch = gi == len(starts) - 1
-            if last_in_batch:
-                ckey = key
-                cblock, cd, ct, cdl, cpos = emit(
-                    key, bid, gd, gt, gdl, gpos, final=False
-                )
-            else:
-                emit(key, bid, gd, gt, gdl, gpos, final=True)
-                ckey = None
+                _emit_final_group(out_rows, ckey, cblock, cd, ct, cdl, cpos, bs)
+            ckey = None
+
+        n = nb_rows + carry_len
+        gstarts = gstarts + carry_len
+        if carry_len:
+            gstarts[0] = 0
+        gends = np.append(gstarts[1:], n)
+
+        # emit region: everything except the last group's trailing
+        # partial block (carried to the next batch)
+        last_lo = int(gstarts[-1])
+        E = last_lo + ((n - last_lo) // bs) * bs
+        if E > 0:
+            glens = gends - gstarts
+            ofs = np.arange(n, dtype=np.int64) - np.repeat(gstarts, glens)
+            bstart_all = np.flatnonzero((ofs % bs) == 0)
+            bstarts = bstart_all[bstart_all < E]
+            gid = np.searchsorted(gstarts, bstarts, side="right") - 1
+            bends = np.minimum(np.minimum(bstarts + bs, gends[gid]), E)
+            bids = (bstarts - gstarts[gid]) // bs
+            if base0:
+                bids = bids + np.where(gid == 0, base0, 0)
+            gl = gid.tolist()
+            _slice_blocks(
+                out_rows, lambda i: gkeys[gl[i]], bids, bstarts, bends,
+                d, t, dl, poss,
+                d[:E].view(np.uint64), t[:E].view(np.uint64),
+                dl[:E].view(np.uint64),
+            )
+
+        ckey = gkeys[-1]
+        cblock = int((E - last_lo) // bs) + (base0 if len(gstarts) == 1 else 0)
+        cd = d[E:].copy()
+        ct = t[E:].copy()
+        cdl = dl[E:].copy()
+        cpos = poss[E:]
+
         if len(out_rows) >= 2000:
             yield pd.DataFrame(out_rows, columns=_BLOCK_COLS)
             out_rows = []
     if ckey is not None:
-        emit(ckey, cblock, cd, ct, cdl, cpos, final=True)
+        _emit_final_group(out_rows, ckey, cblock, cd, ct, cdl, cpos, bs)
     if out_rows:
         yield pd.DataFrame(out_rows, columns=_BLOCK_COLS)
 
@@ -328,35 +581,47 @@ def build_index(
             "salt", F.pmod(F.xxhash64("docid"), F.lit(num_salts)).cast("int")
         )
 
-    # The default path is fully fused: the tokenizer pass feeds the
-    # (bucket, salt) shuffle directly and postings are never
-    # materialized outside the shuffle files.  Staging to parquet is
-    # only worth its extra corpus-sized write + re-read when a resume
-    # needs to skip re-tokenizing completed buckets.
+    if n_docs is None:
+        n_docs = docs.count()
+    parts = num_partitions or min(
+        num_buckets * num_salts, spark.sparkContext.defaultParallelism * 4
+    )
+
+    # The default path is fully fused AND packed: the tokenizer pass
+    # packs each (bucket, salt) cell's postings into one fat binary row
+    # per map chunk, the shuffle moves ~B*S rows per map task instead
+    # of one row per posting (the per-row Python<->JVM Arrow boundary
+    # measured ~5s per direction at 10M postings), and the reducer
+    # sorts + block-encodes in numpy.  The row-level staging path is
+    # kept for resume (skip re-tokenizing completed buckets) and
+    # keep_staging.
     if resume or keep_staging:
         if not (resume and os.path.exists(os.path.join(staging, "_SUCCESS"))):
             exploded().write.mode("overwrite").parquet(staging)
         src = spark.read.parquet(staging)
-    else:
-        src = exploded()
-
-    if n_docs is None:
-        n_docs = docs.count()
-
-    todo = src
-    if done:
-        todo = src.where(~F.col("bucket").isin([int(x) for x in sorted(done)]))
-
-    parts = num_partitions or min(
-        num_buckets * num_salts, spark.sparkContext.defaultParallelism * 4
-    )
-    blocks = (
-        todo.repartition(parts, "bucket", "salt")
-        .sortWithinPartitions("bucket", "salt", "term", "docid")
-        .mapInPandas(
-            lambda it: _encode_partition(it, block_size), BLOCK_SCHEMA
+        todo = src
+        if done:
+            todo = src.where(
+                ~F.col("bucket").isin([int(x) for x in sorted(done)])
+            )
+        blocks = (
+            todo.repartition(parts, "bucket", "salt")
+            .sortWithinPartitions("bucket", "salt", "term", "docid")
+            .mapInPandas(
+                lambda it: _encode_partition(it, block_size), BLOCK_SCHEMA
+            )
         )
-    )
+    else:
+        sel = _with_docid(docs, docid_col).select(
+            "docid", F.col(text_col).alias("text")
+        )
+        cells = sel.mapInPandas(
+            lambda it: _packed_postings_gen(it, num_buckets, num_salts),
+            PACKED_SCHEMA,
+        )
+        blocks = cells.repartition(parts, "bucket", "salt").mapInPandas(
+            lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA
+        )
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     prev_mode = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "dynamic")

@@ -16,11 +16,18 @@ from __future__ import annotations
 import numpy as np
 
 
-def encode_varints(a: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized)."""
+def encode_varints_offsets(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array (vectorized).
+
+    Returns ``(buf, ends)``: the byte stream as a uint8 array plus the
+    per-value *end* byte offset (value ``i`` occupies
+    ``buf[ends[i-1]:ends[i]]``, with ``ends[-1] == len(buf)``), so a
+    caller can encode many blocks in one call and slice out each
+    block's bytes afterwards.
+    """
     a = np.ascontiguousarray(a, dtype=np.uint64)
     if a.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nb = np.ones(a.size, dtype=np.int64)
     for k in range(1, 10):
         nb += (a >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
@@ -33,7 +40,13 @@ def encode_varints(a: np.ndarray) -> bytes:
         vals = (a[mask] >> np.uint64(7 * k)).astype(np.uint64) & np.uint64(0x7F)
         cont = (nb[mask] > (k + 1)).astype(np.uint8) * np.uint8(0x80)
         out[starts[mask] + k] = vals.astype(np.uint8) | cont
-    return out.tobytes()
+    return out, ends
+
+
+def encode_varints(a: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    buf, _ = encode_varints_offsets(a)
+    return buf.tobytes()
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
