@@ -29,14 +29,32 @@ import re
 
 import numpy as np
 
-from .charclass import ALNUM, BAND2, CJK, CJK_EXT, CLS, MAX_CP, UNIPUNCT, ZEROW
+from .charclass import (
+    ALNUM,
+    ALPHA,
+    BAND2,
+    CJK,
+    CJK_EXT,
+    CLS,
+    DIGIT,
+    MAX_CP,
+    SPECIAL,
+    UNIPUNCT,
+    ZEROW,
+)
 from .fsm import CLS_LIST
 from .fsm import (
     ASCIIWORD,
     CJK_CHAR,
+    DECIMAL_T,
+    HOST,
+    SCIENTIFIC,
     SPACE_T,
     TPS_Base,
     UNSIGNEDINT,
+    VERSIONNUMBER,
+    WORD_T,
+    XMLENTITY,
     Parser,
     parse_fsm,
 )
@@ -110,13 +128,64 @@ def _build_master() -> re.Pattern:
     # (InPathFirstFirst), and never yields a trailing token at EOF.
     wdot = r"\.(?![0-9A-Za-z_])|:(?!//)"
     udot = r"\.(?![0-9A-Za-z])"
+
+    # --- single-token patterns with FSM-derived guards ----------------
+    # host (wparser InHost* states): dot-separated labels of
+    # [0-9A-Za-z] with -/_ only before another alnum; the FINAL label
+    # must be pure ASCII letters (>=2) - a digit/-/_ there sends the
+    # FSM to InHost, which never bingos (probed: x.ab3cd/x.c-om ->
+    # file, x.ab-cd -> host "x.ab").  Terminator must not continue a
+    # label, start a port (:), URL (/), or email (@).
+    lab = r"[0-9A-Za-z](?:[0-9A-Za-z]|[-_][0-9A-Za-z])*"
+    host = rf"(?P<h>(?:{lab}\.)+[A-Za-z]{{2,}})(?![0-9A-Za-z:\-_.@/])"
+    # numeric family (InUDecimal/InVersion/InMantissa): terminator may
+    # not resurrect a host (In{AsciiWord,Host} on [0-9A-Za-z@._-]) -
+    # 1.2e5.com is a host, 1e5x is sfloat+word but falls back here
+    num_term = r"(?![0-9A-Za-z@._-])"
+    sfl = rf"(?P<e>\d+(?:\.\d+)?[eE][+-]?\d+){num_term}"
+    ver = rf"(?P<v>\d+(?:\.\d+){{2,}}){num_term}"
+    flt = rf"(?P<f>\d+\.\d+){num_term}"
+    # XML entity: self-delimiting (InXMLEntityEnd bingos on any char);
+    # rarer [:_.-] name chars fall back to the FSM
+    ent = r"(?P<x>&(?:[A-Za-z][0-9A-Za-z]*|#[0-9]+|#[xX][0-9A-Fa-f]+);)"
+    # non-ASCII word (InWord): starts at a non-ASCII non-CJK alpha,
+    # continues over alpha/special (CJK-flagged chars bingo InWord, so
+    # they terminate); a following digit (-> numword) or '-' (-> hword)
+    # falls back
+    alpha_m = (CLS & ALPHA) != 0
+    special_m = (CLS & SPECIAL) != 0
+    cjk_m = (CLS & CJK) != 0
+    wstart = alpha_m & ~cjk_m
+    wstart[:128] = False  # ASCII letters dispatch to InAsciiWord
+    wstart[0xD800:0xE000] = False
+    wcont = (alpha_m | special_m) & ~cjk_m
+    wcont[0xD800:0xE000] = False
+    wterm = wcont | ((CLS & DIGIT) != 0)
+    wterm[ord("-")] = True
+    ws_c = _ranges_to_class(wstart)
+    wc_c = _ranges_to_class(wcont)
+    wx_c = _ranges_to_class(wterm)
+    word = rf"(?P<n>[{ws_c}][{wc_c}]*)(?![{wx_c}])"
+
     pat = (
         f"(?P<c>[{cjk_cls}]+)"
         f"|(?P<w>[A-Za-z]+)(?=[{tw}]|$|{wdot})"
         f"|(?P<u>[0-9]+)(?=[{tu}]|$|{udot})"
         f"|(?P<b>(?:[{bs}]|\\.(?!$|[./]))[{bc}]*)"
+        f"|{host}|{sfl}|{ver}|{flt}|{ent}|{word}"
     )
     return re.compile(pat)
+
+
+# token type per single-token fast-path group
+_GROUP_TYPE = {
+    "h": HOST,
+    "e": SCIENTIFIC,
+    "v": VERSIONNUMBER,
+    "f": DECIMAL_T,
+    "x": XMLENTITY,
+    "n": WORD_T,
+}
 
 
 _MASTER = _build_master()
@@ -151,8 +220,10 @@ def tokenize(s: str) -> list[tuple[int, int, int]]:
                 out.append((p, q - p, ASCIIWORD))
             elif g == "u":
                 out.append((p, q - p, UNSIGNEDINT))
-            else:
+            elif g == "b":
                 out.append((p, q - p, SPACE_T))
+            else:
+                out.append((p, q - p, _GROUP_TYPE[g]))
             p = q
         else:
             if parser is None:
@@ -305,6 +376,20 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                     continue
                 pos += 1
                 out.append((s[p:q], pos if pos < MAXENTRYPOS else MAXENTRYPOS))
+            elif g != "b":
+                # host / sfloat / version / float / entity / word:
+                # lowercased, no stemming (simple dictionary), same as
+                # the FSM fallback's non-asciiword branch
+                text = s[p:q]
+                if q - p >= 512 and len(
+                    text.encode("utf-8", "surrogatepass")
+                ) >= 2046:
+                    p = q
+                    continue
+                pos += 1
+                out.append(
+                    (text.lower(), pos if pos < MAXENTRYPOS else MAXENTRYPOS)
+                )
             # blanks consume no position and are not emitted
             p = q
         else:
