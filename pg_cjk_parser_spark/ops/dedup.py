@@ -35,15 +35,31 @@ def _perm_params(n_hashes: int, seed: int = 42):
     return a.astype(np.uint64), b.astype(np.uint64)
 
 
-def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Duplicate groups by text digest: (text_md5, n_dups, keep_id)."""
+def exact_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_members: int = 100,
+) -> DataFrame:
+    """Duplicate groups by text digest: (text_md5, n_dups, keep_id,
+    members).  ``members`` is capped at ``max_members`` smallest ids
+    (``n_dups`` stays exact) - an unbounded collect_list would
+    materialize one giant row for a 10M-way boilerplate duplicate
+    class at corpus scale.  Pass ``max_members=0`` to drop the column
+    entirely (ids recoverable by joining back on the digest)."""
+    agg_cols = [
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min(id_col).alias("keep_id"),
+    ]
+    if max_members:
+        agg_cols.append(
+            F.slice(
+                F.sort_array(F.collect_list(id_col)), 1, max_members
+            ).alias("members")
+        )
     return (
         docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
-        .agg(
-            F.count(F.lit(1)).alias("n_dups"),
-            F.min(id_col).alias("keep_id"),
-            F.collect_list(id_col).alias("members"),
-        )
+        .agg(*agg_cols)
         .where(F.col("n_dups") > 1)
     )
 
@@ -92,9 +108,20 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) from banded LSH buckets."""
+    """Candidate near-dup pairs (id_a < id_b) from banded LSH buckets.
+
+    Buckets larger than ``max_bucket_size`` are dropped before the
+    self-join: a degenerate hot bucket (e.g. every empty/boilerplate
+    doc shares the all-zeros signature in every band) makes the join
+    quadratic in bucket size.  Such clusters are exact duplicates of
+    each other's band keys and belong to the exact-dedup path anyway;
+    dropped docs still pair through their other, non-degenerate bands.
+    Pass ``max_bucket_size=None`` to disable the cap."""
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -106,6 +133,18 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "key"),
     ).select("id", "band", F.xxhash64(F.col("key").cast("string"), "band").alias("bucket"))
+    if max_bucket_size is not None:
+        # map-side-combinable count, then a broadcast anti-join against
+        # the (tiny) hot-bucket list; no window/sort over the full set
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -234,3 +273,80 @@ def simhash64(
             yield pd.DataFrame({"id": ids, "simhash": np.array(hashes, dtype=np.int64)})
 
     return docs.select(id_col, text_col).mapInPandas(gen, "id long, simhash long")
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance: (id_a, id_b,
+    hamming) with hamming <= ``max_hamming`` and id_a < id_b.
+
+    Banded exact-candidate generation (Manku et al., WWW'07): the
+    64-bit fingerprint is split into ``bands`` contiguous chunks
+    (default ``max_hamming + 1``); by pigeonhole, any pair within
+    ``max_hamming`` bit flips agrees exactly on at least one chunk, so
+    the equi-join on (band, chunk value) is a COMPLETE candidate set -
+    no probabilistic recall loss.  Candidates are then verified with
+    an exact popcount on the XOR of fingerprints.  Everything after
+    the one-Arrow-pass ``simhash64`` is JVM-side (shift/mask, equi-
+    join, bit_count), and only colliding candidates shuffle.  Hot
+    buckets (boilerplate clusters) are capped like the MinHash path.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            "bands must be >= max_hamming + 1 for a complete candidate set"
+        )
+    sigs = simhash64(docs, id_col, text_col)
+    # band b covers bits [offsets[b], offsets[b+1]) of the fingerprint
+    widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+
+    def chunk(b: int):
+        # logical right shift via shiftrightunsigned, then mask
+        shifted = F.shiftrightunsigned(F.col("simhash"), offsets[b])
+        mask = (1 << widths[b]) - 1
+        return shifted.bitwiseAND(F.lit(mask))
+
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(F.array(*[chunk(b) for b in range(bands)])).alias(
+            "band", "chunk"
+        ),
+    )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("band", "chunk")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band", "chunk"], "left_anti"
+        )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -38,12 +38,15 @@ def brute_force_cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
+    """``round_digits`` controls the score rounding used for ordering;
+    oracle comparisons round exactly once (here), never twice."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         emb.select(
             F.col(id_col),
-            F.round(_cos_cols(F.col(vec_col), q), 6).alias("cos"),
+            F.round(_cos_cols(F.col(vec_col), q), round_digits).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
@@ -92,30 +95,45 @@ def lsh_signatures(
     )
 
 
+def train_ivf_numpy(
+    M: np.ndarray, n_clusters: int = 16, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Spherical k-means on an in-memory float64 matrix.  Deterministic
+    given (matrix, row order, params); shared by the Spark trainer and
+    the DuckDB oracle builder so both derive bit-identical centroids."""
+    X = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=n_clusters, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_clusters):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                C[c] = v / np.maximum(np.linalg.norm(v), 1e-12)
+    return C
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_clusters: int = 16,
     iters: int = 8,
     seed: int = 42,
     sample_limit: int = 100_000,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic spherical k-means on a bounded sample (driver-side
     NumPy; at corpus scale the sample is a tiny fraction and training
-    cost is independent of N)."""
-    sample = emb.select(vec_col).limit(sample_limit).collect()
+    cost is independent of N).  The sample is ordered by ``id_col``
+    before the limit: a bare ``limit`` over a shuffled table is
+    nondeterministic and the centroids (hence the probe sets) must be
+    reproducible run-to-run."""
+    sample = (
+        emb.orderBy(id_col).select(vec_col).limit(sample_limit).collect()
+    )
     M = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
-    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    C = M[rng.choice(len(M), size=n_clusters, replace=False)]
-    for _ in range(iters):
-        assign = (M @ C.T).argmax(axis=1)
-        for c in range(n_clusters):
-            members = M[assign == c]
-            if len(members):
-                v = members.sum(axis=0)
-                C[c] = v / np.maximum(np.linalg.norm(v), 1e-12)
-    return C
+    return train_ivf_numpy(M, n_clusters, iters, seed)
 
 
 def ivf_assign(
@@ -149,6 +167,7 @@ def ivf_cosine_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
     """IVF ANN: rescore only vectors assigned to the ``nprobe``
     centroids nearest the query (at scale the assignment is
@@ -162,7 +181,9 @@ def ivf_cosine_topk(
         F.col("cluster").isin([int(c) for c in probes])
     ).select(F.col("id").alias(id_col))
     cand = emb.join(F.broadcast(cand_ids), id_col)
-    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
+    return brute_force_cosine_topk(
+        cand, query_vec, k, id_col, vec_col, round_digits
+    )
 
 
 def ann_cosine_topk(
@@ -175,6 +196,7 @@ def ann_cosine_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: score only vectors that collide with the
     query in any table within ``probe_bits`` Hamming distance
@@ -206,4 +228,6 @@ def ann_cosine_topk(
         .distinct()
     )
     cand = emb.join(cand_ids, id_col)
-    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
+    return brute_force_cosine_topk(
+        cand, query_vec, k, id_col, vec_col, round_digits
+    )

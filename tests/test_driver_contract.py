@@ -67,6 +67,27 @@ def test_query_vs_oracle(spark, ddb, name):
     assert _rowset(scols, srows) == _rowset(dcols, drows), name
 
 
+def test_driver_vocab_covers_all_sf_dirs():
+    """The simhash oracles embed xxh64 constants for DRIVER_VOCAB; an
+    unseen word would silently drop from the SQL's inner join.  Guard:
+    the closed vocabulary must cover every sf dir's documents table."""
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        words = {
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT t.w FROM read_parquet(?) d, "
+                "unnest(string_split(d.text, ' ')) AS t(w) WHERE t.w <> ''",
+                [p],
+            ).fetchall()
+        }
+        missing = words - set(entry_mod.DRIVER_VOCAB)
+        assert not missing, (sf, sorted(missing))
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
