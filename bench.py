@@ -187,6 +187,33 @@ def main() -> None:
             F.sum(F.length(zht2zhs_udf(F.col("text")))).alias("n")
         ).collect(),
     )
+    # -- 6. streaming epoch append + compaction ----------------------------
+    if parts_sel == "all":
+        from pg_cjk_parser_spark.index.compact import compact_index
+        from pg_cjk_parser_spark.index.streaming import append_index_batch
+
+        idx_stream = os.path.join(work, "idx_stream")
+        n_epochs = 4
+        t0 = time.time()
+        for i in range(n_epochs):
+            append_index_batch(
+                spark,
+                corpus.where(F.pmod(F.col("doc_seq"), F.lit(n_epochs)) == i),
+                idx_stream, epoch=i, docid_col="doc_seq",
+                num_buckets=64, num_salts=4, block_size=128,
+            )
+        dt = time.time() - t0
+        queries["stream_append_4epochs"] = round(dt, 3)
+        extras["stream_append_docs_per_sec"] = round(synth_n / dt, 1)
+        extras["stream_vs_batch_ratio"] = round(
+            (synth_n / dt) / extras["webcorpus_docs_per_sec"], 3
+        )
+        timed("compact_index", lambda: compact_index(spark, idx_stream))
+        # sanity: the compacted streaming index answers like the batch one
+        r1 = [d for d, _ in search_local(idx_stream, "のび太", k=5)]
+        r2 = [d for d, _ in search_local(idx_web, "のび太", k=5)]
+        extras["stream_compact_matches_batch"] = int(r1 == r2)
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
         import __spark_entry__ as entry_mod

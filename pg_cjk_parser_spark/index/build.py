@@ -554,10 +554,29 @@ def build_index(
     (skips re-tokenizing on resume at the cost of ~staged-corpus
     storage); by default it is deleted after a successful build.
     """
+    import hashlib
     import shutil
 
     os.makedirs(index_dir, exist_ok=True)
-    fingerprint = fingerprint or f"fp2-{num_buckets}-{num_salts}-{block_size}"
+    if fingerprint is None:
+        # the fingerprint gates BOTH bucket-manifest resume and staging
+        # reuse, so it must identify the corpus, not just the layout:
+        # resuming after the input changed must invalidate everything
+        # rather than silently mix old staged postings with new docs.
+        if n_docs is None:
+            n_docs = docs.count()
+        try:
+            srcs = sorted(docs.inputFiles())
+        except Exception:
+            srcs = []
+        src_h = (
+            hashlib.md5("|".join(srcs).encode()).hexdigest()[:10]
+            if srcs
+            else "mem"
+        )
+        fingerprint = (
+            f"fp3-{num_buckets}-{num_salts}-{block_size}-n{n_docs}-{src_h}"
+        )
     done = _valid_buckets(index_dir, fingerprint) if resume else set()
     if resume and len(done) == num_buckets:
         with open(os.path.join(index_dir, "stats.json")) as f:
@@ -596,8 +615,24 @@ def build_index(
     # kept for resume (skip re-tokenizing completed buckets) and
     # keep_staging.
     if resume or keep_staging:
-        if not (resume and os.path.exists(os.path.join(staging, "_SUCCESS"))):
+        # staging is only reusable if it was built from the SAME corpus:
+        # _SUCCESS alone would happily resume onto stale postings after
+        # the input changed (same layout, different docs)
+        smeta_path = os.path.join(staging, "_staging_meta.json")
+
+        def _staging_ok() -> bool:
+            if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+                return False
+            try:
+                with open(smeta_path) as f:
+                    return json.load(f).get("fingerprint") == fingerprint
+            except Exception:
+                return False
+
+        if not (resume and _staging_ok()):
             exploded().write.mode("overwrite").parquet(staging)
+            with open(smeta_path, "w") as f:
+                json.dump({"fingerprint": fingerprint}, f)
         src = spark.read.parquet(staging)
         todo = src
         if done:

@@ -32,9 +32,11 @@ from .build import (
     DEFAULT_BLOCK,
     DEFAULT_BUCKETS,
     DEFAULT_SALTS,
+    PACKED_SCHEMA,
     _bucket_dirs,
-    _encode_partition,
-    explode_postings,
+    _encode_cells,
+    _packed_postings_gen,
+    _with_docid,
 )
 
 
@@ -75,28 +77,30 @@ def append_index_batch(
             os.path.join(index_dir, sub, f"epoch={epoch}"), ignore_errors=True
         )
 
-    postings = explode_postings(batch, docid_col, text_col)
-    postings = postings.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-    ).withColumn(
-        "salt", F.pmod(F.xxhash64("docid"), F.lit(num_salts)).cast("int")
-    )
-
     # counted from the source (not the postings) because docs with
     # empty/stop-word-only text produce no postings yet must count
     # toward N for idf/avgdl parity with a batch rebuild
     n_batch_docs = batch.count()
 
-    # fused: tokenize feeds the shuffle directly (no per-epoch staging
-    # parquet); epoch termstats + totals derive from the column-pruned
-    # block metadata of the epoch just written, like the batch build
+    # same packed-cell pipeline as the batch build's default path
+    # (build.py:_packed_postings_gen/_encode_cells): the tokenizer pass
+    # packs each (bucket, salt) cell into one fat binary row per map
+    # chunk, the shuffle moves cells (not postings), and the reducer
+    # lexsorts + block-encodes in numpy.  The row-per-posting epoch
+    # path this replaces measured ~2x slower end-to-end.
     parts = min(
         num_buckets * num_salts, spark.sparkContext.defaultParallelism * 2
     )
+    sel = _with_docid(batch, docid_col).select(
+        "docid", F.col(text_col).alias("text")
+    )
+    cells = sel.mapInPandas(
+        lambda it: _packed_postings_gen(it, num_buckets, num_salts),
+        PACKED_SCHEMA,
+    )
     blocks = (
-        postings.repartition(parts, "bucket", "salt")
-        .sortWithinPartitions("bucket", "salt", "term", "docid")
-        .mapInPandas(lambda it: _encode_partition(it, block_size), BLOCK_SCHEMA)
+        cells.repartition(parts, "bucket", "salt")
+        .mapInPandas(lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA)
         .withColumn("epoch", F.lit(epoch))
     )
     blocks.write.mode("append").partitionBy("epoch", "bucket").parquet(

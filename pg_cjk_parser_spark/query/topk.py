@@ -106,8 +106,30 @@ class ParsedQuery:
     conjunctive: bool
 
 
+def _reduces_to_complement(node) -> bool:
+    """True when the tree matches the COMPLEMENT of an enumerable doc
+    set (mirrors _eval_tree's complement algebra: And is a complement
+    iff every child is, Or iff any child is).  Such queries ('!a',
+    'a | !b') match every document outside a set and need a full
+    corpus scan, which the index path cannot do - reject them at
+    parse time instead of failing inside the scoring job."""
+    if isinstance(node, Not):
+        return not _reduces_to_complement(node.child)
+    if isinstance(node, And):
+        return all(_reduces_to_complement(c) for c in node.children)
+    if isinstance(node, Or):
+        return any(_reduces_to_complement(c) for c in node.children)
+    return False  # Phrase / term leaf
+
+
 def parse_query(query: str, mode: str = "plain") -> ParsedQuery:
     tree = to_tsquery(query) if mode == "tsquery" else plainto_tsquery(query)
+    if tree is not None and _reduces_to_complement(tree):
+        raise ValueError(
+            "query reduces to a pure negation (e.g. '!a', 'a | !b'): "
+            "it matches every document outside a set, which requires a "
+            "full corpus scan; not supported by the index path"
+        )
     terms = sorted(query_terms(tree))
     all_terms = sorted(query_terms_all(tree))
     phrases: list[list[tuple[str, int]]] = []

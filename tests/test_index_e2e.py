@@ -120,6 +120,26 @@ def test_pure_negation_rejected(spark, built):
         search(spark, index_dir, "!'doraemnon'", k=5, mode="tsquery")
 
 
+def test_complement_reduction_rejected_at_parse():
+    """Queries with positive terms can still reduce to a complement
+    ('a | !b' matches everything without b, plus a); they must fail
+    fast at parse time with a clear error, not inside the scoring job."""
+    import pytest
+
+    from pg_cjk_parser_spark.query.topk import parse_query
+
+    for q in ("'cat' | !'dog'", "!'cat'", "!'cat' & !'dog'", "!(!( !'cat' ))"):
+        with pytest.raises(ValueError, match="negation"):
+            parse_query(q, mode="tsquery")
+    # positive-anchored negations remain legal
+    for q in ("'cat' & !'dog'", "'cat' & ( !'dog' | 'fox' )"):
+        parse_query(q, mode="tsquery")
+    # double negation has no positive term for the scorer either; it
+    # must also fail at parse time (different message, same contract)
+    with pytest.raises(ValueError):
+        parse_query("!(!'cat')", mode="tsquery")
+
+
 def test_search_local_equals_spark_path(spark, built):
     from pg_cjk_parser_spark.query.topk import search_local
 
@@ -213,6 +233,30 @@ def test_clean_rebuild_drops_stale_buckets(spark, tmp_path):
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "STATIC"
     ).upper() == "STATIC"
+
+
+def test_resume_invalidates_on_corpus_change(spark, tmp_path):
+    """resume=True after the input corpus changed must NOT reuse stale
+    staging/buckets: the default fingerprint folds in corpus identity
+    (doc count + source files), so a changed corpus rebuilds."""
+    from pg_cjk_parser_spark.spark.corpus import synth_corpus
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    d = str(tmp_path / "resume_fp")
+    big = synth_corpus(spark, 120, seed=42, num_partitions=2)
+    build_index(
+        spark, big, d, num_buckets=4, num_salts=2, block_size=16, resume=True
+    )
+    small = synth_corpus(spark, 40, seed=7, num_partitions=2)
+    st = build_index(
+        spark, small, d, num_buckets=4, num_salts=2, block_size=16, resume=True
+    )
+    assert st["n_docs"] == 40
+    valid = {
+        r.docid for r in small.selectExpr("xxhash64(url) as docid").collect()
+    }
+    after = search_local(d, "のび太", k=500)
+    assert all(docid in valid for docid, _ in after), "stale docids resumed"
 
 
 def test_randomized_queries_vs_oracle(spark, built):

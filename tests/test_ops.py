@@ -75,6 +75,61 @@ def test_simhash_near_dup_hamming(spark, dup_docs):
     assert ham(sh[0], sh[65]) >= 20        # unrelated text is far
 
 
+def test_simhash_near_dups_complete(spark, dup_docs):
+    """Banded Hamming join must equal brute-force all-pairs (the band
+    split is exact by pigeonhole, not probabilistic)."""
+    from pg_cjk_parser_spark.ops.dedup import simhash_near_dups
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(dup_docs, max_hamming=6).collect()
+    }
+    sh = {r.id: r.simhash for r in simhash64(dup_docs).collect()}
+    ids = sorted(sh)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 6:
+                want.add((a, b, h))
+    assert want, "corpus must contain close fingerprints"
+    assert got == want
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate boilerplate cluster (identical signature in every
+    band) must not go quadratic: the cap drops its buckets while
+    normal near-dup pairs still surface through their bands."""
+    rows = [(i, "boiler plate text the same everywhere always") for i in range(300)]
+    rows.append((1000, BASE))
+    rows.append((1001, BASE.replace("fox", "cat")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, n_hashes=64, shingle_k=5)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=16, rows_per_band=4, max_bucket_size=100
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1000, 1001) in got
+    assert not any(a < 300 and b < 300 for a, b in got), "hot bucket joined"
+    # sanity: without the cap the hot cluster explodes quadratically
+    nocap = lsh_candidate_pairs(
+        sigs, bands=16, rows_per_band=4, max_bucket_size=None
+    ).count()
+    assert nocap > 40_000  # C(300,2) = 44_850 boilerplate pairs
+
+
+def test_exact_duplicates_members_capped(spark):
+    rows = [(i, "same text") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    g = exact_duplicates(docs, max_members=5).collect()
+    assert len(g) == 1
+    assert g[0].n_dups == 50 and g[0].keep_id == 0
+    assert g[0].members == [0, 1, 2, 3, 4]
+    g0 = exact_duplicates(docs, max_members=0)
+    assert "members" not in g0.columns
+    assert g0.collect()[0].n_dups == 50
+
+
 def test_lang_of_goldens():
     assert lang_of("The quick brown fox jumps over the lazy dog") == "en"
     assert lang_of("吾輩は猫である。名前はまだ無い。") == "ja"
