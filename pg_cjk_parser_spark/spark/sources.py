@@ -46,10 +46,12 @@ def read_corpus(
             if not looks_like_path and iceberg_available(spark)
             else "parquet"
         )
-    if fmt == "iceberg":
-        df = spark.read.format("iceberg").load(path_or_table)
-    else:
+    if fmt == "parquet":
         df = spark.read.parquet(path_or_table)
+    else:
+        # iceberg (table name via the session catalog) or any other
+        # registered DataSourceV2 format
+        df = spark.read.format(fmt).load(path_or_table)
     missing = [c for c in ("url", "text") if c not in df.columns]
     if missing:
         raise ValueError(f"corpus table missing columns: {missing}")
