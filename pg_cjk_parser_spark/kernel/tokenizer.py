@@ -40,18 +40,26 @@ from .charclass import (
     MAX_CP,
     SPECIAL,
     UNIPUNCT,
+    URLCHAR,
     ZEROW,
 )
 from .fsm import CLS_LIST
 from .fsm import (
+    ASCIIHWORD,
+    ASCIIPARTHWORD,
     ASCIIWORD,
     CJK_CHAR,
     DECIMAL_T,
+    EMAIL,
+    FILEPATH,
     HOST,
+    PROTOCOL,
     SCIENTIFIC,
     SPACE_T,
     TPS_Base,
     UNSIGNEDINT,
+    URL_T,
+    URLPATH,
     VERSIONNUMBER,
     WORD_T,
     XMLENTITY,
@@ -167,12 +175,58 @@ def _build_master() -> re.Pattern:
     wx_c = _ranges_to_class(wterm)
     word = rf"(?P<n>[{ws_c}][{wc_c}]*)(?![{wx_c}])"
 
+    # --- multi-token / rarer families (checked last) -------------------
+    # email (InEmail): local part reachable via InAsciiWord / InNum-
+    # Word / InHost / InHostDomain ('@' pushes InEmail from each), so
+    # alnum runs joined by single [._-]; the host side is the T_HOST
+    # sub-parse = the same host grammar as the 'h' group.  Terminator
+    # guard as for hosts; ':' (port) and '/' (URL) fall back.
+    host_term = r"(?![0-9A-Za-z:\-_.@/])"
+    local = r"[0-9A-Za-z]+(?:[._-][0-9A-Za-z]+)*"
+    email = rf"(?P<E>{local}@(?:{lab}\.)+[A-Za-z]{{2,}}){host_term}"
+
+    # URL (InFURL/InURLPath): host followed by '/' starts the
+    # T_URLPATH sub-parse, which consumes the maximal URLCHAR run from
+    # the '/' and re-emits host + url_path under the url token
+    # (S_FURL rewind).  Protocol prefix (InProtocol*) is '<letters>://'.
+    urlchar_m = (CLS & URLCHAR) != 0
+    urlchar_m[0xD800:0xE000] = False
+    uc_c = _ranges_to_class(urlchar_m)
+    hostpat = rf"(?:{lab}\.)+[A-Za-z]{{2,}}"
+    urlp = (
+        rf"(?P<F>[A-Za-z]+://)(?P<H>{hostpat})"
+        rf"(?:(?P<U>/[{uc_c}]+)|{host_term})"
+    )
+    urlb = rf"(?P<G>{hostpat})(?P<V>/[{uc_c}]+)"
+
+    # file (InFile*): '/'-led segments of [0-9A-Za-z_-] with interior
+    # dots only before another segment char (InFileNext pops
+    # otherwise).  Trailing '/' or '.' falls back; terminator must not
+    # continue a segment.
+    seg = r"[0-9A-Za-z_][0-9A-Za-z_\-]*(?:\.[0-9A-Za-z_][0-9A-Za-z_\-]*)*"
+    filep = rf"(?P<Z>/{seg}(?:/{seg})*)(?![0-9A-Za-z_./\-])"
+
+    # pure-ASCII hyphenated word (InHyphenAsciiWord): letters-only
+    # parts joined by single hyphens.  The terminator may not extend a
+    # part (alnum / non-ASCII alpha / special -> InHyphenWord), resume
+    # the parallel InHost branch ('.', '_', '-', '@' -> host/email
+    # family), or look like a path (':', '/') - all of those make the
+    # backtracking FSM pick a different parse.
+    hg = alpha_m | special_m | ((CLS & DIGIT) != 0)
+    hg = hg.copy()
+    hg[0xD800:0xE000] = False
+    for ch in "@._:/-":
+        hg[ord(ch)] = True
+    hg_c = _ranges_to_class(hg)
+    hword = rf"(?P<Y>[A-Za-z]+(?:-[A-Za-z]+)+)(?![{hg_c}])"
+
     pat = (
         f"(?P<c>[{cjk_cls}]+)"
         f"|(?P<w>[A-Za-z]+)(?=[{tw}]|$|{wdot})"
         f"|(?P<u>[0-9]+)(?=[{tu}]|$|{udot})"
         f"|(?P<b>(?:[{bs}]|\\.(?!$|[./]))[{bc}]*)"
         f"|{host}|{sfl}|{ver}|{flt}|{ent}|{word}"
+        f"|{email}|{urlp}|{urlb}|{filep}|{hword}"
     )
     return re.compile(pat)
 
@@ -185,7 +239,44 @@ _GROUP_TYPE = {
     "f": DECIMAL_T,
     "x": XMLENTITY,
     "n": WORD_T,
+    "E": EMAIL,
+    "Z": FILEPATH,
 }
+
+
+def _emit_url(out, m) -> None:
+    """protocol? + url > host > url_path overlapping emission, exactly
+    as the FSM's S_FURL rewind produces it."""
+    g = m.lastgroup
+    if g == "V":
+        hs, he = m.span("G")
+        us, ue = m.span("V")
+    else:
+        fs, fe = m.span("F")
+        out.append((fs, fe - fs, PROTOCOL))
+        hs, he = m.span("H")
+        if g == "H":  # protocol + bare host, no path
+            out.append((hs, he - hs, HOST))
+            return
+        us, ue = m.span("U")
+    out.append((hs, ue - hs, URL_T))
+    out.append((hs, he - hs, HOST))
+    out.append((us, ue - us, URLPATH))
+
+
+def _emit_hword(out, s: str, p: int, q: int) -> None:
+    """composite + parts emission (S_HYPHEN re-lex): asciihword, then
+    hword_asciipart for each part with the '-' chars as blanks."""
+    out.append((p, q - p, ASCIIHWORD))
+    i = p
+    while True:
+        j = s.find("-", i, q)
+        e = q if j < 0 else j
+        out.append((i, e - i, ASCIIPARTHWORD))
+        if j < 0:
+            return
+        out.append((j, 1, SPACE_T))
+        i = j + 1
 
 
 _MASTER = _build_master()
@@ -222,6 +313,10 @@ def tokenize(s: str) -> list[tuple[int, int, int]]:
                 out.append((p, q - p, UNSIGNEDINT))
             elif g == "b":
                 out.append((p, q - p, SPACE_T))
+            elif g in ("U", "H", "V"):
+                _emit_url(out, m)
+            elif g == "Y":
+                _emit_hword(out, s, p, q)
             else:
                 out.append((p, q - p, _GROUP_TYPE[g]))
             p = q
@@ -376,10 +471,32 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                     continue
                 pos += 1
                 out.append((s[p:q], pos if pos < MAXENTRYPOS else MAXENTRYPOS))
+            elif g in ("U", "H", "V", "Y"):
+                # multi-token families (url>host>url_path, hword+parts):
+                # every non-blank token takes a position and lexizes via
+                # the simple dictionary (lowercase), like the FSM branch
+                toks: list[tuple[int, int, int]] = []
+                if g == "Y":
+                    _emit_hword(toks, s, p, q)
+                else:
+                    _emit_url(toks, m)
+                for ts_, ln, tt in toks:
+                    if tt == SPACE_T:
+                        continue
+                    pos += 1
+                    if ln >= 2046:  # pure-ASCII spans: utf8 len == ln
+                        pos -= 1
+                        continue
+                    out.append(
+                        (
+                            s[ts_ : ts_ + ln].lower(),
+                            pos if pos < MAXENTRYPOS else MAXENTRYPOS,
+                        )
+                    )
             elif g != "b":
-                # host / sfloat / version / float / entity / word:
-                # lowercased, no stemming (simple dictionary), same as
-                # the FSM fallback's non-asciiword branch
+                # host / sfloat / version / float / entity / email /
+                # file: lowercased, no stemming (simple dictionary),
+                # same as the FSM fallback's non-asciiword branch
                 text = s[p:q]
                 if q - p >= 512 and len(
                     text.encode("utf-8", "surrogatepass")

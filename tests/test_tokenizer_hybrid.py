@@ -20,6 +20,16 @@ ATOMS = [
     "ドラ゙もん", "𠀀𠀁", "étude", "​", "xःy",
     "<", ">", "&", "@", ":", ";", "'", '"', "\\", "|", "100%", "a:b",
     "1:2", "v1.2.3-rc1", "CJK漢字123", "字", "字a字", "ん", "っ",
+    # email / url / file / hyphen-word fast-path stressors
+    "a.b-c_d@mail.x.co.uk", "9a@x.co", "1.2@x.co", "mail@x.co.",
+    "ab@x.co:8080/z", "a@x.co/z", "e@x.co-b", "a@b", "a@@b.co",
+    "x.co/", "x.co/a,b", "x.co/'q'", "example.org/policy?v=2",
+    "https://x.co", "HTTPS://X.CO/Q", "ftp://", "https://localhost/x",
+    "x.co//double", "x.co/path/", "end-to-end", "plug-in.",
+    "a-b-c-d-e", "over-9000", "go2-win", "ab3cd-x", "-a-b", "a-1-b",
+    "foo--bar", "ab-cd@x.co", "ab-cd.", "ab-cd:z", "ab-cd://x.co",
+    "state-of-the-art.", "/usr/", "/a.b.c", "/a..b", "/a.-b", "~/.rc",
+    "/a/b-c/d_e.f", "über-gut", "naïve-plan", "x.ab-cd", "x.c-om",
 ]
 
 
