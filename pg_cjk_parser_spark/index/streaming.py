@@ -118,9 +118,15 @@ def append_index_batch(
             .partitionBy("epoch", "bucket")
             .parquet(os.path.join(index_dir, "termstats"))
         )
-        g = meta.agg(
-            F.sum("sum_tf").alias("total_tf"), F.sum("n").alias("n_postings")
-        ).collect()[0]
+        # corpus totals from the just-written termstats (one aggregated
+        # row per term - far smaller than re-reading the block metadata)
+        g = (
+            spark.read.parquet(
+                os.path.join(index_dir, "termstats", f"epoch={epoch}")
+            )
+            .agg(F.sum("cf").alias("total_tf"), F.sum("df").alias("n_postings"))
+            .collect()[0]
+        )
         total_tf, n_postings = int(g.total_tf or 0), int(g.n_postings or 0)
 
     # exactly-once accounting: the epoch's deltas live in its manifest
