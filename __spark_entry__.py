@@ -330,6 +330,38 @@ FROM pairs ORDER BY cos DESC, vec_id ASC LIMIT 20
 """
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed + exact verify).
+
+    At sf0.01 the (3 planes, 16 tables) candidate set provably
+    contains every pair with round4-cosine >= 0.4 (0 missed vs exact
+    all-pairs, deterministic at seed 42), and verification is exact -
+    so the exhaustive all-pairs cosine SQL is a true oracle."""
+    from pg_cjk_parser_spark.ops.similarity import embedding_near_dups
+
+    emb = _embeddings(spark, sf_dir)
+    return embedding_near_dups(
+        emb, threshold=0.4, n_planes=3, n_tables=16
+    ).orderBy("id_a", "id_b")
+
+
+_EMB_NEAR_DUPS_SQL = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (a.nrm * b.nrm), 4) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def _q_zht2zhs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traditional->simplified normalization over documents.text."""
     from pg_cjk_parser_spark.spark.udfs import zht2zhs_udf
@@ -875,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ivf_cosine_topk": _q_ivf,
         "simhash_near_dups": _q_simhash_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
     }
 
 
@@ -899,4 +932,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_headline": _HEADLINE_SQL,
         "ann_lsh_topk": _ANN_SQL,
         "ivf_cosine_topk": _ivf_sql(),
+        "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
     }

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
-from .build import BLOCK_SCHEMA, _encode_partition
+from .build import BLOCK_SCHEMA
 from .codec import decode_positions, decode_varints, delta_decode
 from .streaming import _atomic_json, _rebuild_stats
 
@@ -68,6 +68,72 @@ def _decode_blocks(batches):
         )
 
 
+def decode_postings(spark: SparkSession, index_dir: str):
+    """Export the index back to one row per posting
+    (bucket, salt, term, docid, tf, doclen, positions:binary) - the
+    inverse of the build; useful for re-sharding into a different
+    layout or feeding postings to downstream pipelines."""
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    return postings.select(
+        "bucket", "salt", "term", "docids", "tfs", "doclens", "positions"
+    ).mapInPandas(_decode_blocks, _POSTING_SCHEMA)
+
+
+def _decode_to_cells(batches, flush_at: int = 500_000):
+    """Decode posting blocks straight into packed (bucket, salt) cells
+    for the packed-cell shuffle (build.py:_encode_cells) - the same
+    cells-not-rows strategy as the batch build, so compaction never
+    pays the per-posting Arrow row boundary the original row path did.
+    """
+    from .build import _enc_pos, _pack_cell
+
+    cells: dict[tuple[int, int], tuple[list, list, list, list, list]] = {}
+    count = 0
+
+    def flush():
+        rb, rs, rp = [], [], []
+        for (b, s), (t, d, tf, dl, ps) in sorted(cells.items()):
+            rp.append(_pack_cell(t, d, tf, dl, ps))
+            rb.append(b)
+            rs.append(s)
+        cells.clear()
+        return pd.DataFrame(
+            {
+                "bucket": np.array(rb, np.int32),
+                "salt": np.array(rs, np.int32),
+                "payload": rp,
+            }
+        )
+
+    for pdf in batches:
+        for bucket, salt, term, docids_b, tfs_b, dls_b, pos_b in zip(
+            pdf["bucket"].tolist(), pdf["salt"].tolist(),
+            pdf["term"].tolist(), pdf["docids"].tolist(),
+            pdf["tfs"].tolist(), pdf["doclens"].tolist(),
+            pdf["positions"].tolist(),
+        ):
+            ids = delta_decode(docids_b).view(np.int64)
+            n = len(ids)
+            cell = cells.setdefault(
+                (int(bucket), int(salt)), ([], [], [], [], [])
+            )
+            cell[0].extend([term.encode("utf-8", "surrogatepass")] * n)
+            cell[1].extend(ids.tolist())
+            cell[2].extend(decode_varints(tfs_b).tolist())
+            cell[3].extend(decode_varints(dls_b).tolist())
+            cell[4].extend(
+                _enc_pos(ps) for ps in decode_positions(pos_b, n)
+            )
+            count += n
+            if count >= flush_at:
+                df = flush()
+                count = 0
+                if len(df):
+                    yield df
+    if cells:
+        yield flush()
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,
@@ -82,14 +148,14 @@ def compact_index(
         spark.sparkContext.defaultParallelism * 4,
     )
 
+    from .build import PACKED_SCHEMA, _encode_cells
+
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    rows = postings.select(
-        "bucket", "salt", "term", "n", "docids", "tfs", "doclens", "positions"
-    ).mapInPandas(_decode_blocks, _POSTING_SCHEMA)
-    blocks = (
-        rows.repartition(parts, "bucket", "salt")
-        .sortWithinPartitions("bucket", "salt", "term", "docid")
-        .mapInPandas(lambda it: _encode_partition(it, block_size), BLOCK_SCHEMA)
+    cells = postings.select(
+        "bucket", "salt", "term", "docids", "tfs", "doclens", "positions"
+    ).mapInPandas(_decode_to_cells, PACKED_SCHEMA)
+    blocks = cells.repartition(parts, "bucket", "salt").mapInPandas(
+        lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA
     )
     epochs = sorted(stats.get("epochs", [])) or [0]
     new_epoch = epochs[-1]

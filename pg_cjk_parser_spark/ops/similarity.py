@@ -95,6 +95,68 @@ def lsh_signatures(
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 2000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    cos >= ``threshold`` and id_a < id_b.
+
+    Scale path: random-hyperplane LSH buckets (collision probability
+    (1 - theta/pi)^planes per table) generate candidates - only
+    colliding vectors join - then an exact JVM-side cosine verifies
+    each candidate.  For real near-dup workloads (cos >= 0.9, tightly
+    clustered embeddings) the default (8 planes, 8 tables) recalls
+    essentially everything while touching a tiny pair fraction; lower
+    thresholds on diffuse data need fewer planes / more tables (the
+    driver query uses 3/16 for a provably complete candidate set on
+    the near-uniform synthetic table).  Hot buckets (e.g. zero
+    vectors) are capped like the MinHash path."""
+    dim = len(emb.select(vec_col).first()[0])
+    sigs = lsh_signatures(emb, dim, n_planes, n_tables, seed, id_col, vec_col)
+    if max_bucket_size is not None:
+        hot = (
+            sigs.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("table", "bucket")
+        )
+        sigs = sigs.join(F.broadcast(hot), ["table", "bucket"], "left_anti")
+    l = sigs.alias("l")
+    r = sigs.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _cos_cols(F.col("va"), F.col("vb")), round_digits
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def train_ivf_numpy(
     M: np.ndarray, n_clusters: int = 16, iters: int = 8, seed: int = 42
 ) -> np.ndarray:

@@ -135,13 +135,14 @@ tokenize 1.62 -> 2.77 Mchar/s single-core).
 ## Streaming epoch appends (round 2, packed-cell path)
 
 A batch-sized micro-batch (200k docs as one epoch) appends at >= 1.0x
-the batch-build docs/s (measured 1.41x: the epoch path skips the
+the batch-build docs/s (measured 1.4-1.5x: the epoch path skips the
 overwrite-mode setup; see bench extras stream_single_vs_batch_ratio).
 Small epochs pay fixed per-epoch job costs (partitioned-write commit,
-termstats job): 4 x 50k-doc epochs land at ~0.4x batch throughput in
+termstats job): 4 x 50k-doc epochs land at ~0.4-0.5x batch throughput in
 local mode (stream_vs_batch_ratio). At cluster scale micro-batches
 are orders of magnitude larger, so the single-epoch ratio is the
-operative number. Compaction of the 4-epoch index: ~11 s at 200k docs;
+operative number. Compaction of the 4-epoch index (packed-cell decode->shuffle->encode,
+same strategy as the build): ~10 s at 200k docs;
 compacted index answers identically to the batch index
 (stream_compact_matches_batch=1).
 

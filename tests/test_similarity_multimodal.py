@@ -13,6 +13,7 @@ from pg_cjk_parser_spark.ops.multimodal import (
 from pg_cjk_parser_spark.ops.similarity import (
     ann_cosine_topk,
     brute_force_cosine_topk,
+    embedding_near_dups,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -35,6 +36,44 @@ def test_ann_recall_vs_brute_force(spark, emb):
     assert approx[0] == 7  # the query vector itself is its own NN
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, (recall, exact, approx)
+
+
+def test_embedding_near_dups_on_planted_clusters(spark):
+    """Planted tight clusters: the LSH-bucketed pair operator must
+    recover exactly the intra-cluster pairs found by exact all-pairs
+    cosine at the same threshold."""
+    rng = np.random.RandomState(5)
+    rows = []
+    vid = 0
+    centers = rng.standard_normal((6, 32))
+    vecs = []
+    for c in centers:
+        for _ in range(5):  # tight cluster: cos ~0.99 within
+            v = c + 0.05 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v]))
+            vecs.append(v)
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            emb, threshold=0.9, n_planes=8, n_tables=8
+        ).collect()
+    }
+    # exact ground truth (float32-rounded like the table column)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    X = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = X @ X.T
+    want = {
+        (a, b)
+        for a in range(vid)
+        for b in range(a + 1, vid)
+        if round(S[a, b], 4) >= 0.9
+    }
+    assert want, "clusters must produce near-dup pairs"
+    missed = want - got
+    assert not (got - want), "verification must be exact"
+    assert len(missed) / len(want) < 0.05, f"missed {len(missed)}/{len(want)}"
 
 
 def test_ann_candidates_are_subset(spark, emb):

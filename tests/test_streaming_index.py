@@ -147,3 +147,24 @@ def test_compaction_preserves_results(spark, tmp_path):
         spark, extra, inc_dir, 7, num_buckets=8, num_salts=2, block_size=16
     )
     assert st2["n_docs"] == 280
+
+
+def test_decode_postings_roundtrip(spark, tmp_path):
+    """decode_postings (index -> posting rows) must reproduce exactly
+    what explode_postings fed the build (same docid/tf/doclen/term and
+    byte-identical encoded positions)."""
+    from pg_cjk_parser_spark.index.build import explode_postings
+    from pg_cjk_parser_spark.index.compact import decode_postings
+
+    d = str(tmp_path / "rt")
+    docs = synth_corpus(spark, 120, seed=11, num_partitions=2)
+    build_index(spark, docs, d, num_buckets=8, num_salts=2, block_size=16)
+    got = {
+        (r.term, r.docid, r.tf, r.doclen, bytes(r.positions))
+        for r in decode_postings(spark, d).collect()
+    }
+    want = {
+        (r.term, r.docid, r.tf, r.doclen, bytes(r.positions))
+        for r in explode_postings(docs, None, "text").collect()
+    }
+    assert got == want
