@@ -207,6 +207,9 @@ def compact_index(
             index_dir, stats["num_buckets"], stats["num_salts"], block_size,
             stats["k1"], stats["b"],
         )
+    # compaction rewrote the layout under epoch=<new_epoch> even for a
+    # batch-built index: record it so query routing derives scan paths
+    stats["epochs"] = [new_epoch]
     stats["compacted_at"] = time.time()
     _atomic_json(os.path.join(index_dir, "stats.json"), stats)
     return stats

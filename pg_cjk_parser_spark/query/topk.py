@@ -175,6 +175,34 @@ def _route(index_dir: str, query: str, mode: str):
     return stats, pq, bset, idf_map
 
 
+def _postings_paths(index_dir: str, bset, stats) -> list[str]:
+    """Scoped scan paths for the pruned bucket set.  Reading the whole
+    postings dir would LIST the entire index tree per query (directory
+    discovery scales with index size, not query size - prohibitive on
+    object storage at corpus scale); instead the bucket directories are
+    constructed from the routing result and the known epoch list, so
+    the per-query listing cost is O(|q| buckets x epochs)."""
+    pdir = os.path.join(index_dir, "postings")
+    epochs = stats.get("epochs")
+    paths = []
+    for b in bset:
+        p = os.path.join(pdir, f"bucket={b}")
+        if os.path.isdir(p):
+            paths.append(p)
+        for e in epochs or ():
+            p = os.path.join(pdir, f"epoch={e}", f"bucket={b}")
+            if os.path.isdir(p):
+                paths.append(p)
+    if not paths and os.path.isdir(pdir):
+        # layout not derivable from stats (e.g. legacy index): scoped
+        # glob over epoch dirs only, still restricted to bset
+        import glob
+
+        for b in bset:
+            paths += glob.glob(os.path.join(pdir, "epoch=*", f"bucket={b}"))
+    return paths
+
+
 def search(
     spark: SparkSession,
     index_dir: str,
@@ -189,9 +217,15 @@ def search(
     stats, pq, bset, idf_map = routed
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
 
+    paths = _postings_paths(index_dir, bset, stats)
+    if not paths:
+        return spark.createDataFrame([], "docid long, score double")
     blocks = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
-        .where(F.col("bucket").isin(bset) & F.col("term").isin(pq.all_terms))
+        spark.read.option(
+            "basePath", os.path.join(index_dir, "postings")
+        )
+        .parquet(*paths)
+        .where(F.col("term").isin(pq.all_terms))
         .select(
             "salt", "term", "n", "min_docid", "max_docid", "docids",
             "tfs", "doclens", "positions", "max_tf", "min_dl",
