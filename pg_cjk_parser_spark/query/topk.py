@@ -68,7 +68,35 @@ def term_buckets(spark: SparkSession, terms: list[str], num_buckets: int) -> dic
     return {t: pmod(spark_xxhash64_str(t), num_buckets) for t in terms}
 
 
-def _read_termstats(index_dir: str, bset: list[int], terms: list[str]):
+def _shard_paths(index_dir: str, subdir: str, bset, stats) -> list[str]:
+    """Scoped scan paths for the pruned bucket set under ``subdir``
+    (postings or termstats).  Listing the whole tree per query would
+    cost O(index size) directory discovery - prohibitive on object
+    storage at corpus scale; instead paths are constructed from the
+    routing result and the known epoch list, so per-query listing is
+    O(|q| buckets x epochs)."""
+    pdir = os.path.join(index_dir, subdir)
+    epochs = stats.get("epochs")
+    paths = []
+    for b in bset:
+        p = os.path.join(pdir, f"bucket={b}")
+        if os.path.isdir(p):
+            paths.append(p)
+        for e in epochs or ():
+            p = os.path.join(pdir, f"epoch={e}", f"bucket={b}")
+            if os.path.isdir(p):
+                paths.append(p)
+    if not paths and os.path.isdir(pdir):
+        # layout not derivable from stats (e.g. legacy index): scoped
+        # glob over epoch dirs only, still restricted to bset
+        import glob
+
+        for b in bset:
+            paths += glob.glob(os.path.join(pdir, "epoch=*", f"bucket={b}"))
+    return paths
+
+
+def _read_termstats(index_dir: str, bset: list[int], terms: list[str], stats):
     """Point-lookup df per term from the pruned termstats shards.
 
     Driver-side pyarrow read (a few bucket directories, term-filtered):
@@ -77,19 +105,13 @@ def _read_termstats(index_dir: str, bset: list[int], terms: list[str]):
     """
     import pyarrow.dataset as ds
 
-    dataset = ds.dataset(
-        os.path.join(index_dir, "termstats"), partitioning="hive"
-    )
-    if "bucket" not in dataset.schema.names:
-        # an index written from an empty corpus has no partition files,
-        # so the hive 'bucket' field was never discovered; real
-        # corruption (bad footers, IO errors) still propagates below
+    paths = _shard_paths(index_dir, "termstats", bset, stats)
+    if not paths:
+        # empty-corpus index (no shards written) or absent buckets
         return {}
-    tbl = dataset.to_table(
+    tbl = ds.dataset([ds.dataset(p) for p in paths]).to_table(
         columns=["term", "df"],
-        filter=(
-            ds.field("bucket").isin(bset) & ds.field("term").isin(terms)
-        ),
+        filter=ds.field("term").isin(terms),
     )
     out: dict[str, int] = {}
     for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
@@ -168,7 +190,7 @@ def _route(index_dir: str, query: str, mode: str):
         return None
     buckets = term_buckets(None, pq.all_terms, stats["num_buckets"])
     bset = sorted(set(buckets.values()))
-    df_map = _read_termstats(index_dir, bset, pq.all_terms)
+    df_map = _read_termstats(index_dir, bset, pq.all_terms, stats)
     if not df_map or (pq.conjunctive and any(t not in df_map for t in pq.terms)):
         return None  # required term (or every term) absent from the corpus
     idf_map = {t: idf(stats["n_docs"], df_map.get(t, 0)) for t in pq.terms}
@@ -176,31 +198,7 @@ def _route(index_dir: str, query: str, mode: str):
 
 
 def _postings_paths(index_dir: str, bset, stats) -> list[str]:
-    """Scoped scan paths for the pruned bucket set.  Reading the whole
-    postings dir would LIST the entire index tree per query (directory
-    discovery scales with index size, not query size - prohibitive on
-    object storage at corpus scale); instead the bucket directories are
-    constructed from the routing result and the known epoch list, so
-    the per-query listing cost is O(|q| buckets x epochs)."""
-    pdir = os.path.join(index_dir, "postings")
-    epochs = stats.get("epochs")
-    paths = []
-    for b in bset:
-        p = os.path.join(pdir, f"bucket={b}")
-        if os.path.isdir(p):
-            paths.append(p)
-        for e in epochs or ():
-            p = os.path.join(pdir, f"epoch={e}", f"bucket={b}")
-            if os.path.isdir(p):
-                paths.append(p)
-    if not paths and os.path.isdir(pdir):
-        # layout not derivable from stats (e.g. legacy index): scoped
-        # glob over epoch dirs only, still restricted to bset
-        import glob
-
-        for b in bset:
-            paths += glob.glob(os.path.join(pdir, "epoch=*", f"bucket={b}"))
-    return paths
+    return _shard_paths(index_dir, "postings", bset, stats)
 
 
 def search(
@@ -347,16 +345,15 @@ def search_local(
     stats, pq, bset, idf_map = routed
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
 
-    dataset = ds.dataset(os.path.join(index_dir, "postings"), partitioning="hive")
-    tbl = dataset.to_table(
+    paths = _shard_paths(index_dir, "postings", bset, stats)
+    if not paths:
+        return []
+    tbl = ds.dataset([ds.dataset(p) for p in paths]).to_table(
         columns=[
             "salt", "term", "n", "min_docid", "max_docid", "docids",
             "tfs", "doclens", "positions", "max_tf", "min_dl",
         ],
-        filter=(
-            ds.field("bucket").isin(bset)
-            & ds.field("term").isin(pq.all_terms)
-        ),
+        filter=ds.field("term").isin(pq.all_terms),
     )
     pdf = tbl.to_pandas()
     if len(pdf) == 0:
