@@ -168,3 +168,92 @@ def test_decode_postings_roundtrip(spark, tmp_path):
         for r in explode_postings(docs, None, "text").collect()
     }
     assert got == want
+
+
+def test_streaming_exact_dedup_first_occurrence(spark, tmp_path):
+    """applyInPandasWithState dedup: one emission per content digest,
+    the earliest (ts, id) wins; later duplicates are swallowed whether
+    they arrive in the same micro-batch or a later one."""
+    import datetime as dt
+    import time as _time
+
+    from pg_cjk_parser_spark.ops.stream_ops import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "dsrc")
+    schema = "doc_id long, text string, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [(1, "aaa", t0), (2, "bbb", t0 + dt.timedelta(seconds=5))], schema
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (3, "aaa", t0 + dt.timedelta(seconds=10)),   # cross-batch dup
+            (4, "ccc", t0 + dt.timedelta(seconds=20)),
+            (5, "ccc", t0 + dt.timedelta(seconds=15)),   # in-batch dup, earlier
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_exact_dedup(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id) for r in spark.sql("select * from dedup_out").collect()
+    }
+    assert got == {1, 2, 5}, got
+
+
+def test_windowed_ingest_stats_with_watermark(spark, tmp_path):
+    """Watermarked event-time windows: closed windows emit exactly
+    once with late rows inside the horizon folded in."""
+    import datetime as dt
+
+    from pg_cjk_parser_spark.ops.stream_ops import windowed_ingest_stats
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "wsrc")
+    schema = "doc_id long, text string, source string, ts timestamp"
+    rows = [
+        (1, "abcd", "s1", t0 + dt.timedelta(seconds=10)),
+        (2, "efghij", "s2", t0 + dt.timedelta(seconds=20)),
+        (3, "kl", "s1", t0 + dt.timedelta(minutes=5)),  # advances watermark
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string, ts timestamp"
+    ).parquet(src)
+    q = (
+        windowed_ingest_stats(
+            stream, source_col="source", window="1 minute",
+            watermark="2 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("ingest_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "select window.start as ws, n_docs, n_chars, n_sources "
+        "from ingest_stats"
+    ).collect()
+    # only the first window is past the watermark and thus closed
+    assert len(out) == 1, out
+    r = out[0]
+    assert r.ws == t0 and r.n_docs == 2 and r.n_chars == 10
+    assert r.n_sources == 2
