@@ -218,10 +218,18 @@ def search(
     paths = _postings_paths(index_dir, bset, stats)
     if not paths:
         return spark.createDataFrame([], "docid long, score double")
+    # explicit schema (the block columns the scorer needs): skips the
+    # per-query parquet footer schema inference AND doubles as column
+    # pruning; partition columns (bucket/epoch) are path-encoded and
+    # not needed downstream
+    read_schema = (
+        "salt int, term string, n int, min_docid long, max_docid long, "
+        "docids binary, tfs binary, doclens binary, positions binary, "
+        "max_tf int, min_dl int"
+    )
     blocks = (
-        spark.read.option(
-            "basePath", os.path.join(index_dir, "postings")
-        )
+        spark.read.schema(read_schema)
+        .option("basePath", os.path.join(index_dir, "postings"))
         .parquet(*paths)
         .where(F.col("term").isin(pq.all_terms))
         .select(
