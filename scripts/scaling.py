@@ -128,9 +128,10 @@ tokenize feeds shuffle, termstats from block metadata) -> 19k
 (batch-vectorized block encoder) -> 24.5k docs/s (packed-cell shuffle:
 the per-row Python<->JVM Arrow boundary, ~5 s per direction at 10M
 rows, is paid per cell instead).
-Round 2: 26-28k docs/s (tokenizer fast paths for emails, URLs, file
+Round 2: 26-29k docs/s (tokenizer fast paths for emails, URLs, file
 paths, hyphen words: FSM-fallback share 19.7% -> 1.0% of chars,
-tokenize 1.62 -> 2.77 Mchar/s single-core).
+tokenize 1.62 -> 2.77 Mchar/s single-core). Final round-2 driver
+bench: 29,218 docs/s at 200k docs / local[32].
 
 ## Streaming epoch appends (round 2, packed-cell path)
 
@@ -148,10 +149,11 @@ compacted index answers identically to the batch index
 
 ## Query latency at local[32], 200k-doc index (5 reps)
 
-Medians 0.43-1.2 s / p95 <= 1.21 s across single-term, 2-3-term AND,
-8-term CJK phrase, and 3-term OR (WAND) queries via the Spark path;
-the serving path (`search_local`) answers the same queries in
-0.05-0.34 s.
+Round 2 (scoped scan paths + explicit read schema): medians
+0.28-0.42 s / p95 <= 0.67 s across single-term, 2-3-term AND, 8-term
+CJK phrase, and 3-term OR (WAND) queries via the Spark path (was
+0.43-1.2 s in round 1); the serving path (`search_local`) answers the
+same queries in 0.05-0.29 s.
 
 ## Other measured numbers
 
