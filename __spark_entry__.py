@@ -362,6 +362,46 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time daily rollup over the events table: tumbling-day
+    counts, value sums, exact distinct users, and a JSON-extracted
+    metric - the batch counterpart of the streaming windowed-ingest
+    operator (ops/stream_ops.windowed_ingest_stats).
+
+    Day bucketing uses date_format (wall-clock roundtrip, so the
+    result is session-timezone independent for the naive timestamps
+    the driver tables carry; F.window would bucket in shifted instant
+    space under a non-UTC session)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.get_json_object("props", "$.k").cast("long")
+            ).alias("sum_k"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_EVENT_WINDOWS_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
 def _q_zht2zhs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traditional->simplified normalization over documents.text."""
     from pg_cjk_parser_spark.spark.udfs import zht2zhs_udf
@@ -908,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": _q_ivf,
         "simhash_near_dups": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
+        "event_windows": _q_event_windows,
     }
 
 
@@ -933,4 +974,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ANN_SQL,
         "ivf_cosine_topk": _ivf_sql(),
         "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
+        "event_windows": _EVENT_WINDOWS_SQL,
     }

@@ -257,3 +257,31 @@ def test_windowed_ingest_stats_with_watermark(spark, tmp_path):
     r = out[0]
     assert r.ws == t0 and r.n_docs == 2 and r.n_chars == 10
     assert r.n_sources == 2
+
+
+def test_search_survives_missing_epoch_stats(spark, tmp_path):
+    """Legacy/foreign index whose stats.json lacks the epoch list:
+    routing must fall back to a scoped glob and still answer."""
+    import json, os
+
+    inc_dir = str(tmp_path / "legacy")
+    docs = synth_corpus(spark, 100, seed=3, num_partitions=2)
+    append_index_batch(
+        spark, docs, inc_dir, epoch=0, num_buckets=8, num_salts=2,
+        block_size=16,
+    )
+    before = [
+        (r.docid, round(r.score, 6))
+        for r in search(spark, inc_dir, "のび太", k=10).collect()
+    ]
+    sp = os.path.join(inc_dir, "stats.json")
+    with open(sp) as f:
+        stats = json.load(f)
+    stats.pop("epochs")
+    with open(sp, "w") as f:
+        json.dump(stats, f)
+    after = [
+        (r.docid, round(r.score, 6))
+        for r in search(spark, inc_dir, "のび太", k=10).collect()
+    ]
+    assert before and after == before
