@@ -685,19 +685,32 @@ def build_index(
         else:
             spark.conf.set(conf_key, prev_mode)
 
+    per_bucket: dict[int, dict] = {}
     if _bucket_dirs(ts_dir):
-        g = (
+        # one small job over the (term, df, cf) shards yields BOTH the
+        # per-bucket metrics for the lineage manifests and - summed
+        # driver-side over <= num_buckets rows - the corpus totals
+        rows = (
             spark.read.parquet(ts_dir)
+            .groupBy("bucket")
             .agg(
-                F.sum("cf").alias("total_tf"),
-                F.sum("df").alias("n_postings"),
+                F.sum("cf").alias("cf"),
+                F.sum("df").alias("df"),
                 F.count(F.lit(1)).alias("n_terms"),
             )
-            .collect()[0]
+            .collect()
         )
-        total_tf, n_postings, n_terms = (
-            int(g.total_tf or 0), int(g.n_postings or 0), int(g.n_terms)
-        )
+        per_bucket = {
+            int(r.bucket): {
+                "n_terms": int(r.n_terms),
+                "n_postings": int(r.df or 0),
+                "total_tf": int(r.cf or 0),
+            }
+            for r in rows
+        }
+        total_tf = sum(m["total_tf"] for m in per_bucket.values())
+        n_postings = sum(m["n_postings"] for m in per_bucket.values())
+        n_terms = sum(m["n_terms"] for m in per_bucket.values())
     else:
         os.makedirs(ts_dir, exist_ok=True)
         total_tf = n_postings = n_terms = 0
@@ -724,6 +737,7 @@ def build_index(
     for bucket in range(num_buckets):
         if bucket in done:
             continue
+        m = per_bucket.get(bucket, {"n_terms": 0, "n_postings": 0, "total_tf": 0})
         with open(_manifest_path(index_dir, bucket), "w") as f:
             json.dump(
                 {
@@ -732,6 +746,8 @@ def build_index(
                     "fingerprint": fingerprint,
                     "n_docs": int(n_docs),
                     "built_at": time.time(),
+                    # per-partition metrics (lineage + sizing evidence)
+                    "metrics": m,
                 },
                 f,
             )
