@@ -295,6 +295,17 @@ def _ivf_sql() -> str:
     from pg_cjk_parser_spark.ops.similarity import train_ivf_numpy
 
     con = duckdb.connect()
+    # isolation: a missing/unreadable oracle table must not take down
+    # the whole oracle_sql() dict (every other query's oracle)
+    try:
+        return _ivf_sql_inner(con, duckdb, np, train_ivf_numpy)
+    except Exception:
+        # degraded fallback: exact brute-force ranking (will mismatch
+        # the approximate query only if candidates were imperfect)
+        return _ANN_SQL
+
+
+def _ivf_sql_inner(con, duckdb, np, train_ivf_numpy) -> str:
     rows = con.execute(
         "SELECT vec_id, embedding FROM read_parquet("
         f"'{SF_ORACLE_DIR}/embeddings.parquet') ORDER BY vec_id"
