@@ -1,0 +1,183 @@
+"""Guards for the driver-oracle premises.
+
+Several CORRECTNESS oracles are exact only because a candidate set
+provably covers the ground truth at the oracle scale (sf0.01) with
+fixed seeds.  These tests restate each premise so a change to the
+operators, parameters, or test data fails HERE with a clear message
+instead of mysteriously redding a driver row:
+
+* minhash_near_dups: LSH(64 hashes, 16x4) candidates contain every
+  pair with 5-gram Jaccard >= 0.5.
+* ann_lsh_topk: (8 planes, 16 tables, 2-bit probes) candidates contain
+  the brute-force top-20 for the vec_id=0 query.
+* ts_headline: the closed form in _HEADLINE_SQL equals the kernel on
+  randomized corpora (incl. backward-extension and poslen>=2 covers).
+* simhash SQL: the embedded word-vote constants reproduce the kernel
+  fingerprints on random texts over the driver vocabulary.
+"""
+
+import itertools
+import random
+
+import duckdb
+import numpy as np
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_minhash_lsh_candidates_cover_true_pairs(docs_rows):
+    from pg_cjk_parser_spark.index.xxh64 import xxh64
+    from pg_cjk_parser_spark.ops.dedup import _MERSENNE, _perm_params, shingles
+
+    ids = [r[0] for r in docs_rows]
+    texts = [r[1] for r in docs_rows]
+    sets = {i: set(shingles(t, 5)) for i, t in zip(ids, texts)}
+    true_pairs = set()
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        if inter and round(inter / (len(sa) + len(sb) - inter), 4) >= 0.5:
+            true_pairs.add((a, b))
+    assert true_pairs, "oracle premise needs nonzero near-dup pairs"
+
+    a_, b_ = _perm_params(64, 42)
+    sigs = {}
+    for i, t in zip(ids, texts):
+        sh = shingles(t or "", 5)
+        hv = np.fromiter(
+            (xxh64(s.encode()) & _MERSENNE for s in sh), np.uint64, len(sh)
+        )
+        m = (hv[None, :] * a_[:, None] + b_[:, None]) % np.uint64(_MERSENNE)
+        sigs[i] = m.min(axis=1)
+    missed = {
+        (x, y)
+        for x, y in true_pairs
+        if not any(
+            (sigs[x][k * 4 : k * 4 + 4] == sigs[y][k * 4 : k * 4 + 4]).all()
+            for k in range(16)
+        )
+    }
+    assert not missed, f"LSH premise broken: {sorted(missed)[:5]}"
+
+
+def test_ann_lsh_candidates_cover_top20():
+    from pg_cjk_parser_spark.ops.similarity import _hyperplanes
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows])
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    q = M[ids == 0][0]
+    mask = ids != 0
+    Mi, idi = M[mask], ids[mask]
+    cos = np.round(
+        (Mi @ q) / (np.linalg.norm(Mi, axis=1) * np.linalg.norm(q)), 4
+    )
+    order = sorted(range(len(idi)), key=lambda i: (-cos[i], idi[i]))
+    top20 = {int(idi[i]) for i in order[:20]}
+
+    H = _hyperplanes(64, 8, 16, 42)
+    shifts = np.arange(8, dtype=np.uint64)
+    cand = set()
+    for t in range(16):
+        bits = (Mi @ H[t].T) > 0
+        buckets = (bits.astype(np.uint64) << shifts).sum(axis=1)
+        qb = int((((H[t] @ q) > 0).astype(np.uint64) << shifts).sum())
+        probes = {qb}
+        probes |= {qb ^ (1 << i) for i in range(8)}
+        probes |= {
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(8)
+            for j in range(i + 1, 8)
+        }
+        for b in probes:
+            cand |= set(idi[buckets == b].tolist())
+    assert top20 <= cand, f"ANN premise broken: missing {top20 - cand}"
+
+
+def test_headline_closed_form_matches_kernel_on_random_texts():
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(7)
+    vocab = entry_mod.DRIVER_VOCAB
+    texts = []
+    for i in range(1500):
+        n = rng.randint(1, 40)
+        texts.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._HEADLINE_SQL).fetchall())
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(t, "spark", min_words=5, max_words=12)
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 300  # the generator must actually hit the term
+
+
+def test_simhash_sql_matches_kernel_on_random_texts():
+    from pg_cjk_parser_spark.index.xxh64 import xxh64
+
+    rng = random.Random(11)
+    vocab = entry_mod.DRIVER_VOCAB
+    texts = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(800)
+    ]
+    texts = [(i, t) for i, t in texts if t] + [(9999, "")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._simhash_sql()).fetchall())
+    con.close()
+
+    def kernel(t):
+        words = (t or "").split()
+        if not words:
+            return 0
+        hv = np.fromiter(
+            (xxh64(w.encode()) for w in words), np.uint64, len(words)
+        )
+        bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        sh = int(
+            ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+        )
+        return sh - (1 << 64) if sh >= (1 << 63) else sh
+
+    for i, t in texts:
+        assert got[i] == kernel(t), (i, t)
+
+
+def test_ivf_oracle_candidates_match_engine_derivation():
+    """The IVF oracle embeds a candidate id list derived by replicating
+    the engine's deterministic training in numpy; the embedded list
+    must be non-degenerate and the SQL must restrict to it."""
+    sql = entry_mod.oracle_sql()["ivf_cosine_topk"]
+    assert "vec_id IN (" in sql, "IVF oracle fell back to brute force"
+    idlist = sql.split("vec_id IN (")[1].split(")")[0]
+    cand = [int(x) for x in idlist.split(",")]
+    assert 20 <= len(cand) < 499, len(cand)  # a real subset, covers k
