@@ -133,6 +133,24 @@ paths, hyphen words: FSM-fallback share 19.7% -> 1.0% of chars,
 tokenize 1.62 -> 2.77 Mchar/s single-core). Final round-2 driver
 bench: 29,218 docs/s at 200k docs / local[32].
 
+## Scale ladder (same job, local[32]; corpus size x10)
+
+| docs | postings | build | docs/s | index | notes |
+|---|---|---|---|---|---|
+| 200k | ~10.8M | 6.8 s | 29,218 | ~44 MB | driver bench config (B=64, S=4) |
+| 800k | ~43M | 17.7 s | 45,134 | - | scaling-run config |
+| 2M | 100.1M | 33.4 s | 59,797 | 440 MB | B=128, S=8; driver RSS 384 MB |
+
+Throughput RISES with corpus size - the fixed per-job costs amortize
+and every stage's task count scales with input, so nothing driver-side
+grows with N (peak driver RSS stays ~0.4 GB at 100M postings).  Query
+latency on the 2M-doc index: 1-2-term queries hold at ~0.52 s medians
+(identical to the 200k index - bucket+term pruning makes latency a
+function of the query, not the corpus); the 8-term CJK phrase worst
+case rises to ~1.4 s via the Spark path (head-term posting lists grow
+with N; the per-salt scorer parallelizes them, and raising num_salts
+is the documented knob at larger N).
+
 ## Streaming epoch appends (round 2, packed-cell path)
 
 A batch-sized micro-batch (200k docs as one epoch) appends at >= 1.0x
