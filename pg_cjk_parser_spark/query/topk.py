@@ -316,9 +316,13 @@ class _TermList:
         self._poscache: dict[int, list] = {}
 
     def positions_of(self, docid: int):
-        """Positions array for one doc (None if absent); decodes the
-        containing block once and caches it.  Block ranges of different
-        salt shards overlap, so a few blocks may need probing."""
+        """Positions for one doc (None if absent).  The containing
+        block's varint stream is decoded once (vectorized) and cached
+        as (values, per-posting offsets); only the REQUESTED posting's
+        deltas are then prefix-summed - phrase rechecks touch a few
+        docs per block, so materializing every posting's list (the old
+        decode_positions call) wasted ~3/4 of the recheck time on the
+        reference CJK phrase queries."""
         for bi in np.flatnonzero(
             (self.blk_lo <= docid) & (self.blk_hi >= docid)
         ).tolist():
@@ -328,9 +332,23 @@ class _TermList:
                 continue
             dec = self._poscache.get(bi)
             if dec is None:
-                dec = decode_positions(self.blk_pos[bi], bids.size)
+                vals = decode_varints(self.blk_pos[bi]).tolist()
+                n = bids.size
+                offs = [0] * n
+                o = 0
+                for ii in range(n):
+                    offs[ii] = o + 1
+                    o += 1 + vals[o]
+                dec = (vals, offs)
                 self._poscache[bi] = dec
-            return dec[j]
+            vals, offs = dec
+            s = offs[j]
+            acc = 0
+            out = []
+            for d in vals[s : s + vals[s - 1]]:
+                acc += d
+                out.append(acc)
+            return out
         return None
 
 
