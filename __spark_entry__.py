@@ -899,6 +899,95 @@ FROM sel WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_headline_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_headline in fragments mode (MaxFragments=2) for 'spark'."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf(
+        "spark", min_words=5, max_words=12, max_fragments=2
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
+
+
+# Closed form of mark_hl_fragments (pg_cjk_parser.c:2551-2720) for a
+# single-term query over a pure-asciiword corpus (max_words=12,
+# short_word=3, max_fragments=2), validated 0-diff against the kernel
+# on the driver corpus + 16k randomized texts
+# (tests/test_oracle_premises.py):
+#   - single-term covers are [o, o] with poslen=curlen=1, so fragment
+#     selection is occurrence order; after a fragment [b, e] every
+#     occurrence <= e is consumed, so fragment k starts at the first
+#     occurrence past fragment k-1's end;
+#   - each fragment stretches left up to (max_words-1)//2 words,
+#     bounded by the previous fragment (in_ words stop the stretch),
+#     then trims non-good-end words (len <= shortword) off the left
+#     edge; then stretches right until curlen reaches max_words and
+#     trims the right edge the same way;
+#   - fragments render in document order joined by ' ... '.
+_HEADLINE_FRAGMENTS_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS m
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, ws, m,
+         list_filter(generate_series(1, m), i -> ws[i] = 'spark') AS occ
+  FROM d
+),
+f1 AS (
+  SELECT doc_id, ws, m, occ, occ[1] AS o1,
+         occ[1] - least(5, occ[1] - 1) AS b1_raw
+  FROM occ WHERE len(occ) > 0
+),
+f1b AS (
+  SELECT doc_id, ws, m, occ, o1,
+    coalesce(list_filter(generate_series(b1_raw, o1 - 1),
+                         j -> length(ws[j]) > 3)[1], o1) AS b1
+  FROM f1
+),
+f1e AS (
+  SELECT doc_id, ws, m, occ, o1, b1,
+    list_filter(generate_series(o1, least(m, o1 + (12 - (o1 - b1 + 1)))),
+                j -> length(ws[j]) > 3)[-1] AS e1
+  FROM f1b
+),
+f2 AS (
+  SELECT doc_id, ws, m, o1, b1, e1,
+         list_filter(occ, o -> o > e1)[1] AS o2
+  FROM f1e
+),
+f2b AS (
+  SELECT doc_id, ws, m, b1, e1, o2,
+    CASE WHEN o2 IS NULL THEN NULL ELSE
+      coalesce(list_filter(
+        generate_series(o2 - least(5, o2 - (e1 + 1)), o2 - 1),
+        j -> length(ws[j]) > 3)[1], o2) END AS b2
+  FROM f2
+),
+f2e AS (
+  SELECT doc_id, ws, m, b1, e1, o2, b2,
+    CASE WHEN o2 IS NULL THEN NULL ELSE
+      list_filter(generate_series(o2, least(m, o2 + (12 - (o2 - b2 + 1)))),
+                  j -> length(ws[j]) > 3)[-1] END AS e2
+  FROM f2b
+)
+SELECT doc_id,
+  array_to_string(list_transform(ws[b1:e1],
+      w -> CASE WHEN w = 'spark' THEN '<b>' || w || '</b>' ELSE w END), ' ')
+  || CASE WHEN o2 IS NULL THEN '' ELSE ' ... ' ||
+     array_to_string(list_transform(ws[b2:e2],
+       w -> CASE WHEN w = 'spark' THEN '<b>' || w || '</b>' ELSE w END), ' ')
+     END AS snippet
+FROM f2e ORDER BY doc_id
+"""
+
+
 def _q_ts_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ts_debug token stream for the first 30 documents."""
     from pg_cjk_parser_spark.spark.udfs import ts_debug_udf
@@ -960,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "event_windows": _q_event_windows,
+        "ts_headline_fragments": _q_headline_fragments,
     }
 
 
@@ -986,4 +1076,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cosine_topk": _ivf_sql(),
         "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
         "event_windows": _EVENT_WINDOWS_SQL,
+        "ts_headline_fragments": _HEADLINE_FRAGMENTS_SQL,
     }

@@ -133,6 +133,14 @@ paths, hyphen words: FSM-fallback share 19.7% -> 1.0% of chars,
 tokenize 1.62 -> 2.77 Mchar/s single-core). Final round-2 driver
 bench: 29,218 docs/s at 200k docs / local[32].
 
+## Bench suite composition note
+
+headline_suite_seconds grew from ~53 s (round 1) to ~75 s (round 2)
+because the suite gained sections: streaming 4-epoch + single-epoch
+appends (~24 s) and compaction (~10 s).  Like-for-like numbers
+(build docs/s, per-query medians) all improved; compare those, not
+the suite total.
+
 ## Scale ladder (same job, local[32]; corpus size x10)
 
 | docs | postings | build | docs/s | index | notes |

@@ -138,6 +138,38 @@ def test_headline_closed_form_matches_kernel_on_random_texts():
     assert checked > 300  # the generator must actually hit the term
 
 
+def test_headline_fragments_closed_form_matches_kernel():
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(17)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 120),
+        (["spark", "a", "the"], 60),
+        (["spark"] + ["value"] * 30, 150),
+    ]
+    texts = []
+    i = 0
+    for pool, maxn in pools:
+        for _ in range(800):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._HEADLINE_FRAGMENTS_SQL).fetchall())
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(t, "spark", min_words=5, max_words=12, max_fragments=2)
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 400
+
+
 def test_simhash_sql_matches_kernel_on_random_texts():
     from pg_cjk_parser_spark.index.xxh64 import xxh64
 
