@@ -173,6 +173,23 @@ same strategy as the build): ~10 s at 200k docs;
 compacted index answers identically to the batch index
 (stream_compact_matches_batch=1).
 
+## Head-term skew (the salting rationale, measured)
+
+Adversarial corpus: the same CJK sentence prepended to EVERY doc, so
+its 2-grams hit df ~= 100% of 200k docs (17.2M tf, 12.8M postings).
+
+| num_salts | build | docs/s |
+|---|---|---|
+| 4 | 12.4 s | 16,165 |
+| 8 | 9.7 s | 20,624 |
+| 16 | 8.6 s | 23,145 |
+
+No reducer collapse at any S (each head term splits into S
+docid-disjoint shards); raising S recovers the natural-corpus
+per-posting rate, confirming num_salts as the skew lever.  Query-side,
+the df~100% term answers in 0.26 s on the serving path and its BM25
+idf correctly drives its score contribution to ~0.
+
 ## Query latency at local[32], 200k-doc index (5 reps)
 
 Round 2 (scoped scan paths + explicit read schema): medians
