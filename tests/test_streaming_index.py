@@ -285,3 +285,41 @@ def test_search_survives_missing_epoch_stats(spark, tmp_path):
         for r in search(spark, inc_dir, "のび太", k=10).collect()
     ]
     assert before and after == before
+
+
+def test_validate_index_batch_stream_and_corruption(spark, tmp_path):
+    import json, os
+
+    from pg_cjk_parser_spark.index.validate import validate_index
+
+    # batch index: all invariants hold, deep block sampling passes
+    bdir = str(tmp_path / "vbatch")
+    docs = synth_corpus(spark, 150, seed=5, num_partitions=2)
+    build_index(spark, docs, bdir, num_buckets=8, num_salts=2, block_size=16)
+    rep = validate_index(bdir, deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["checks"]["buckets"] == 8
+    assert rep["checks"]["blocks_sampled"] > 0
+
+    # streaming index: epoch manifests + stats agree
+    sdir = str(tmp_path / "vstream")
+    for e in range(2):
+        append_index_batch(
+            spark,
+            docs.where(F.pmod(F.xxhash64("url"), F.lit(2)) == e),
+            sdir, epoch=e, num_buckets=8, num_salts=2, block_size=16,
+        )
+    rep = validate_index(sdir)
+    assert rep["ok"], rep["errors"]
+    assert rep["checks"]["epochs"] == 2
+
+    # corruption: tamper a bucket manifest's metrics -> caught
+    mp = os.path.join(bdir, "manifests", "bucket=3.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m["metrics"]["total_tf"] += 7
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    rep = validate_index(bdir)
+    assert not rep["ok"]
+    assert any("sum(buckets)" in e for e in rep["errors"])
