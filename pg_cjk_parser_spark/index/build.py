@@ -111,7 +111,7 @@ def _enc_pos(ps: list[int]) -> bytes:
     return bytes(out)
 
 
-def _postings_gen(batches):
+def _postings_gen(batches, normalize_zht: bool = False):
     """Per-doc tokenize + aggregate, emitting flat pre-exploded rows.
 
     Flat str/int/binary columns keep the Arrow python->JVM transfer on
@@ -119,6 +119,10 @@ def _postings_gen(batches):
     ~6x slower and degraded under high parallelism.
     """
     from ..kernel.tokenizer import lexemes
+
+    norm = None
+    if normalize_zht:
+        from ..functions.zht2zhs import zht2zhs as norm
 
     docid_out: list[int] = []
     dl_out: list[int] = []
@@ -139,6 +143,8 @@ def _postings_gen(batches):
 
     for pdf in batches:
         for docid, text in zip(pdf["docid"].tolist(), pdf["text"].tolist()):
+            if norm is not None and text is not None:
+                text = norm(text)
             lex = lexemes(text) if text is not None else []
             agg: dict[str, list[int]] = {}
             for term, pos in lex:
@@ -204,7 +210,8 @@ def _blob_slices(blob: bytes, lens: np.ndarray) -> list[bytes]:
     return [blob[ol[i]:ol[i + 1]] for i in range(len(lens))]
 
 
-def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000):
+def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
+                         normalize_zht: bool = False):
     """Map side of the packed shuffle: tokenize docs and emit ONE fat
     binary row per (bucket, salt) cell per ~flush_at postings, instead
     of one row per posting.  The Python<->JVM Arrow boundary is paid
@@ -216,6 +223,10 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000):
     staged builds address the same shards."""
     from ..kernel.tokenizer import lexemes
     from .xxh64 import pmod, spark_xxhash64_long, spark_xxhash64_str
+
+    norm = None
+    if normalize_zht:
+        from ..functions.zht2zhs import zht2zhs as norm
 
     ncells = num_buckets * num_salts
     terms: list[list] = [[] for _ in range(ncells)]
@@ -250,6 +261,8 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000):
 
     for pdf in batches:
         for docid, text in zip(pdf["docid"].tolist(), pdf["text"].tolist()):
+            if norm is not None and text is not None:
+                text = norm(text)
             lex = lexemes(text) if text is not None else []
             if not lex:
                 continue
@@ -356,7 +369,12 @@ def _with_docid(docs: DataFrame, docid_col: str | None) -> DataFrame:
     return docs.withColumn("docid", F.col(docid_col).cast("long"))
 
 
-def explode_postings(docs: DataFrame, docid_col: str | None, text_col: str) -> DataFrame:
+def explode_postings(
+    docs: DataFrame,
+    docid_col: str | None,
+    text_col: str,
+    normalize_zht: bool = False,
+) -> DataFrame:
     """(docid, doclen, term, tf, positions:binary) - one row per (doc, term).
 
     Doc-id density matters: delta-varint docid blocks are ~2.4x smaller
@@ -368,7 +386,9 @@ def explode_postings(docs: DataFrame, docid_col: str | None, text_col: str) -> D
     sel = _with_docid(docs, docid_col).select(
         "docid", F.col(text_col).alias("text")
     )
-    return sel.mapInPandas(_postings_gen, POSTING_ROW_SCHEMA)
+    return sel.mapInPandas(
+        lambda it: _postings_gen(it, normalize_zht), POSTING_ROW_SCHEMA
+    )
 
 
 _BLOCK_COLS = [
@@ -547,8 +567,15 @@ def build_index(
     num_partitions: int | None = None,
     keep_staging: bool = False,
     n_docs: int | None = None,
+    normalize_zht: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index for ``docs``; returns stats.
+
+    ``normalize_zht=True`` maps traditional->simplified CJK
+    (cjk_zht2zhs) inside the tokenizer pass, so traditional and
+    simplified spellings index to the same terms; the flag is recorded
+    in stats.json and query routing applies the same normalization to
+    query text automatically.
 
     ``keep_staging=True`` retains the exploded-postings staging parquet
     (skips re-tokenizing on resume at the cost of ~staged-corpus
@@ -574,8 +601,9 @@ def build_index(
             if srcs
             else "mem"
         )
+        zs = "-z" if normalize_zht else ""
         fingerprint = (
-            f"fp3-{num_buckets}-{num_salts}-{block_size}-n{n_docs}-{src_h}"
+            f"fp3-{num_buckets}-{num_salts}-{block_size}{zs}-n{n_docs}-{src_h}"
         )
     done = _valid_buckets(index_dir, fingerprint) if resume else set()
     if resume and len(done) == num_buckets:
@@ -593,7 +621,7 @@ def build_index(
     staging = os.path.join(index_dir, "_staging_postings")
 
     def exploded():
-        p = explode_postings(docs, docid_col, text_col)
+        p = explode_postings(docs, docid_col, text_col, normalize_zht)
         return p.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
         ).withColumn(
@@ -651,7 +679,9 @@ def build_index(
             "docid", F.col(text_col).alias("text")
         )
         cells = sel.mapInPandas(
-            lambda it: _packed_postings_gen(it, num_buckets, num_salts),
+            lambda it: _packed_postings_gen(
+                it, num_buckets, num_salts, normalize_zht=normalize_zht
+            ),
             PACKED_SCHEMA,
         )
         blocks = cells.repartition(parts, "bucket", "salt").mapInPandas(
@@ -728,6 +758,7 @@ def build_index(
         "k1": k1,
         "b": b,
         "fingerprint": fingerprint,
+        "normalize_zht": bool(normalize_zht),
         "build_seconds": round(time.time() - t0, 3),
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:

@@ -205,7 +205,7 @@ def compact_index(
         )
         return _rebuild_stats(
             index_dir, stats["num_buckets"], stats["num_salts"], block_size,
-            stats["k1"], stats["b"],
+            stats["k1"], stats["b"], stats.get("normalize_zht", False),
         )
     # compaction rewrote the layout under epoch=<new_epoch> even for a
     # batch-built index: record it so query routing derives scan paths

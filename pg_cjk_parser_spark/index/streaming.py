@@ -60,6 +60,7 @@ def append_index_batch(
     block_size: int = DEFAULT_BLOCK,
     k1: float = 1.2,
     b: float = 0.75,
+    normalize_zht: bool = False,
 ) -> dict:
     """Append one micro-batch to the index; idempotent per epoch."""
     os.makedirs(os.path.join(index_dir, "manifests"), exist_ok=True)
@@ -68,7 +69,8 @@ def append_index_batch(
         # re-delivered batch: already applied; re-derive stats in case
         # a crash interrupted the previous stats refresh
         return _rebuild_stats(
-            index_dir, num_buckets, num_salts, block_size, k1, b
+            index_dir, num_buckets, num_salts, block_size, k1, b,
+            normalize_zht,
         )
 
     # clean any partial files from a failed earlier attempt of this epoch
@@ -95,7 +97,9 @@ def append_index_batch(
         "docid", F.col(text_col).alias("text")
     )
     cells = sel.mapInPandas(
-        lambda it: _packed_postings_gen(it, num_buckets, num_salts),
+        lambda it: _packed_postings_gen(
+            it, num_buckets, num_salts, normalize_zht=normalize_zht
+        ),
         PACKED_SCHEMA,
     )
     blocks = (
@@ -145,7 +149,7 @@ def append_index_batch(
         },
     )
     return _rebuild_stats(
-        index_dir, num_buckets, num_salts, block_size, k1, b
+        index_dir, num_buckets, num_salts, block_size, k1, b, normalize_zht
     )
 
 
@@ -156,7 +160,10 @@ def _atomic_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
-def _rebuild_stats(index_dir, num_buckets, num_salts, block_size, k1, b) -> dict:
+def _rebuild_stats(
+    index_dir, num_buckets, num_salts, block_size, k1, b,
+    normalize_zht: bool = False,
+) -> dict:
     mdir = os.path.join(index_dir, "manifests")
     epochs, n_docs, total_tf, n_postings = [], 0, 0, 0
     for name in sorted(os.listdir(mdir)):
@@ -179,6 +186,7 @@ def _rebuild_stats(index_dir, num_buckets, num_salts, block_size, k1, b) -> dict
         "k1": k1,
         "b": b,
         "fingerprint": "streaming",
+        "normalize_zht": bool(normalize_zht),
         "epochs": sorted(epochs),
     }
     _atomic_json(_stats_path(index_dir), stats)

@@ -185,6 +185,13 @@ def _route(index_dir: str, query: str, mode: str):
     """Shared query routing: stats, parsed query, pruned bucket set,
     term df lookup, idf map.  Returns None when no doc can match."""
     stats = load_stats(index_dir)
+    if stats.get("normalize_zht"):
+        # the index was built traditional->simplified normalized; map
+        # the query the same way (char-level translate: tsquery
+        # operators/quotes are unaffected)
+        from ..functions.zht2zhs import zht2zhs
+
+        query = zht2zhs(query)
     pq = parse_query(query, mode)
     if not pq.terms:
         return None

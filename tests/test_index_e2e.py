@@ -301,3 +301,52 @@ def test_randomized_queries_vs_oracle(spark, built):
         assert got == want, (q, mode, got[:3], want[:3])
         checked += 1
     assert checked >= 30
+
+
+def test_normalize_zht_index_and_query(spark, tmp_path):
+    """normalize_zht=True: traditional and simplified spellings index
+    to the same terms, and query routing normalizes query text
+    automatically (both spellings of the query match)."""
+    from pg_cjk_parser_spark.functions.zht2zhs import zht2zhs
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    trad = "大韓民國的歷史紀錄"          # traditional spelling
+    simp = zht2zhs(trad)                  # 大韩民国的历史纪录
+    assert simp != trad
+    docs = spark.createDataFrame(
+        [(1, trad), (2, simp), (3, "unrelated english text entirely")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "zht")
+    build_index(
+        spark, docs, d, docid_col="doc_id", num_buckets=4, num_salts=2,
+        block_size=16, normalize_zht=True,
+    )
+    for q in (trad, simp):
+        got = {docid for docid, _ in search_local(d, q, k=10)}
+        assert got == {1, 2}, (q, got)
+    # spark path agrees
+    got = {r.docid for r in search(spark, d, trad, k=10).collect()}
+    assert got == {1, 2}
+
+    # without the flag, spellings don't cross-match
+    d2 = str(tmp_path / "raw")
+    build_index(
+        spark, docs, d2, docid_col="doc_id", num_buckets=4, num_salts=2,
+        block_size=16,
+    )
+    got = {docid for docid, _ in search_local(d2, trad, k=10)}
+    assert got == {1}
+
+    # streaming append + compaction preserve the flag
+    from pg_cjk_parser_spark.index.compact import compact_index
+    from pg_cjk_parser_spark.index.streaming import append_index_batch
+
+    d3 = str(tmp_path / "zht_stream")
+    append_index_batch(
+        spark, docs, d3, epoch=0, docid_col="doc_id", num_buckets=4,
+        num_salts=2, block_size=16, normalize_zht=True,
+    )
+    assert {docid for docid, _ in search_local(d3, trad, k=10)} == {1, 2}
+    compact_index(spark, d3)
+    assert {docid for docid, _ in search_local(d3, trad, k=10)} == {1, 2}
