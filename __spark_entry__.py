@@ -988,6 +988,169 @@ FROM f2e ORDER BY doc_id
 """
 
 
+def _q_headline_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_headline for the two-term AND query 'spark merge' (the full
+    multi-cover selection loop: cover enumeration, extension, backward
+    extension, window shrink, and the poslen-based best-cover rule)."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf("spark merge", min_words=5, max_words=12)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
+
+
+# Closed/recursive form of hlCover + mark_hl_words for a TWO-TERM AND
+# query over a pure-asciiword corpus, validated 0-diff against the
+# kernel on the driver corpus + 21k randomized texts covering every
+# branch (tests/test_oracle_premises.py):
+#   - covers: a recursive fold - from scan position `pos`, q = max of
+#     the two terms' first occurrences >= pos, p = min of their last
+#     occurrences in [pos, q] (both terms always land in [p, q], so
+#     the window-match retry never fires for 2-term AND); next pos =
+#     p + 1;
+#   - windows: covers <= 11 words extend right to the first good-end
+#     word with >= min_words (backward-extending at doc end like the
+#     single-term case); covers >= 12 words SHRINK: the end walks down
+#     from p+11 to the largest good-end word >= p+5, and poslen
+#     deducts the query-term words it walked over (incl. the final
+#     end word - bug-compatible with the reference);
+#   - selection: a sequential fold with the reference's skip rule
+#     (covers whose INITIAL window poslen is below the running best
+#     are skipped outright when the best has a good end; otherwise a
+#     cover takes over when its final poslen beats the best with a
+#     good end, or when it is the first good end);
+#   - no-cover docs fall back to the first min_words words, which
+#     still highlights any lone query term present.
+# The word -> term mapping ('spark' -> spark, 'merge' -> merg after
+# stemming) is exact for the closed driver vocabulary (guarded by
+# test_driver_vocab_covers_all_sf_dirs).
+_HEADLINE_AND_SQL = r"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS m
+  FROM documents
+),
+base AS (
+  SELECT doc_id, ws, m,
+    list_filter(generate_series(1, m), i -> ws[i] = 'spark') AS os,
+    list_filter(generate_series(1, m), i -> ws[i] = 'merge') AS om
+  FROM d
+),
+cov AS (
+  SELECT doc_id, ws, m, os, om, 0 AS k, 1 AS pos,
+         CAST(NULL AS BIGINT) AS p, CAST(NULL AS BIGINT) AS q
+  FROM base
+  UNION ALL
+  SELECT doc_id, ws, m, os, om, k + 1,
+         pp + 1 AS pos, pp AS p, qq AS q
+  FROM (
+    SELECT *,
+      least(list_filter(os, o -> o >= pos AND o <= qq)[-1],
+            list_filter(om, o -> o >= pos AND o <= qq)[-1]) AS pp
+    FROM (
+      SELECT *,
+        greatest(list_filter(os, o -> o >= pos)[1],
+                 list_filter(om, o -> o >= pos)[1]) AS qq
+      FROM cov
+      WHERE len(list_filter(os, o -> o >= pos)) > 0
+        AND len(list_filter(om, o -> o >= pos)) > 0
+    )
+  )
+),
+covers AS (SELECT * FROM cov WHERE k >= 1),
+win AS (
+  SELECT doc_id, ws, m, k, p, q,
+    q - p + 1 AS D,
+    least(q - p + 1, 12) AS curlen0,
+    len(list_filter(generate_series(p, p + least(q - p + 1, 12) - 1),
+        j -> (ws[j] = 'spark' OR ws[j] = 'merge'))) AS poslen0
+  FROM covers
+),
+win2 AS (
+  SELECT doc_id, ws, m, k, p, q, D, poslen0,
+    CASE WHEN D <= 11 THEN
+      coalesce(
+        list_filter(generate_series(greatest(q, p + 4), least(p + 11, m)),
+                    j -> length(ws[j]) > 3)[1],
+        CASE WHEN p + 11 <= m THEN p + 11 ELSE m END)
+    ELSE
+      coalesce(
+        list_filter(generate_series(p + 5, p + 11),
+                    j -> length(ws[j]) > 3)[-1],
+        p + 5)
+    END AS e,
+    CASE WHEN D <= 11 AND m - p + 1 < 5 THEN
+      coalesce(
+        list_filter(generate_series(1, p - 1),
+          bb -> bb <= m - 11 OR (length(ws[bb]) > 3 AND bb <= m - 4))[-1],
+        1)
+    ELSE p END AS b
+  FROM win
+),
+win3 AS (
+  SELECT doc_id, k, b, e, poslen0,
+    CASE WHEN D <= 11 THEN
+      len(list_filter(generate_series(b, e),
+          j -> (ws[j] = 'spark' OR ws[j] = 'merge')))
+    ELSE
+      poslen0 - len(list_filter(generate_series(e, p + 11),
+          j -> (ws[j] = 'spark' OR ws[j] = 'merge')))
+    END AS poslen_f,
+    length(ws[e]) > 3 AS ok
+  FROM win2
+),
+nk AS (SELECT doc_id, max(k) AS kmax FROM covers GROUP BY doc_id),
+sel AS (
+  SELECT n.doc_id, 0 AS k, 0 AS bestb, 0 AS beste,
+         -1 AS bestlen, FALSE AS bestok, n.kmax
+  FROM nk n
+  UNION ALL
+  SELECT s.doc_id, s.k + 1,
+    CASE WHEN s.upd THEN s.b ELSE s.bestb END,
+    CASE WHEN s.upd THEN s.e ELSE s.beste END,
+    CASE WHEN s.upd THEN s.poslen_f ELSE s.bestlen END,
+    CASE WHEN s.upd THEN s.ok ELSE s.bestok END,
+    s.kmax
+  FROM (
+    SELECT s.*, w.b, w.e, w.poslen_f, w.ok,
+      CASE WHEN (w.poslen0 < s.bestlen AND s.bestok) THEN FALSE
+           WHEN s.bestlen < 0 THEN TRUE
+           WHEN w.poslen_f > s.bestlen AND w.ok THEN TRUE
+           WHEN w.ok AND NOT s.bestok THEN TRUE
+           ELSE FALSE END AS upd
+    FROM sel s JOIN win3 w ON w.doc_id = s.doc_id AND w.k = s.k + 1
+    WHERE s.k < s.kmax
+  ) AS s(doc_id, k, bestb, beste, bestlen, bestok, kmax,
+         b, e, poslen_f, ok, upd)
+),
+chosen AS (
+  SELECT doc_id, bestb AS b, beste AS e
+  FROM sel WHERE k = kmax
+),
+fallback AS (
+  SELECT d.doc_id, 1 AS b, least(5, d.m) AS e
+  FROM d LEFT JOIN nk ON nk.doc_id = d.doc_id
+  WHERE nk.doc_id IS NULL
+),
+allwin AS (
+  SELECT * FROM chosen UNION ALL SELECT * FROM fallback
+)
+SELECT a.doc_id,
+  array_to_string(list_transform(d.ws[a.b:a.e],
+    w -> CASE WHEN w = 'spark' OR w = 'merge'
+              THEN '<b>' || w || '</b>' ELSE w END), ' ') AS snippet
+FROM allwin a JOIN d ON d.doc_id = a.doc_id
+WHERE len(list_filter(generate_series(a.b, a.e),
+      j -> (d.ws[j] = 'spark' OR d.ws[j] = 'merge'))) > 0
+ORDER BY a.doc_id
+"""
+
+
 def _q_ts_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ts_debug token stream for the first 30 documents."""
     from pg_cjk_parser_spark.spark.udfs import ts_debug_udf
@@ -1050,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "event_windows": _q_event_windows,
         "ts_headline_fragments": _q_headline_fragments,
+        "ts_headline_and": _q_headline_and,
     }
 
 
@@ -1077,4 +1241,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _EMB_NEAR_DUPS_SQL,
         "event_windows": _EVENT_WINDOWS_SQL,
         "ts_headline_fragments": _HEADLINE_FRAGMENTS_SQL,
+        "ts_headline_and": _HEADLINE_AND_SQL,
     }

@@ -170,6 +170,45 @@ def test_headline_fragments_closed_form_matches_kernel():
     assert checked > 400
 
 
+def test_headline_two_term_closed_form_matches_kernel():
+    """The recursive-CTE transcription of hlCover + mark_hl_words for
+    the two-term AND query must equal the kernel on randomized corpora
+    covering every branch: extension, backward extension at doc end,
+    window shrink (covers wider than max_words), the poslen skip rule,
+    and the no-cover fallback that still highlights lone terms."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(5)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 60, 900),
+        (["value", "customer", "batch", "window", "sort", "the", "a", "key"] * 4
+         + ["spark", "merge"], 140, 900),  # sparse -> shrink branch
+        (["spark", "merge", "the", "a"], 80, 600),      # dense
+        (["a", "the", "big", "dup", "key", "spark", "merge"], 60, 600),
+    ]
+    texts = []
+    i = 0
+    for pool, maxn, reps in pools:
+        for _ in range(reps):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._HEADLINE_AND_SQL).fetchall())
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(t, "spark merge", min_words=5, max_words=12)
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 1000
+
+
 def test_simhash_sql_matches_kernel_on_random_texts():
     from pg_cjk_parser_spark.index.xxh64 import xxh64
 
