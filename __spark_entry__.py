@@ -1028,7 +1028,36 @@ def _q_headline_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The word -> term mapping ('spark' -> spark, 'merge' -> merg after
 # stemming) is exact for the closed driver vocabulary (guarded by
 # test_driver_vocab_covers_all_sf_dirs).
-_HEADLINE_AND_SQL = r"""
+def _headline_and_sql(words: list[str]) -> str:
+    """Generate the recursive-CTE oracle for an N-term AND ts_headline
+    query.  ``words`` are the raw corpus words whose stems are the
+    query terms (exact for the closed driver vocabulary).  The cover
+    fold generalizes unchanged: for pure AND of ANY arity, q = max of
+    first occurrences >= pos and p = min of last occurrences in
+    [pos, q] always yields a window containing every term (each term's
+    first-occurrence f_t satisfies pos <= f_t <= q, so its last in
+    [pos, q] exists), making hlCover's window-match retry provably
+    unreachable; windows and selection are term-count independent."""
+    occ_defs = ",\n    ".join(
+        f"list_filter(generate_series(1, m), i -> ws[i] = '{w}') AS o{j}"
+        for j, w in enumerate(words)
+    )
+    occ_cols = ", ".join(f"o{j}" for j in range(len(words)))
+    firsts = ",\n                 ".join(
+        f"list_filter(o{j}, o -> o >= pos)[1]" for j in range(len(words))
+    )
+    lasts = ",\n            ".join(
+        f"list_filter(o{j}, o -> o >= pos AND o <= qq)[-1]"
+        for j in range(len(words))
+    )
+    nonempty = "\n        AND ".join(
+        f"len(list_filter(o{j}, o -> o >= pos)) > 0"
+        for j in range(len(words))
+    )
+    item = " OR ".join(f"ws[{{j}}] = '{w}'" for w in words)
+    item_j = "(" + item.format(j="j") + ")"
+    wrap = " OR ".join(f"w = '{w}'" for w in words)
+    return f"""
 WITH RECURSIVE
 d AS (
   SELECT doc_id, string_split(text, ' ') AS ws,
@@ -1037,28 +1066,24 @@ d AS (
 ),
 base AS (
   SELECT doc_id, ws, m,
-    list_filter(generate_series(1, m), i -> ws[i] = 'spark') AS os,
-    list_filter(generate_series(1, m), i -> ws[i] = 'merge') AS om
+    {occ_defs}
   FROM d
 ),
 cov AS (
-  SELECT doc_id, ws, m, os, om, 0 AS k, 1 AS pos,
+  SELECT doc_id, ws, m, {occ_cols}, 0 AS k, 1 AS pos,
          CAST(NULL AS BIGINT) AS p, CAST(NULL AS BIGINT) AS q
   FROM base
   UNION ALL
-  SELECT doc_id, ws, m, os, om, k + 1,
+  SELECT doc_id, ws, m, {occ_cols}, k + 1,
          pp + 1 AS pos, pp AS p, qq AS q
   FROM (
     SELECT *,
-      least(list_filter(os, o -> o >= pos AND o <= qq)[-1],
-            list_filter(om, o -> o >= pos AND o <= qq)[-1]) AS pp
+      least({lasts}) AS pp
     FROM (
       SELECT *,
-        greatest(list_filter(os, o -> o >= pos)[1],
-                 list_filter(om, o -> o >= pos)[1]) AS qq
+        greatest({firsts}) AS qq
       FROM cov
-      WHERE len(list_filter(os, o -> o >= pos)) > 0
-        AND len(list_filter(om, o -> o >= pos)) > 0
+      WHERE {nonempty}
     )
   )
 ),
@@ -1068,7 +1093,7 @@ win AS (
     q - p + 1 AS D,
     least(q - p + 1, 12) AS curlen0,
     len(list_filter(generate_series(p, p + least(q - p + 1, 12) - 1),
-        j -> (ws[j] = 'spark' OR ws[j] = 'merge'))) AS poslen0
+        j -> {item_j})) AS poslen0
   FROM covers
 ),
 win2 AS (
@@ -1095,11 +1120,10 @@ win2 AS (
 win3 AS (
   SELECT doc_id, k, b, e, poslen0,
     CASE WHEN D <= 11 THEN
-      len(list_filter(generate_series(b, e),
-          j -> (ws[j] = 'spark' OR ws[j] = 'merge')))
+      len(list_filter(generate_series(b, e), j -> {item_j}))
     ELSE
       poslen0 - len(list_filter(generate_series(e, p + 11),
-          j -> (ws[j] = 'spark' OR ws[j] = 'merge')))
+          j -> {item_j}))
     END AS poslen_f,
     length(ws[e]) > 3 AS ok
   FROM win2
@@ -1142,13 +1166,34 @@ allwin AS (
 )
 SELECT a.doc_id,
   array_to_string(list_transform(d.ws[a.b:a.e],
-    w -> CASE WHEN w = 'spark' OR w = 'merge'
+    w -> CASE WHEN {wrap}
               THEN '<b>' || w || '</b>' ELSE w END), ' ') AS snippet
 FROM allwin a JOIN d ON d.doc_id = a.doc_id
 WHERE len(list_filter(generate_series(a.b, a.e),
-      j -> (d.ws[j] = 'spark' OR d.ws[j] = 'merge'))) > 0
+      j -> {item_j})) > 0
 ORDER BY a.doc_id
 """
+
+
+_HEADLINE_AND_SQL = _headline_and_sql(["spark", "merge"])
+_HEADLINE_AND3_SQL = _headline_and_sql(["customer", "query", "window"])
+
+
+def _q_headline_and3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_headline for the three-term AND query 'customer query
+    window' - same generated oracle (the cover fold is arity-
+    independent for pure AND; see _headline_and_sql)."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf(
+        "customer query window", min_words=5, max_words=12
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
 
 
 def _q_ts_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1214,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "ts_headline_fragments": _q_headline_fragments,
         "ts_headline_and": _q_headline_and,
+        "ts_headline_and3": _q_headline_and3,
     }
 
 
@@ -1242,4 +1288,5 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _EVENT_WINDOWS_SQL,
         "ts_headline_fragments": _HEADLINE_FRAGMENTS_SQL,
         "ts_headline_and": _HEADLINE_AND_SQL,
+        "ts_headline_and3": _HEADLINE_AND3_SQL,
     }

@@ -209,6 +209,42 @@ def test_headline_two_term_closed_form_matches_kernel():
     assert checked > 1000
 
 
+def test_headline_three_term_closed_form_matches_kernel():
+    """The generated N-term oracle at arity 3 (the cover fold is
+    arity-independent for pure AND - every term's last occurrence in
+    [pos, q] exists because its first is <= q)."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(31)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 60, 800),
+        (["value", "batch", "sort", "the", "a", "key"] * 4
+         + ["customer", "query", "window"], 140, 800),
+        (["customer", "query", "window", "the", "a"], 80, 500),
+    ]
+    texts = []
+    i = 0
+    for pool, maxn, reps in pools:
+        for _ in range(reps):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._HEADLINE_AND3_SQL).fetchall())
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(t, "customer query window", min_words=5, max_words=12)
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 300
+
+
 def test_simhash_sql_matches_kernel_on_random_texts():
     from pg_cjk_parser_spark.index.xxh64 import xxh64
 
