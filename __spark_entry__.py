@@ -1030,7 +1030,8 @@ def _q_headline_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_driver_vocab_covers_all_sf_dirs).
 def _headline_and_sql(words: list[str]) -> str:
     """Generate the recursive-CTE oracle for an N-term AND ts_headline
-    query.  ``words`` are the raw corpus words whose stems are the
+    query (reference semantics: hlCover pg_cjk_parser.c:2399-2468,
+    mark_hl_words :2722-2866).  ``words`` are the raw corpus words whose stems are the
     query terms (exact for the closed driver vocabulary).  The cover
     fold generalizes unchanged: for pure AND of ANY arity, q = max of
     first occurrences >= pos and p = min of last occurrences in
