@@ -635,6 +635,44 @@ FROM ranked WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_cjk_parser_spark.ops.textstats import rolling_fingerprint
+
+    return (
+        rolling_fingerprint(_docs(spark, sf_dir), k=8, n_mins=4)
+        .select("doc_id", F.array_join("fingerprint", ",").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# Exact integer arithmetic both sides: the iterated (acc*B + c) % p
+# equals the power-sum mod p, and the unreduced sum fits int64
+# (8 * 127 * 131^7 < 2^63); 131^7 < 2^53 so the double-typed power is
+# exact before the BIGINT cast.
+_ROLLING_FP_SQL = """
+WITH w AS (
+  SELECT d.doc_id,
+         least(8, length(d.text) - i.i + 1) AS l,
+         substr(d.text, i.i, 8) AS win
+  FROM documents d,
+       (SELECT unnest(generate_series(1, 4000)) AS i) i
+  WHERE i.i <= greatest(length(d.text) - 7, 1)
+), h AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(1, l),
+             j -> ord(substr(win, j, 1)) * (131 ** (l - j))::BIGINT
+         ))::BIGINT % 1000000007 AS hv
+  FROM w
+), ranked AS (
+  SELECT doc_id, hv,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+  FROM h
+)
+SELECT doc_id, string_agg(hv::VARCHAR, ',' ORDER BY hv) AS fp
+FROM ranked WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact Jaccard.
 
@@ -1247,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "token_counts": _q_token_counts,
         "char_fingerprint": _q_fingerprint,
+        "rolling_fingerprint": _q_rolling_fingerprint,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
@@ -1276,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "char_fingerprint": _FINGERPRINT_SQL,
+        "rolling_fingerprint": _ROLLING_FP_SQL,
         "ts_debug": _TS_DEBUG_SQL,
         "bm25_or_topk": _BM25_OR_SQL,
         "minhash_near_dups": _MINHASH_SQL,

@@ -109,6 +109,42 @@ def quality_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def rolling_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_mins: int = 4,
+    base: int = 131,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Rabin-Karp-style rolling-hash fingerprint: the ``n_mins``
+    smallest polynomial hashes h = sum(code(c_j) * base^(k-1-j)) mod
+    ``mod`` over all k-char windows (winnowing-style min-sampling with
+    an actual rolling hash instead of a digest).  Entirely JVM-side:
+    window extraction via substr, the hash via F.aggregate over the
+    window's characters (exact in long arithmetic: acc < mod ~ 2^30,
+    acc*base + 127 < 2^38).  Character codes via ascii() - exact for
+    the Latin-1 range; hand wider alphabets to char_window_fingerprint
+    (md5-based) instead."""
+    t = F.col(text_col)
+    nwin = F.greatest(F.length(t) - (k - 1), F.lit(1))
+
+    def win_hash(i):
+        chars = F.split(t.substr(i, F.lit(k)), "")
+        return F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * base + F.ascii(c)) % mod,
+        )
+
+    hashes = F.transform(F.sequence(F.lit(1), nwin), win_hash)
+    return docs.select(
+        F.col(id_col),
+        F.slice(F.array_sort(hashes), 1, n_mins).alias("fingerprint"),
+    )
+
+
 def char_window_fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",
