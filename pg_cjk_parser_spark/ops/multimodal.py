@@ -149,6 +149,58 @@ def image_features(
     )
 
 
+def audio_features(
+    media: DataFrame,
+    use_fake_decoder: bool = False,
+    frame_ms: int = 25,
+) -> DataFrame:
+    """Decode -> per-clip loudness/zero-crossing features for audio
+    rows: (media_id, duration_s, rms, zcr).  Same contract as
+    image_features: Arrow-batched mapInPandas plumbing is real, the
+    PCM decode is a deterministic fake (or NotImplementedError) since
+    this environment ships no audio codecs."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, durs, rmss, zcrs = [], [], [], []
+            for mid, kind, payload, sr in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["sample_rate"],
+            ):
+                if kind != "audio":
+                    continue
+                if not use_fake_decoder:
+                    raise NotImplementedError(
+                        "real audio codecs unavailable in this environment; "
+                        "pass use_fake_decoder=True for the deterministic stub"
+                    )
+                sr = int(sr) or 16000
+                seed = int.from_bytes(bytes(payload)[:8].ljust(8, b"\0"), "little")
+                rng = np.random.default_rng(seed ^ 0xA0D10)
+                n_samples = sr // 4 + (seed % sr)  # 0.25-1.25 s fake clip
+                pcm = rng.integers(
+                    -(1 << 15), 1 << 15, size=n_samples, dtype=np.int32
+                ).astype(np.float64) / (1 << 15)
+                ids.append(mid)
+                durs.append(n_samples / sr)
+                rmss.append(float(np.sqrt(np.mean(pcm * pcm))))
+                zcrs.append(
+                    float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean())
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "duration_s": pd.Series(durs, dtype="float64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "zcr": pd.Series(zcrs, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        gen, "media_id long, duration_s double, rms double, zcr double"
+    )
+
+
 def frame_sample(
     media: DataFrame, every_n: int = 10, use_fake_decoder: bool = False
 ) -> DataFrame:

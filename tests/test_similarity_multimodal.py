@@ -158,3 +158,24 @@ def test_ivf_recall_and_scores(spark, emb):
     import numpy as np
 
     assert np.allclose(C, C2)
+
+
+def test_audio_features_plumbing(spark):
+    from pg_cjk_parser_spark.ops.multimodal import audio_features, synth_media
+
+    media = synth_media(spark, 30, seed=42)
+    rows = audio_features(media, use_fake_decoder=True).collect()
+    audio_ids = {r.media_id for r in media.where("kind = 'audio'").collect()}
+    assert {r.media_id for r in rows} == audio_ids
+    for r in rows:
+        assert 0.2 < r.duration_s < 1.3
+        assert 0.0 < r.rms < 1.0
+        assert 0.0 < r.zcr < 1.0
+    # deterministic across runs
+    rows2 = audio_features(media, use_fake_decoder=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # real-codec path declares itself loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        audio_features(media, use_fake_decoder=False).collect()
