@@ -296,13 +296,16 @@ def _ivf_sql() -> str:
 
     con = duckdb.connect()
     # isolation: a missing/unreadable oracle table must not take down
-    # the whole oracle_sql() dict (every other query's oracle)
+    # the whole oracle_sql() dict (every other query's oracle).  Only
+    # IO/duckdb errors degrade; a bug in the replication code should
+    # surface loudly, and the fallback is marked so a grader reading
+    # the recorded SQL can tell a degraded row from the real oracle.
     try:
         return _ivf_sql_inner(con, duckdb, np, train_ivf_numpy)
-    except Exception:
+    except (OSError, duckdb.Error):
         # degraded fallback: exact brute-force ranking (will mismatch
         # the approximate query only if candidates were imperfect)
-        return _ANN_SQL
+        return "-- degraded: ivf oracle table unreadable\n" + _ANN_SQL
 
 
 def _ivf_sql_inner(con, duckdb, np, train_ivf_numpy) -> str:
@@ -406,7 +409,7 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
 FROM events
 GROUP BY day, event_type
 ORDER BY day, event_type

@@ -596,11 +596,16 @@ def build_index(
             srcs = sorted(docs.inputFiles())
         except Exception:
             srcs = []
-        src_h = (
-            hashlib.md5("|".join(srcs).encode()).hexdigest()[:10]
-            if srcs
-            else "mem"
-        )
+        if srcs:
+            src_h = hashlib.md5("|".join(srcs).encode()).hexdigest()[:10]
+        else:
+            # in-memory DataFrame: no input files to identify the corpus,
+            # and doc count alone cannot distinguish two different
+            # same-sized corpora - so never reuse prior staging/buckets
+            # (a caller who wants resume for an in-memory source passes
+            # an explicit content-derived ``fingerprint``)
+            src_h = "mem"
+            resume = False
         zs = "-z" if normalize_zht else ""
         fingerprint = (
             f"fp3-{num_buckets}-{num_salts}-{block_size}{zs}-n{n_docs}-{src_h}"

@@ -107,6 +107,49 @@ def minhash_signatures(
     ).mapInPandas(gen, "id long, sig array<long>")
 
 
+def _banded_buckets(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bucket) rows: each signature sliced into ``bands``
+    band keys, each hashed (with the band index as salt) to a bucket."""
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.slice(
+                    "sig", i * rows_per_band + 1, rows_per_band
+                ),
+            )
+        ).alias("band", "key"),
+    ).select(
+        "id",
+        "band",
+        F.xxhash64(F.col("key").cast("string"), "band").alias("bucket"),
+    )
+
+
+def lsh_hot_buckets(
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """(band, bucket, n) for every bucket ``lsh_candidate_pairs`` would
+    drop under the same arguments - the observability companion to the
+    hot-bucket cap.  An empty result means no truncation occurred; a
+    non-empty one tells the caller exactly how many members each
+    dropped bucket had, so capped recall is auditable rather than
+    silent."""
+    banded = _banded_buckets(sigs, bands, rows_per_band)
+    counts = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    if max_bucket_size is None:
+        return counts.where(F.lit(False))
+    return counts.where(F.col("n") > max_bucket_size)
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 16,
@@ -118,21 +161,18 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket_size`` are dropped before the
     self-join: a degenerate hot bucket (e.g. every empty/boilerplate
     doc shares the all-zeros signature in every band) makes the join
-    quadratic in bucket size.  Such clusters are exact duplicates of
-    each other's band keys and belong to the exact-dedup path anyway;
-    dropped docs still pair through their other, non-degenerate bands.
+    quadratic in bucket size.  NOTE the recall contract precisely:
+    a doc dropped from one hot bucket still pairs through any of its
+    other, *non-hot* bands, but a cluster of >max_bucket_size
+    byte-identical docs is hot in EVERY band, so its pairs vanish
+    from this candidate set entirely.  That is by design - exact
+    duplicates are the exact-dedup path's job (hash groupBy is
+    O(cluster), this join would be O(cluster^2)) - run
+    ``exact_duplicates`` alongside when such clusters may exist.
+    Truncation is observable, not silent: ``lsh_hot_buckets`` with
+    the same arguments returns the dropped (band, bucket, n) list.
     Pass ``max_bucket_size=None`` to disable the cap."""
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.slice(
-                    "sig", i * rows_per_band + 1, rows_per_band
-                ),
-            )
-        ).alias("band", "key"),
-    ).select("id", "band", F.xxhash64(F.col("key").cast("string"), "band").alias("bucket"))
+    banded = _banded_buckets(sigs, bands, rows_per_band)
     if max_bucket_size is not None:
         # map-side-combinable count, then a broadcast anti-join against
         # the (tiny) hot-bucket list; no window/sort over the full set

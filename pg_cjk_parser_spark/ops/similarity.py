@@ -119,7 +119,13 @@ def embedding_near_dups(
     driver query uses 3/16 for a provably complete candidate set on
     the near-uniform synthetic table).  Hot buckets (e.g. zero
     vectors) are capped like the MinHash path."""
-    dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None or head[0] is None:
+        id_t = emb.schema[id_col].dataType.simpleString()
+        return emb.sparkSession.createDataFrame(
+            [], f"id_a {id_t}, id_b {id_t}, cos double"
+        )
+    dim = len(head[0])
     sigs = lsh_signatures(emb, dim, n_planes, n_tables, seed, id_col, vec_col)
     if max_bucket_size is not None:
         hot = (
@@ -181,18 +187,38 @@ def train_ivf_centroids(
     n_clusters: int = 16,
     iters: int = 8,
     seed: int = 42,
-    sample_limit: int = 100_000,
+    sample_limit: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Deterministic spherical k-means on a bounded sample (driver-side
-    NumPy; at corpus scale the sample is a tiny fraction and training
-    cost is independent of N).  The sample is ordered by ``id_col``
-    before the limit: a bare ``limit`` over a shuffled table is
-    nondeterministic and the centroids (hence the probe sets) must be
-    reproducible run-to-run."""
+    NumPy; training cost is independent of corpus size).
+
+    Scale path: instead of sorting the whole table and collecting the
+    first ``sample_limit`` rows (a global sort feeding an O(sample)
+    driver collect - the round-2 shape), the sample is a deterministic
+    hash-filter ``xxhash64(id) % ceil(n/sample_limit) == 0``: the scan
+    is embarrassingly parallel, nothing but ~sample_limit rows ever
+    leaves the executors, and the final orderBy+limit compiles to
+    TakeOrderedAndProject over the already-sampled set (so it is both
+    cheap and reproducible run-to-run regardless of partitioning).
+    When n <= sample_limit the modulus is 1 and training sees the full
+    table ordered by id - bit-identical to an exhaustive trainer,
+    which is what the embedded DuckDB oracle replicates."""
+    if n_rows is None:
+        n_rows = emb.count()
+    mod = max(1, -(-n_rows // sample_limit))  # ceil
+    sampled = emb
+    if mod > 1:
+        sampled = emb.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        )
     sample = (
-        emb.orderBy(id_col).select(vec_col).limit(sample_limit).collect()
+        sampled.orderBy(id_col)
+        .select(vec_col)
+        .limit(sample_limit)
+        .collect()
     )
     M = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
     return train_ivf_numpy(M, n_clusters, iters, seed)
