@@ -1069,17 +1069,43 @@ def _q_headline_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The word -> term mapping ('spark' -> spark, 'merge' -> merg after
 # stemming) is exact for the closed driver vocabulary (guarded by
 # test_driver_vocab_covers_all_sf_dirs).
-def _headline_and_sql(words: list[str]) -> str:
-    """Generate the recursive-CTE oracle for an N-term AND ts_headline
-    query (reference semantics: hlCover pg_cjk_parser.c:2399-2468,
-    mark_hl_words :2722-2866).  ``words`` are the raw corpus words whose stems are the
-    query terms (exact for the closed driver vocabulary).  The cover
-    fold generalizes unchanged: for pure AND of ANY arity, q = max of
-    first occurrences >= pos and p = min of last occurrences in
-    [pos, q] always yields a window containing every term (each term's
-    first-occurrence f_t satisfies pos <= f_t <= q, so its last in
-    [pos, q] exists), making hlCover's window-match retry provably
-    unreachable; windows and selection are term-count independent."""
+def _headline_and_sql(
+    words: list[str],
+    phrase: bool = False,
+    minw: int = 5,
+    maxw: int = 12,
+    sw: int = 3,
+) -> str:
+    """Generate the recursive-CTE oracle for an N-term AND or PHRASE
+    ts_headline query (reference semantics: hlCover
+    pg_cjk_parser.c:2399-2468 incl. the TS_execute window-match
+    recheck at :2440-2466, mark_hl_words :2722-2866).  ``words`` are
+    the raw corpus words whose stems are the query terms (exact for
+    the closed driver vocabulary).
+
+    Cover fold, AND mode: q = max of first occurrences >= pos and
+    p = min of last occurrences in [pos, q] always yields a window
+    containing every term (each term's first-occurrence f_t satisfies
+    pos <= f_t <= q, so its last in [pos, q] exists), making hlCover's
+    window-match retry provably unreachable.
+
+    PHRASE mode (``phrase=True``): the probe progression is IDENTICAL
+    (hlCover advances pos = p + 1 whether the window matched or not,
+    :2462), but a probed window is emitted as a cover only when it
+    passes the phrase recheck - the words appear at consecutive
+    positions wholly inside [p, q] (phrase position arithmetic
+    :2363-2396; exact here because the pure-asciiword corpus maps
+    split-array index == lexeme position).  Valid covers are then
+    densely renumbered so the sequential selection fold sees the same
+    cover sequence the kernel does.  Window shaping and selection are
+    term-count- and phrase-independent (every query-term word has
+    item set regardless of adjacency, :2335-2361).
+
+    ``minw``/``maxw``/``sw`` parameterize MinWords/MaxWords/ShortWord
+    (defaults 5/12/3); the closed-form constants are derived from
+    them (extension target minw-1 more good words, window cap maxw,
+    shrink floor p+minw, short-word rule len > sw)."""
+    a_, b_, mw = minw - 1, maxw - 1, minw
     occ_defs = ",\n    ".join(
         f"list_filter(generate_series(1, m), i -> ws[i] = '{w}') AS o{j}"
         for j, w in enumerate(words)
@@ -1099,6 +1125,16 @@ def _headline_and_sql(words: list[str]) -> str:
     item = " OR ".join(f"ws[{{j}}] = '{w}'" for w in words)
     item_j = "(" + item.format(j="j") + ")"
     wrap = " OR ".join(f"w = '{w}'" for w in words)
+    if phrase:
+        adj = " AND ".join(
+            f"ws[j + {t}] = '{w}'" for t, w in enumerate(words)
+        )
+        valid = (
+            f"\n    AND len(list_filter(generate_series(p, q - {len(words) - 1}),"
+            f"\n        j -> {adj})) > 0"
+        )
+    else:
+        valid = ""
     return f"""
 WITH RECURSIVE
 d AS (
@@ -1129,45 +1165,50 @@ cov AS (
     )
   )
 ),
-covers AS (SELECT * FROM cov WHERE k >= 1),
+covers AS (
+  SELECT doc_id, ws, m,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k) AS k,
+         p, q
+  FROM cov WHERE k >= 1{valid}
+),
 win AS (
   SELECT doc_id, ws, m, k, p, q,
     q - p + 1 AS D,
-    least(q - p + 1, 12) AS curlen0,
-    len(list_filter(generate_series(p, p + least(q - p + 1, 12) - 1),
+    least(q - p + 1, {maxw}) AS curlen0,
+    len(list_filter(generate_series(p, p + least(q - p + 1, {maxw}) - 1),
         j -> {item_j})) AS poslen0
   FROM covers
 ),
 win2 AS (
   SELECT doc_id, ws, m, k, p, q, D, poslen0,
-    CASE WHEN D <= 11 THEN
+    CASE WHEN D <= {b_} THEN
       coalesce(
-        list_filter(generate_series(greatest(q, p + 4), least(p + 11, m)),
-                    j -> length(ws[j]) > 3)[1],
-        CASE WHEN p + 11 <= m THEN p + 11 ELSE m END)
+        list_filter(generate_series(greatest(q, p + {a_}), least(p + {b_}, m)),
+                    j -> length(ws[j]) > {sw})[1],
+        CASE WHEN p + {b_} <= m THEN p + {b_} ELSE m END)
     ELSE
       coalesce(
-        list_filter(generate_series(p + 5, p + 11),
-                    j -> length(ws[j]) > 3)[-1],
-        p + 5)
+        list_filter(generate_series(p + {mw}, p + {b_}),
+                    j -> length(ws[j]) > {sw})[-1],
+        p + {mw})
     END AS e,
-    CASE WHEN D <= 11 AND m - p + 1 < 5 THEN
+    CASE WHEN D <= {b_} AND m - p + 1 < {mw} THEN
       coalesce(
         list_filter(generate_series(1, p - 1),
-          bb -> bb <= m - 11 OR (length(ws[bb]) > 3 AND bb <= m - 4))[-1],
+          bb -> bb <= m - {b_} OR (length(ws[bb]) > {sw} AND bb <= m - {a_}))[-1],
         1)
     ELSE p END AS b
   FROM win
 ),
 win3 AS (
   SELECT doc_id, k, b, e, poslen0,
-    CASE WHEN D <= 11 THEN
+    CASE WHEN D <= {b_} THEN
       len(list_filter(generate_series(b, e), j -> {item_j}))
     ELSE
-      poslen0 - len(list_filter(generate_series(e, p + 11),
+      poslen0 - len(list_filter(generate_series(e, p + {b_}),
           j -> {item_j}))
     END AS poslen_f,
-    length(ws[e]) > 3 AS ok
+    length(ws[e]) > {sw} AS ok
   FROM win2
 ),
 nk AS (SELECT doc_id, max(k) AS kmax FROM covers GROUP BY doc_id),
@@ -1199,7 +1240,7 @@ chosen AS (
   FROM sel WHERE k = kmax
 ),
 fallback AS (
-  SELECT d.doc_id, 1 AS b, least(5, d.m) AS e
+  SELECT d.doc_id, 1 AS b, least({mw}, d.m) AS e
   FROM d LEFT JOIN nk ON nk.doc_id = d.doc_id
   WHERE nk.doc_id IS NULL
 ),
@@ -1219,6 +1260,49 @@ ORDER BY a.doc_id
 
 _HEADLINE_AND_SQL = _headline_and_sql(["spark", "merge"])
 _HEADLINE_AND3_SQL = _headline_and_sql(["customer", "query", "window"])
+_HEADLINE_PHRASE_SQL = _headline_and_sql(["spark", "merge"], phrase=True)
+_HEADLINE_OPTS_SQL = _headline_and_sql(
+    ["spark", "merge"], minw=4, maxw=10, sw=2
+)
+
+
+def _q_headline_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_headline for the phrase query 'spark <-> merge' - the
+    headline shape where hlCover's window-match retry IS reachable
+    (a probed window holding both terms non-adjacently is rejected
+    and the scan re-probes from p+1), which pure-AND queries provably
+    never exercise.  This is the path a CJK user hits most: every
+    multi-token CJK lexeme compiles to a phrase chain
+    (/root/reference/postgres-16.sh:62,71)."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf(
+        "spark <-> merge", mode="tsquery", min_words=5, max_words=12
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_headline_opts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_headline 'spark merge' at off-default options
+    (MaxWords=10, MinWords=4, ShortWord=2) - pins the option-derived
+    constants of the SHRINK walk and the short-word rules
+    (pg_cjk_parser.c:2722-2866) at a second option point."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf(
+        "spark merge", min_words=4, max_words=10, short_word=2
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
 
 
 def _q_headline_and3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_headline_fragments": _q_headline_fragments,
         "ts_headline_and": _q_headline_and,
         "ts_headline_and3": _q_headline_and3,
+        "ts_headline_phrase": _q_headline_phrase,
+        "ts_headline_opts": _q_headline_opts,
     }
 
 
@@ -1333,4 +1419,6 @@ def oracle_sql() -> dict[str, str]:
         "ts_headline_fragments": _HEADLINE_FRAGMENTS_SQL,
         "ts_headline_and": _HEADLINE_AND_SQL,
         "ts_headline_and3": _HEADLINE_AND3_SQL,
+        "ts_headline_phrase": _HEADLINE_PHRASE_SQL,
+        "ts_headline_opts": _HEADLINE_OPTS_SQL,
     }

@@ -245,6 +245,95 @@ def test_headline_three_term_closed_form_matches_kernel():
     assert checked > 300
 
 
+def test_headline_phrase_closed_form_matches_kernel():
+    """PHRASE mode ('spark <-> merge'): the one headline shape where
+    hlCover's window-match retry fires - a probed window holding both
+    terms non-adjacently is rejected and the scan re-probes from p+1.
+    The oracle keeps the identical probe progression but emits only
+    windows containing the adjacent pair, densely renumbered for the
+    selection fold.  Pools are tuned so retries actually occur (dense
+    mixed pools produce many non-adjacent cooccurrences)."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(13)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 60, 700),
+        (["spark", "merge", "the", "a", "x"], 80, 700),
+        (["value", "batch", "the", "a", "key"] * 4
+         + ["spark", "merge"], 140, 700),
+        (["a", "the", "big", "dup", "key", "spark", "merge"], 60, 500),
+    ]
+    texts = []
+    i = 0
+    for pool, maxn, reps in pools:
+        for _ in range(reps):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._HEADLINE_PHRASE_SQL).fetchall())
+    con.close()
+    checked = retry_docs = 0
+    for i, t in texts:
+        h = headline(
+            t, "spark <-> merge", mode="tsquery",
+            min_words=5, max_words=12,
+        )
+        ws = t.split()
+        has_pair = any(
+            a == "spark" and b == "merge" for a, b in zip(ws, ws[1:])
+        )
+        if "spark" in ws and "merge" in ws and not has_pair:
+            retry_docs += 1  # both terms, never adjacent -> retries fire
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 800
+    assert retry_docs > 200  # the retry branch is genuinely exercised
+
+
+def test_headline_offdefault_options_closed_form_matches_kernel():
+    """The option-parameterized builder at MaxWords=10 MinWords=4
+    ShortWord=2 must equal the kernel - pins the derivation of every
+    closed-form constant from the option values."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(23)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 60, 700),
+        (["spark", "merge", "the", "a", "x"], 80, 700),
+        (["value", "batch", "the", "a", "key"] * 4
+         + ["spark", "merge"], 140, 700),
+        (["a", "the", "big", "dup", "key", "spark", "merge"], 60, 500),
+    ]
+    texts = []
+    i = 0
+    for pool, maxn, reps in pools:
+        for _ in range(reps):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._HEADLINE_OPTS_SQL).fetchall())
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(t, "spark merge", min_words=4, max_words=10,
+                     short_word=2)
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 1000
+
+
 def test_simhash_sql_matches_kernel_on_random_texts():
     from pg_cjk_parser_spark.index.xxh64 import xxh64
 
