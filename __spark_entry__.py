@@ -1029,6 +1029,25 @@ FROM f2e ORDER BY doc_id
 """
 
 
+def _q_headline_fragments_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_headline in fragments mode (MaxFragments=2) for the two-term
+    AND query 'spark merge' - exercises multi-item cover collection,
+    fragment splitting of wide covers, the greedy max-items/min-words
+    pick, two-sided stretch with short-word trims, and overlap
+    exclusion (mark_hl_fragments, pg_cjk_parser.c:2551-2720)."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf(
+        "spark merge", min_words=5, max_words=12, max_fragments=2
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_headline_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ts_headline for the two-term AND query 'spark merge' (the full
     multi-cover selection loop: cover enumeration, extension, backward
@@ -1258,12 +1277,271 @@ ORDER BY a.doc_id
 """
 
 
+def _headline_fragments_and_sql(
+    words: list[str],
+    minw: int = 5,
+    maxw: int = 12,
+    sw: int = 3,
+) -> str:
+    """Recursive-CTE oracle for an N-term AND ts_headline in fragments
+    mode with MaxFragments=2 (reference mark_hl_fragments,
+    pg_cjk_parser.c:2551-2720; get_next_fragment :2506-2549).
+
+    Pipeline, mirroring the kernel loop-for-loop:
+    1. covers: the same arity-independent hlCover fold as the AND
+       oracle (q = max of first occurrences >= pos, p = min of last
+       occurrences in [pos, q], next pos = p + 1).
+    2. frag: each cover [p, q] splits into fragment candidates - the
+       start advances to the first query-term word, the walk consumes
+       up to MaxWords words, and when the cover extends past the walk
+       the end trims back to the last term word (decrementing curlen
+       per trimmed word, :2536-2547 - including the reference's quirk
+       that a cover ending exactly at the walk boundary keeps
+       endpos = q untrimmed).  Candidate order is (cover, fragment)
+       order; zero-poslen fragments can never win the greedy pick and
+       are dropped.
+    3. Two unrolled greedy rounds (MaxFragments=2): pick the candidate
+       with max poslen, then min curlen, then list order (:2575-2587).
+       The picked fragment stretches left up to (MaxWords-curlen)/2
+       words then trims short/no-end words off the new left edge, and
+       stretches right until curlen reaches MaxWords then trims the
+       right edge (:2593-2633); round 2's stretches additionally stop
+       at round 1's marked range (the ``in_`` check), and candidates
+       whose start or end fell inside round 1's stretched range are
+       excluded (:2641-2648).
+    4. Render: fragments in document order joined by ' ... '; ranges
+       that truly overlap (a round-2 fragment can strictly contain
+       round 1's range when its cover enclosed it - such covers are
+       NOT excluded since neither endpoint lies inside) merge into one
+       run exactly as the renderer's in_-run walk would.
+    5. Docs with no cover fall back to the first MinWords words,
+       highlighting any lone term (:2650-2661).
+    """
+    occ_defs = ",\n    ".join(
+        f"list_filter(generate_series(1, m), i -> ws[i] = '{w}') AS o{j}"
+        for j, w in enumerate(words)
+    )
+    occ_cols = ", ".join(f"o{j}" for j in range(len(words)))
+    firsts = ",\n                 ".join(
+        f"list_filter(o{j}, o -> o >= pos)[1]" for j in range(len(words))
+    )
+    lasts = ",\n            ".join(
+        f"list_filter(o{j}, o -> o >= pos AND o <= qq)[-1]"
+        for j in range(len(words))
+    )
+    nonempty = "\n        AND ".join(
+        f"len(list_filter(o{j}, o -> o >= pos)) > 0"
+        for j in range(len(words))
+    )
+    item = " OR ".join(f"ws[{{j}}] = '{w}'" for w in words)
+    item_j = "(" + item.format(j="j") + ")"
+    wrap = " OR ".join(f"w = '{w}'" for w in words)
+    rend = (
+        "array_to_string(list_transform(ws[{b}:{e}], "
+        f"w -> CASE WHEN {wrap} THEN '<b>' || w || '</b>' ELSE w END), ' ')"
+    )
+    return f"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS m
+  FROM documents
+),
+base AS (
+  SELECT doc_id, ws, m,
+    {occ_defs}
+  FROM d
+),
+cov AS (
+  SELECT doc_id, ws, m, {occ_cols}, 0 AS k, 1 AS pos,
+         CAST(NULL AS BIGINT) AS p, CAST(NULL AS BIGINT) AS q
+  FROM base
+  UNION ALL
+  SELECT doc_id, ws, m, {occ_cols}, k + 1,
+         pp + 1 AS pos, pp AS p, qq AS q
+  FROM (
+    SELECT *,
+      least({lasts}) AS pp
+    FROM (
+      SELECT *,
+        greatest({firsts}) AS qq
+      FROM cov
+      WHERE {nonempty}
+    )
+  )
+),
+covers AS (
+  SELECT doc_id, ws, m,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k) AS k,
+         p, q
+  FROM cov WHERE k >= 1
+),
+frag AS (
+  SELECT doc_id, ws, m, k, q, 0 AS f, p AS nextsp,
+         CAST(NULL AS BIGINT) AS fs, CAST(NULL AS BIGINT) AS fe,
+         CAST(NULL AS BIGINT) AS curlen, CAST(NULL AS BIGINT) AS poslen
+  FROM covers
+  UNION ALL
+  SELECT doc_id, ws, m, k, q, f + 1,
+         fe2 + 1 AS nextsp, s2 AS fs, fe2 AS fe, cl2 AS curlen,
+         pl AS poslen
+  FROM (
+    -- the walk stops at the separator after the MaxWords-th word, so
+    -- the cover trims whenever it is wider than MaxWords and the
+    -- trimmed curlen collapses to lastit - s2 + 1 (every word between
+    -- the last in-walk term word and the walk end decrements)
+    SELECT *,
+      CASE WHEN q - s2 + 1 > {maxw} THEN lastit ELSE q END AS fe2,
+      CASE WHEN q - s2 + 1 > {maxw} THEN lastit - s2 + 1 ELSE cl0 END AS cl2
+    FROM (
+      SELECT *,
+        coalesce(list_filter(generate_series(s2, s2 + {maxw} - 1),
+                             j -> {item_j})[-1], s2) AS lastit
+      FROM (
+        SELECT *,
+          least(q - s2 + 1, {maxw}) AS cl0,
+          len(list_filter(
+              generate_series(s2, s2 + least(q - s2 + 1, {maxw}) - 1),
+              j -> {item_j})) AS pl
+        FROM (
+          SELECT *,
+            coalesce(list_filter(generate_series(nextsp, q),
+                                 j -> {item_j})[1], q) AS s2
+          FROM frag WHERE nextsp <= q
+        )
+      )
+    )
+  )
+),
+cand AS (
+  SELECT doc_id, ws, m, fs, fe, curlen, poslen,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k, f) AS ord
+  FROM frag WHERE f >= 1 AND poslen >= 1
+),
+c1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY poslen DESC, curlen ASC, ord ASC) AS rr
+    FROM cand
+  ) WHERE rr = 1
+),
+s1 AS (
+  SELECT doc_id, ws, m, ord, fs, fe,
+    CASE WHEN curlen < {maxw}
+         THEN greatest(fs - ((({maxw}) - curlen) // 2), 1)
+         ELSE fs END AS bp,
+    curlen
+  FROM c1
+),
+s1b AS (
+  SELECT *,
+    CASE WHEN curlen < {maxw} THEN
+      coalesce(list_filter(generate_series(bp, fs - 1),
+                           j -> length(ws[j]) > {sw})[1], fs)
+    ELSE fs END AS B1,
+    curlen + (fs - bp) AS cl1
+  FROM s1
+),
+s1c AS (SELECT *, cl1 - (B1 - bp) AS cl2 FROM s1b),
+s1d AS (
+  SELECT *,
+    CASE WHEN curlen < {maxw} AND cl2 < {maxw}
+         THEN least(fe + ({maxw} - cl2), m) ELSE fe END AS ep
+  FROM s1c
+),
+r1 AS (
+  SELECT doc_id, ws, m, ord AS ord1, B1,
+    CASE WHEN curlen < {maxw} THEN
+      coalesce(list_filter(generate_series(fe + 1, ep),
+                           j -> length(ws[j]) > {sw})[-1], fe)
+    ELSE fe END AS E1
+  FROM s1d
+),
+cand2 AS (
+  SELECT c.*, r.B1, r.E1 FROM cand c JOIN r1 r ON r.doc_id = c.doc_id
+  WHERE c.ord <> r.ord1
+    AND NOT (c.fs BETWEEN r.B1 AND r.E1)
+    AND NOT (c.fe BETWEEN r.B1 AND r.E1)
+),
+c2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY poslen DESC, curlen ASC, ord ASC) AS rr
+    FROM cand2
+  ) WHERE rr = 1
+),
+s2_ AS (
+  SELECT doc_id, ws, m, fs, fe, curlen, B1, E1,
+    CASE WHEN curlen < {maxw} THEN
+      greatest(fs - ((({maxw}) - curlen) // 2),
+               CASE WHEN E1 < fs THEN E1 + 1 ELSE 1 END)
+    ELSE fs END AS bp
+  FROM c2
+),
+s2b AS (
+  SELECT *,
+    CASE WHEN curlen < {maxw} THEN
+      coalesce(list_filter(generate_series(bp, fs - 1),
+                           j -> length(ws[j]) > {sw})[1], fs)
+    ELSE fs END AS B2,
+    curlen + (fs - bp) AS cl1
+  FROM s2_
+),
+s2c AS (SELECT *, cl1 - (B2 - bp) AS cl2 FROM s2b),
+s2d AS (
+  SELECT *,
+    CASE WHEN curlen < {maxw} AND cl2 < {maxw} THEN
+      least(fe + ({maxw} - cl2),
+            CASE WHEN B1 > fe THEN B1 - 1 ELSE m END)
+    ELSE fe END AS ep
+  FROM s2c
+),
+r2 AS (
+  SELECT doc_id, B2,
+    CASE WHEN curlen < {maxw} THEN
+      coalesce(list_filter(generate_series(fe + 1, ep),
+                           j -> length(ws[j]) > {sw})[-1], fe)
+    ELSE fe END AS E2
+  FROM s2d
+),
+nk AS (SELECT DISTINCT doc_id FROM covers),
+fallback AS (
+  SELECT d.doc_id, d.ws, 1 AS b, least({minw}, d.m) AS e
+  FROM d LEFT JOIN nk ON nk.doc_id = d.doc_id
+  WHERE nk.doc_id IS NULL
+),
+picked AS (
+  SELECT r1.doc_id, r1.ws, r1.B1, r1.E1, r2.B2, r2.E2
+  FROM r1 LEFT JOIN r2 ON r2.doc_id = r1.doc_id
+),
+rendered AS (
+  SELECT doc_id,
+    CASE
+      WHEN B2 IS NULL THEN {rend.format(b='B1', e='E1')}
+      WHEN B2 <= E1 AND B1 <= E2 THEN
+        {rend.format(b='least(B1, B2)', e='greatest(E1, E2)')}
+      WHEN B2 < B1 THEN
+        {rend.format(b='B2', e='E2')} || ' ... ' || {rend.format(b='B1', e='E1')}
+      ELSE
+        {rend.format(b='B1', e='E1')} || ' ... ' || {rend.format(b='B2', e='E2')}
+    END AS snippet
+  FROM picked
+  UNION ALL
+  SELECT doc_id, {rend.format(b='b', e='e')} AS snippet
+  FROM fallback
+  WHERE len(list_filter(generate_series(b, e), j -> {item_j})) > 0
+)
+SELECT doc_id, snippet FROM rendered ORDER BY doc_id
+"""
+
+
 _HEADLINE_AND_SQL = _headline_and_sql(["spark", "merge"])
 _HEADLINE_AND3_SQL = _headline_and_sql(["customer", "query", "window"])
 _HEADLINE_PHRASE_SQL = _headline_and_sql(["spark", "merge"], phrase=True)
 _HEADLINE_OPTS_SQL = _headline_and_sql(
     ["spark", "merge"], minw=4, maxw=10, sw=2
 )
+_HEADLINE_FRAGMENTS_AND_SQL = _headline_fragments_and_sql(["spark", "merge"])
 
 
 def _q_headline_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_headline_and3": _q_headline_and3,
         "ts_headline_phrase": _q_headline_phrase,
         "ts_headline_opts": _q_headline_opts,
+        "ts_headline_fragments_and": _q_headline_fragments_and,
     }
 
 
@@ -1421,4 +1700,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_headline_and3": _HEADLINE_AND3_SQL,
         "ts_headline_phrase": _HEADLINE_PHRASE_SQL,
         "ts_headline_opts": _HEADLINE_OPTS_SQL,
+        "ts_headline_fragments_and": _HEADLINE_FRAGMENTS_AND_SQL,
     }

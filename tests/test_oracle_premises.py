@@ -334,6 +334,49 @@ def test_headline_offdefault_options_closed_form_matches_kernel():
     assert checked > 1000
 
 
+def test_headline_fragments_two_term_closed_form_matches_kernel():
+    """Fragments mode (MaxFragments=2) for the two-term AND query:
+    the recursive transcription of mark_hl_fragments must equal the
+    kernel, incl. wide-cover splitting + trim, the greedy
+    max-items/min-words pick, round-2 stretches blocked by round 1's
+    marked range, overlap exclusion, and the overlap-merge render."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(37)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 60, 500),
+        (["spark", "merge", "the", "a", "x"], 80, 500),
+        (["value", "batch", "the", "a", "key"] * 4
+         + ["spark", "merge"], 140, 500),
+        (["value"] * 20 + ["spark", "merge"], 200, 300),  # wide covers
+        (["a", "x", "spark", "merge"], 40, 300),          # short words
+    ]
+    texts = []
+    i = 0
+    for pool, maxn, reps in pools:
+        for _ in range(reps):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(
+        con.execute(entry_mod._HEADLINE_FRAGMENTS_AND_SQL).fetchall()
+    )
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(t, "spark merge", min_words=5, max_words=12,
+                     max_fragments=2)
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 1000
+
+
 def test_simhash_sql_matches_kernel_on_random_texts():
     from pg_cjk_parser_spark.index.xxh64 import xxh64
 
