@@ -245,6 +245,77 @@ ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
 """
 
 
+def _q_bm25_phrase_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase inside a boolean tree: ('spark' <-> 'merge') | 'vector'.
+
+    Routes through the tree-evaluation path (query/topk.py _eval_tree)
+    rather than the conjunctive or flat-OR fast paths: the Or contains
+    a multi-term phrase node, so matching docs are (adjacent
+    spark-merge) UNION (vector), with the phrase verified by the lazy
+    per-doc position recheck, and each matched doc scored over every
+    positive query term it contains."""
+    from pg_cjk_parser_spark.query.topk import search
+
+    index_dir = _docs_index(spark, sf_dir)
+    res = search(
+        spark, index_dir, "('spark' <-> 'merge') | 'vector'",
+        k=25, mode="tsquery",
+    ).select(
+        F.col("docid").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+# Positions oracle: every word of the closed driver vocabulary consumes
+# a tsvector position (stopwords lexize to [] but still advance pos),
+# so phrase adjacency is exactly consecutive split indices over the raw
+# text.  Scoring mirrors the engine's tree path: matched docs =
+# (adjacency) UNION (term 'vector'), scored over all positive terms
+# present with global-df idf.
+_BM25_PHRASE_OR_SQL = f"""
+WITH {_TOK_CTE},
+dl AS (
+  SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+), adj AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, string_split(text, ' ') AS ws,
+           len(string_split(text, ' ')) AS m
+    FROM documents
+  )
+  WHERE len(list_filter(generate_series(1, m - 1),
+        j -> ws[j] = 'spark' AND ws[j + 1] = 'merge')) > 0
+), matched AS (
+  SELECT doc_id FROM adj
+  UNION
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'vector'
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'merg', 'vector') GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+              * t.tf / (t.tf + 1.2*(0.25 + 0.75*d.doclen/s.avgdl)) )
+           AS score
+  FROM tf t
+  JOIN matched mt USING (doc_id)
+  JOIN df f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
+"""
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path).  At sf0.01 the synthetic
     embeddings are near-uniform random, so (8 planes, 16 tables,
@@ -1668,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_headline_phrase": _q_headline_phrase,
         "ts_headline_opts": _q_headline_opts,
         "ts_headline_fragments_and": _q_headline_fragments_and,
+        "bm25_phrase_or_topk": _q_bm25_phrase_or_topk,
     }
 
 
@@ -1701,4 +1773,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_headline_phrase": _HEADLINE_PHRASE_SQL,
         "ts_headline_opts": _HEADLINE_OPTS_SQL,
         "ts_headline_fragments_and": _HEADLINE_FRAGMENTS_AND_SQL,
+        "bm25_phrase_or_topk": _BM25_PHRASE_OR_SQL,
     }

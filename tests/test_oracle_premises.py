@@ -411,6 +411,20 @@ def test_simhash_sql_matches_kernel_on_random_texts():
         assert got[i] == kernel(t), (i, t)
 
 
+def test_bm25_phrase_or_routes_through_tree_evaluation():
+    """The bm25_phrase_or_topk driver row exists to exercise the
+    boolean-tree evaluator with a lazy phrase recheck - assert the
+    query actually classifies to that path (non-conjunctive, not the
+    flat-OR WAND shape, with a 2-term phrase chain collected)."""
+    from pg_cjk_parser_spark.query.topk import _is_flat_or, parse_query
+
+    pq = parse_query("('spark' <-> 'merge') | 'vector'", mode="tsquery")
+    assert not pq.conjunctive
+    assert not _is_flat_or(pq.tree)
+    assert pq.phrases == [[("spark", 0), ("merg", 1)]]
+    assert sorted(pq.terms) == ["merg", "spark", "vector"]
+
+
 def test_ivf_oracle_candidates_match_engine_derivation():
     """The IVF oracle embeds a candidate id list derived by replicating
     the engine's deterministic training in numpy; the embedded list
