@@ -164,16 +164,19 @@ def compact_index(
         "overwrite"
     ).partitionBy("epoch", "bucket").parquet(tmp_postings)
 
-    # termstats: re-aggregate across epochs
+    # termstats: re-aggregate across epochs into the flat per-epoch
+    # layout (one plain dir, bucket as a data column, one file per
+    # bucket) - same shape streaming appends write, so a compacted
+    # index plus later epochs keeps a uniform directory depth for
+    # partition discovery
     ts = spark.read.parquet(os.path.join(index_dir, "termstats"))
     tmp_ts = os.path.join(index_dir, "_compact_termstats")
     (
         ts.groupBy("bucket", "term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .withColumn("epoch", F.lit(new_epoch))
+        .repartition(stats["num_buckets"], "bucket")
         .write.mode("overwrite")
-        .partitionBy("epoch", "bucket")
-        .parquet(tmp_ts)
+        .parquet(os.path.join(tmp_ts, f"epoch={new_epoch}"))
     )
 
     # atomic-ish swap

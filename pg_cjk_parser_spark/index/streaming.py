@@ -79,10 +79,19 @@ def append_index_batch(
             os.path.join(index_dir, sub, f"epoch={epoch}"), ignore_errors=True
         )
 
-    # counted from the source (not the postings) because docs with
-    # empty/stop-word-only text produce no postings yet must count
-    # toward N for idf/avgdl parity with a batch rebuild
-    n_batch_docs = batch.count()
+    # Small epochs are dominated by per-job fixed costs (scheduling,
+    # listing, schema inference), so the append runs exactly TWO Spark
+    # jobs: the postings write (with the source doc count folded in as
+    # an observed metric - counted from the source, not the postings,
+    # because docs with empty/stop-word-only text produce no postings
+    # yet must count toward N for idf/avgdl parity with a batch
+    # rebuild) and the termstats write (with the epoch's corpus totals
+    # observed from the same aggregation instead of a third
+    # read-back-and-collect job).
+    from pyspark import StorageLevel
+    from pyspark.sql import Observation
+
+    obs_docs = Observation(f"epoch{epoch}-docs")
 
     # same packed-cell pipeline as the batch build's default path
     # (build.py:_packed_postings_gen/_encode_cells): the tokenizer pass
@@ -90,11 +99,30 @@ def append_index_batch(
     # chunk, the shuffle moves cells (not postings), and the reducer
     # lexsorts + block-encodes in numpy.  The row-per-posting epoch
     # path this replaces measured ~2x slower end-to-end.
-    parts = min(
-        num_buckets * num_salts, spark.sparkContext.defaultParallelism * 2
-    )
-    sel = _with_docid(batch, docid_col).select(
-        "docid", F.col(text_col).alias("text")
+    #
+    # Reduce partitioning adapts to the epoch size: commit cost scales
+    # with output-file count (two rename rounds per file), so a SMALL
+    # epoch groups each bucket's salts into one task (file count drops
+    # to the bucket-dir floor), while a LARGE epoch keeps the
+    # (bucket, salt) split so reducer memory stays bounded by the salt
+    # count (the documented skew/scale lever).  The size estimate is
+    # Catalyst's plan statistic - no extra job.
+    small = _estimated_small(batch)
+    if small:
+        # grouping whole buckets keeps the file count at the
+        # bucket-dir floor; a quarter of the buckets per task keeps
+        # task-launch overhead low while the per-task data stays tiny
+        parts, keys = max(1, num_buckets // 4), ["bucket"]
+    else:
+        parts = min(
+            num_buckets * num_salts,
+            spark.sparkContext.defaultParallelism * 2,
+        )
+        keys = ["bucket", "salt"]
+    sel = (
+        _with_docid(batch, docid_col)
+        .select("docid", F.col(text_col).alias("text"))
+        .observe(obs_docs, F.count(F.lit(1)).alias("n_docs"))
     )
     cells = sel.mapInPandas(
         lambda it: _packed_postings_gen(
@@ -103,35 +131,54 @@ def append_index_batch(
         PACKED_SCHEMA,
     )
     blocks = (
-        cells.repartition(parts, "bucket", "salt")
+        cells.repartition(parts, *keys)
         .mapInPandas(lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA)
         .withColumn("epoch", F.lit(epoch))
+        # kept for the termstats derivation below: re-reading data that
+        # was written milliseconds ago is pure fixed cost here and a
+        # read-after-write round trip on real object storage
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    blocks.write.mode("append").partitionBy("epoch", "bucket").parquet(
-        os.path.join(index_dir, "postings")
+    (
+        blocks.write.mode("append")
+        # v2 commit (task output moves straight to the destination, one
+        # rename round instead of two): safe here because epoch
+        # atomicity comes from the manifest-last protocol - a crashed
+        # epoch's partial files are swept by the rmtree above on retry
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .partitionBy("epoch", "bucket")
+        .parquet(os.path.join(index_dir, "postings"))
     )
+    n_batch_docs = int(obs_docs.get["n_docs"])
     edir = os.path.join(index_dir, "postings", f"epoch={epoch}")
     total_tf = n_postings = 0
     if _bucket_dirs(edir):
-        meta = spark.read.parquet(edir).select("bucket", "term", "n", "sum_tf")
+        obs_tot = Observation(f"epoch{epoch}-totals")
         (
-            meta.groupBy("bucket", "term")
+            blocks.select("bucket", "term", "n", "sum_tf")
+            .groupBy("bucket", "term")
             .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-            .withColumn("epoch", F.lit(epoch))
-            .write.mode("append")
-            .partitionBy("epoch", "bucket")
-            .parquet(os.path.join(index_dir, "termstats"))
-        )
-        # corpus totals from the just-written termstats (one aggregated
-        # row per term - far smaller than re-reading the block metadata)
-        g = (
-            spark.read.parquet(
-                os.path.join(index_dir, "termstats", f"epoch={epoch}")
+            # FLAT per-epoch termstats: one plain directory with bucket
+            # as a data column instead of 64 dynamic bucket=N dirs -
+            # the dynamic-partition commit (two rename rounds per dir)
+            # was the measured floor of the epoch fixed cost.  Small
+            # epochs collapse to a single file; large ones keep one
+            # file per bucket (bucket-clustered row groups, so the
+            # query-time term/bucket filters still prune).
+            .repartition(1 if small else num_buckets, "bucket")
+            .observe(
+                obs_tot,
+                F.sum("cf").alias("total_tf"),
+                F.sum("df").alias("n_postings"),
             )
-            .agg(F.sum("cf").alias("total_tf"), F.sum("df").alias("n_postings"))
-            .collect()[0]
+            .write.mode("append")
+            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .parquet(os.path.join(index_dir, "termstats", f"epoch={epoch}"))
         )
-        total_tf, n_postings = int(g.total_tf or 0), int(g.n_postings or 0)
+        g = obs_tot.get
+        total_tf = int(g["total_tf"] or 0)
+        n_postings = int(g["n_postings"] or 0)
+    blocks.unpersist()
 
     # exactly-once accounting: the epoch's deltas live in its manifest
     # (written atomically, LAST); global stats are *derived* by summing
@@ -151,6 +198,28 @@ def append_index_batch(
     return _rebuild_stats(
         index_dir, num_buckets, num_salts, block_size, k1, b, normalize_zht
     )
+
+
+_SMALL_EPOCH_BYTES = 256 << 20
+
+
+def _estimated_small(batch: DataFrame) -> bool:
+    """True when Catalyst's size estimate for the micro-batch is under
+    ~256 MB of source bytes - the regime where per-file commit costs
+    dominate over reducer memory concerns.  Falls back to the
+    conservative large-epoch layout when no estimate is available."""
+    try:
+        est = int(
+            str(
+                batch._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+        return 0 < est < _SMALL_EPOCH_BYTES
+    except Exception:
+        return False
 
 
 def _atomic_json(path: str, obj: dict) -> None:

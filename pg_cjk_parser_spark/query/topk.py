@@ -82,10 +82,26 @@ def _shard_paths(index_dir: str, subdir: str, bset, stats) -> list[str]:
         p = os.path.join(pdir, f"bucket={b}")
         if os.path.isdir(p):
             paths.append(p)
-        for e in epochs or ():
-            p = os.path.join(pdir, f"epoch={e}", f"bucket={b}")
+    for e in epochs or ():
+        ebase = os.path.join(pdir, f"epoch={e}")
+        found = False
+        for b in bset:
+            p = os.path.join(ebase, f"bucket={b}")
             if os.path.isdir(p):
                 paths.append(p)
+                found = True
+        if (
+            not found
+            and subdir == "termstats"
+            and os.path.isdir(ebase)
+            and not any(
+                n.startswith("bucket=") for n in os.listdir(ebase)
+            )
+        ):
+            # flat per-epoch termstats (streaming appends): one plain
+            # directory, bucket carried as a data column; term/bucket
+            # filters prune at the row-group level instead of by dir
+            paths.append(ebase)
     if not paths and os.path.isdir(pdir):
         # layout not derivable from stats (e.g. legacy index): scoped
         # glob over epoch dirs only, still restricted to bset
@@ -93,6 +109,15 @@ def _shard_paths(index_dir: str, subdir: str, bset, stats) -> list[str]:
 
         for b in bset:
             paths += glob.glob(os.path.join(pdir, "epoch=*", f"bucket={b}"))
+        if not paths and subdir == "termstats":
+            paths += [
+                p
+                for p in glob.glob(os.path.join(pdir, "epoch=*"))
+                if os.path.isdir(p)
+                and not any(
+                    n.startswith("bucket=") for n in os.listdir(p)
+                )
+            ]
     return paths
 
 
@@ -109,13 +134,18 @@ def _read_termstats(index_dir: str, bset: list[int], terms: list[str], stats):
     if not paths:
         # empty-corpus index (no shards written) or absent buckets
         return {}
-    tbl = ds.dataset([ds.dataset(p) for p in paths]).to_table(
-        columns=["term", "df"],
-        filter=ds.field("term").isin(terms),
-    )
     out: dict[str, int] = {}
-    for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
-        out[t] = out.get(t, 0) + int(d)
+    # per-path reads: bucket-dir shards (batch/compacted layout) and
+    # flat epoch dirs (streaming layout, bucket as a column) carry
+    # different physical schemas, so a unified dataset would fail to
+    # merge them; each path is a tiny term-filtered point read anyway
+    for p in paths:
+        tbl = ds.dataset(p).to_table(
+            columns=["term", "df"],
+            filter=ds.field("term").isin(terms),
+        )
+        for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+            out[t] = out.get(t, 0) + int(d)
     return out
 
 
