@@ -145,7 +145,13 @@ def _build_master() -> re.Pattern:
     # file, x.ab-cd -> host "x.ab").  Terminator must not continue a
     # label, start a port (:), URL (/), or email (@).
     lab = r"[0-9A-Za-z](?:[0-9A-Za-z]|[-_][0-9A-Za-z])*"
-    host = rf"(?P<h>(?:{lab}\.)+[A-Za-z]{{2,}})(?![0-9A-Za-z:\-_.@/])"
+    # a leading complete DOTLESS scientific float preempts the whole
+    # host/email/url family in the FSM ('3e5.co' -> sfloat + blank +
+    # word, '3e5@x.co' -> sfloat + blank + host, 'http://3e5.co/x' ->
+    # protocol + sfloat + file), while the dotted mantissa form does
+    # not ('1.2e5.co' IS a host) - probed against parse_fsm
+    sfg = r"(?!\d+[eE][+-]?\d+)"
+    host = rf"(?P<h>{sfg}(?:{lab}\.)+[A-Za-z]{{2,}})(?![0-9A-Za-z:\-_.@/])"
     # numeric family (InUDecimal/InVersion/InMantissa): terminator may
     # not resurrect a host (In{AsciiWord,Host} on [0-9A-Za-z@._-]) -
     # 1.2e5.com is a host, 1e5x is sfloat+word but falls back here
@@ -183,7 +189,11 @@ def _build_master() -> re.Pattern:
     # guard as for hosts; ':' (port) and '/' (URL) fall back.
     host_term = r"(?![0-9A-Za-z:\-_.@/])"
     local = r"[0-9A-Za-z]+(?:[._-][0-9A-Za-z]+)*"
-    email = rf"(?P<E>{local}@(?:{lab}\.)+[A-Za-z]{{2,}}){host_term}"
+    # sfg twice: the preemption bites at any base-state start, which
+    # includes the host side right after '@' ('o@3e5.xy' is word +
+    # blank + sfloat + ..., not an email) but NOT interior labels
+    # ('a@x.3e5.co' IS an email) - probed against parse_fsm
+    email = rf"(?P<E>{sfg}{local}@{sfg}(?:{lab}\.)+[A-Za-z]{{2,}}){host_term}"
 
     # URL (InFURL/InURLPath): host followed by '/' starts the
     # T_URLPATH sub-parse, which consumes the maximal URLCHAR run from
@@ -194,10 +204,10 @@ def _build_master() -> re.Pattern:
     uc_c = _ranges_to_class(urlchar_m)
     hostpat = rf"(?:{lab}\.)+[A-Za-z]{{2,}}"
     urlp = (
-        rf"(?P<F>[A-Za-z]+://)(?P<H>{hostpat})"
+        rf"(?P<F>[A-Za-z]+://){sfg}(?P<H>{hostpat})"
         rf"(?:(?P<U>/[{uc_c}]+)|{host_term})"
     )
-    urlb = rf"(?P<G>{hostpat})(?P<V>/[{uc_c}]+)"
+    urlb = rf"(?P<G>{sfg}{hostpat})(?P<V>/[{uc_c}]+)"
 
     # file (InFile*): '/'-led segments of [0-9A-Za-z_-] with interior
     # dots only before another segment char (InFileNext pops
@@ -220,6 +230,26 @@ def _build_master() -> re.Pattern:
     hg_c = _ranges_to_class(hg)
     hword = rf"(?P<Y>[A-Za-z]+(?:-[A-Za-z]+)+)(?![{hg_c}])"
 
+    # hyphenated word with a trailing pure-digit part ('foo-bar-1'):
+    # the FSM backtracks to the letters-only asciihword, re-emits its
+    # parts, then parses '-' as blank and the digits as a standalone
+    # uint (verified against parse_fsm for every terminator admitted
+    # here).  The terminator guard is conservative: whitespace, EOS,
+    # or '.' followed by nothing that could resume a parse through the
+    # dot (.digit -> float; .alnum -> the whole prefix re-parses as a
+    # HOST like 'foo-bar-1.ab'; '.', '_', '-' keep ambiguity) - any
+    # shape where the digits could extend (letter -> numpart, '-',
+    # ':', '/', '@', '_') still falls back wholesale.
+    numh = (
+        r"(?P<N>[A-Za-z]+(?:-[A-Za-z]+)+)-[0-9]+"
+        r"(?=\s|\.(?![0-9A-Za-z._\-])|\Z)"
+    )
+    # a lone sentence-final '.' at end of input: the generic blank
+    # branch refuses '.$' (mid-string '. ' runs merge into one blank),
+    # so without this the most common ASCII sentence ending pays a
+    # full FSM fallback; the FSM emits exactly one 1-char blank.
+    eosdot = r"(?P<D>\.)\Z"
+
     pat = (
         f"(?P<c>[{cjk_cls}]+)"
         f"|(?P<w>[A-Za-z]+)(?=[{tw}]|$|{wdot})"
@@ -227,6 +257,7 @@ def _build_master() -> re.Pattern:
         f"|(?P<b>(?:[{bs}]|\\.(?!$|[./]))[{bc}]*)"
         f"|{host}|{sfl}|{ver}|{flt}|{ent}|{word}"
         f"|{email}|{urlp}|{urlb}|{filep}|{hword}"
+        f"|{numh}|{eosdot}"
     )
     return re.compile(pat)
 
@@ -317,6 +348,13 @@ def tokenize(s: str) -> list[tuple[int, int, int]]:
                 _emit_url(out, m)
             elif g == "Y":
                 _emit_hword(out, s, p, q)
+            elif g == "N":
+                y_end = m.end("N")
+                _emit_hword(out, s, p, y_end)
+                out.append((y_end, 1, SPACE_T))
+                out.append((y_end + 1, q - y_end - 1, UNSIGNEDINT))
+            elif g == "D":
+                out.append((p, 1, SPACE_T))
             else:
                 out.append((p, q - p, _GROUP_TYPE[g]))
             p = q
@@ -471,13 +509,18 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                     continue
                 pos += 1
                 out.append((s[p:q], pos if pos < MAXENTRYPOS else MAXENTRYPOS))
-            elif g in ("U", "H", "V", "Y"):
-                # multi-token families (url>host>url_path, hword+parts):
-                # every non-blank token takes a position and lexizes via
-                # the simple dictionary (lowercase), like the FSM branch
+            elif g in ("U", "H", "V", "Y", "N"):
+                # multi-token families (url>host>url_path, hword+parts,
+                # hword + trailing uint): every non-blank token takes a
+                # position and lexizes via the simple dictionary
+                # (lowercase), like the FSM branch
                 toks: list[tuple[int, int, int]] = []
                 if g == "Y":
                     _emit_hword(toks, s, p, q)
+                elif g == "N":
+                    y_end = m.end("N")
+                    _emit_hword(toks, s, p, y_end)
+                    toks.append((y_end + 1, q - y_end - 1, UNSIGNEDINT))
                 else:
                     _emit_url(toks, m)
                 for ts_, ln, tt in toks:
@@ -493,10 +536,11 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                             pos if pos < MAXENTRYPOS else MAXENTRYPOS,
                         )
                     )
-            elif g != "b":
+            elif g not in ("b", "D"):
                 # host / sfloat / version / float / entity / email /
                 # file: lowercased, no stemming (simple dictionary),
                 # same as the FSM fallback's non-asciiword branch
+                # ("D" is the end-of-input '.' blank: no position)
                 text = s[p:q]
                 if q - p >= 512 and len(
                     text.encode("utf-8", "surrogatepass")

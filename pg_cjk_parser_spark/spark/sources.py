@@ -8,6 +8,17 @@ sandbox ships no Iceberg runtime jar, so the Iceberg branch is
 exercised only by plan construction at deploy time; Parquet is the
 tested path, and the index layout itself (hive-partitioned parquet +
 manifests) is directly registrable as an external Iceberg table.
+
+Vendoring attempt (2026-08-16): ``pip download pyiceberg`` resolves no
+versions against the sandbox's offline index and Maven Central
+(repo1.maven.org) is unreachable (curl exit 000), so neither
+iceberg-spark-runtime nor pyiceberg can be fetched.  The executing
+DSv2 stand-in (tests/test_sources.py: format lookup -> load ->
+schema/column validation against a registered Python data source)
+remains the deepest coverage available here; on a real deployment the
+only change is ``--packages org.apache.iceberg:iceberg-spark-runtime``
+plus a catalog config, which this module's format negotiation already
+detects via ``iceberg_available``.
 """
 
 from __future__ import annotations

@@ -30,7 +30,35 @@ ATOMS = [
     "foo--bar", "ab-cd@x.co", "ab-cd.", "ab-cd:z", "ab-cd://x.co",
     "state-of-the-art.", "/usr/", "/a.b.c", "/a..b", "/a.-b", "~/.rc",
     "/a/b-c/d_e.f", "über-gut", "naïve-plan", "x.ab-cd", "x.c-om",
+    # numhword-tail / end-of-input-dot fast-path stressors (round 3)
+    "foo-bar-12", "a-b-1", "a-b-c-123", "foo-bar-1.2", "foo-bar-1-2",
+    "foo-bar-1x", "foo-bar-1-x", "foo-bar-1.x", "foo-bar-1e5",
+    "foo-bar-1.", "foo-bar-1..", "foo-bar-1:8080", "foo-bar-1/z",
+    "foo-bar-1@x.co", "Foo-Bar-9", "x foo-bar-1. y", "hello.",
+    "hello..", "hello. ", "hello.\n", "w.", ".", "..", "a.b.",
+    "foo-bar-1,", "foo-bar-1;", "foo-bar-1.ab-cd.", "foo-bar-1.ab",
+    "foo-bar-1..x", "foo-bar-1._", "foo-bar-1.-q", "a-b-2.x.co/z",
+    # dotless-sfloat host preemption (FSM: '3e5' preempts host/email/
+    # url parses; dotted mantissa does not)
+    "3e5.co", "3e5.ra", "1e5.xy", "3e5x.co", "3e5.co/a", "3e5@x.co",
+    "http://3e5.co/x", "1.2e5.co", "1.2e5@x.co", "ftp://1.2e3.org/x",
+    "3e5.co.uk", "3e5.3e5.co", "3e+5.co", "a.3e5.co", "x3e5.co",
+    "3e5-x.co", "33e.co", "1e5.co/@", "3e5.co:80",
 ]
+
+
+def test_structured_fragment_fuzz():
+    """Random concatenations of the fragments that exposed the
+    dotless-sfloat host preemption bug (round 3): hybrid == FSM."""
+    rng = random.Random(99)
+    parts = [
+        "foo", "bar", "a", "xy", "1", "23", "-", ".", " ", "@", "/",
+        ":", "x.co", "漢字", "e5", "_", ",", "\n", "3e5", "1.2e5",
+        "http://", "co", "uk",
+    ]
+    for _ in range(3000):
+        s = "".join(rng.choice(parts) for _ in range(rng.randint(1, 16)))
+        assert_same(s)
 
 
 def assert_same(s):
