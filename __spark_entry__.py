@@ -788,6 +788,62 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified MinHash near-dup pairs:
+    (id, cluster, is_canonical) with cluster = min id in the component
+    - the dedup DECISION step (which doc to keep) after pair
+    generation.  The pair set is the already-oracled minhash_near_dups
+    input (provably complete at this scale), so an exact recursive-
+    closure SQL over the same pairs is a true oracle for the iterative
+    hash-min label propagation."""
+    from pg_cjk_parser_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_clusters,
+        verify_jaccard,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=64, shingle_k=5)
+    pairs = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    verified = verify_jaccard(docs, pairs, threshold=0.5)
+    return near_dup_clusters(verified.select("id_a", "id_b")).orderBy("id")
+
+
+_NEAR_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE g AS (
+  SELECT DISTINCT d.doc_id AS id, array_to_string(
+           list_slice(string_split(d.text, ' '), i.i, i.i + 4), ' ') AS gram
+  FROM documents d, (SELECT unnest(generate_series(1, 4000)) AS i) i
+  WHERE i.i <= greatest(len(string_split(d.text, ' ')) - 4, 1)
+), sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+p AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+  WHERE round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) >= 0.5
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+nodes AS (SELECT DISTINCT src AS id FROM e),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.src AS id, r.lab FROM reach r JOIN e ON e.dst = r.id
+)
+SELECT id, min(lab) AS cluster,
+       (id = min(lab))::INT AS is_canonical
+FROM reach GROUP BY id ORDER BY id
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_cjk_parser_spark.ops.dedup import simhash64
 
@@ -1740,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_headline_opts": _q_headline_opts,
         "ts_headline_fragments_and": _q_headline_fragments_and,
         "bm25_phrase_or_topk": _q_bm25_phrase_or_topk,
+        "near_dup_clusters": _q_near_dup_clusters,
     }
 
 
@@ -1774,4 +1831,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_headline_opts": _HEADLINE_OPTS_SQL,
         "ts_headline_fragments_and": _HEADLINE_FRAGMENTS_AND_SQL,
         "bm25_phrase_or_topk": _BM25_PHRASE_OR_SQL,
+        "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
     }

@@ -390,3 +390,74 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    ``(id, cluster, is_canonical)`` where ``cluster`` is the minimum
+    doc id in the component and ``is_canonical`` marks the one kept
+    doc per cluster - the standard decision step after MinHash/SimHash
+    /embedding pair generation in a dedup pipeline.
+
+    Algorithm: iterative hash-min label propagation.  Each round every
+    node takes the min label across its neighbors (one shuffle join +
+    one aggregation per round), converging in O(component diameter)
+    rounds.  Near-dup graphs are overwhelmingly dense clique-ish
+    clusters with tiny diameters, so a handful of rounds suffices; for
+    pathological long-chain graphs the large-star/small-star variant
+    (O(log n) rounds) would replace the body without changing the
+    contract.  Scale properties: state is one (id, cluster) row per
+    node, every round shuffles O(E) rows, and lineage is truncated
+    with localCheckpoint every ``checkpoint_every`` rounds so plans
+    don't grow with the iteration count.  Only ids that appear in at
+    least one pair are returned (singletons are their own cluster
+    trivially and never shuffle).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("cluster"))
+    )
+    for it in range(max_iters):
+        prop = edges.join(
+            labels, edges["dst"] == labels["id"]
+        ).select(F.col("src").alias("id"), "cluster")
+        new = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iters - 1:
+            new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "id",
+        "cluster",
+        (F.col("id") == F.col("cluster")).cast("int").alias("is_canonical"),
+    )

@@ -139,3 +139,32 @@ def test_lang_of_goldens():
     assert lang_of("12345 !!!") == "unknown"
     assert lang_of("") == "unknown"
     assert lang_of("ドラえもん") == "ja"
+
+
+def test_near_dup_clusters_components_and_chains(spark):
+    from pg_cjk_parser_spark.ops.dedup import near_dup_clusters
+
+    # two components: a triangle {1,2,3} and a LONG CHAIN 10-11-...-20
+    # (chains force multi-round label propagation - the min label
+    # travels one hop per round)
+    pairs = [(1, 2), (2, 3), (1, 3)] + [(i, i + 1) for i in range(10, 20)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r.id: (r.cluster, r.is_canonical)
+        for r in near_dup_clusters(pdf).collect()
+    }
+    for i in (1, 2, 3):
+        assert got[i] == (1, 1 if i == 1 else 0)
+    for i in range(10, 21):
+        assert got[i] == (10, 1 if i == 10 else 0)
+    assert len(got) == 14  # only pair participants, no singletons
+
+
+def test_near_dup_clusters_direction_independent(spark):
+    from pg_cjk_parser_spark.ops.dedup import near_dup_clusters
+
+    # edges given in arbitrary orientation; min id sits at the END
+    pairs = [(5, 9), (9, 2), (7, 2)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.id: r.cluster for r in near_dup_clusters(pdf).collect()}
+    assert got == {2: 2, 5: 2, 7: 2, 9: 2}
