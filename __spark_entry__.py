@@ -1409,6 +1409,7 @@ def _headline_fragments_and_sql(
     minw: int = 5,
     maxw: int = 12,
     sw: int = 3,
+    phrase: bool = False,
 ) -> str:
     """Recursive-CTE oracle for an N-term AND ts_headline in fragments
     mode with MaxFragments=2 (reference mark_hl_fragments,
@@ -1443,6 +1444,12 @@ def _headline_fragments_and_sql(
        run exactly as the renderer's in_-run walk would.
     5. Docs with no cover fall back to the first MinWords words,
        highlighting any lone term (:2650-2661).
+
+    ``phrase=True`` applies the same hlCover window-match filter as
+    the mark_hl_words phrase oracle (identical probe progression,
+    only adjacent-sequence windows emitted as covers, densely
+    renumbered); everything downstream of cover collection is
+    phrase-independent.
     """
     occ_defs = ",\n    ".join(
         f"list_filter(generate_series(1, m), i -> ws[i] = '{w}') AS o{j}"
@@ -1463,6 +1470,16 @@ def _headline_fragments_and_sql(
     item = " OR ".join(f"ws[{{j}}] = '{w}'" for w in words)
     item_j = "(" + item.format(j="j") + ")"
     wrap = " OR ".join(f"w = '{w}'" for w in words)
+    if phrase:
+        adj = " AND ".join(
+            f"ws[j + {t}] = '{w}'" for t, w in enumerate(words)
+        )
+        valid = (
+            f"\n    AND len(list_filter(generate_series(p, q - {len(words) - 1}),"
+            f"\n        j -> {adj})) > 0"
+        )
+    else:
+        valid = ""
     rend = (
         "array_to_string(list_transform(ws[{b}:{e}], "
         f"w -> CASE WHEN {wrap} THEN '<b>' || w || '</b>' ELSE w END), ' ')"
@@ -1501,7 +1518,7 @@ covers AS (
   SELECT doc_id, ws, m,
          row_number() OVER (PARTITION BY doc_id ORDER BY k) AS k,
          p, q
-  FROM cov WHERE k >= 1
+  FROM cov WHERE k >= 1{valid}
 ),
 frag AS (
   SELECT doc_id, ws, m, k, q, 0 AS f, p AS nextsp,
@@ -1669,6 +1686,30 @@ _HEADLINE_OPTS_SQL = _headline_and_sql(
     ["spark", "merge"], minw=4, maxw=10, sw=2
 )
 _HEADLINE_FRAGMENTS_AND_SQL = _headline_fragments_and_sql(["spark", "merge"])
+_HEADLINE_FRAGMENTS_PHRASE_SQL = _headline_fragments_and_sql(
+    ["spark", "merge"], phrase=True
+)
+
+
+def _q_headline_fragments_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragments mode (MaxFragments=2) for the PHRASE query
+    'spark <-> merge': cover collection applies the hlCover
+    window-match recheck (only adjacent-pair windows become covers),
+    then the full fragment split/pick/stretch machinery runs on the
+    filtered cover sequence - completing the headline oracle matrix
+    (words/fragments x single/AND/phrase/options)."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf(
+        "spark <-> merge", mode="tsquery",
+        min_words=5, max_words=12, max_fragments=2,
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
 
 
 def _q_headline_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1797,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_headline_fragments_and": _q_headline_fragments_and,
         "bm25_phrase_or_topk": _q_bm25_phrase_or_topk,
         "near_dup_clusters": _q_near_dup_clusters,
+        "ts_headline_fragments_phrase": _q_headline_fragments_phrase,
     }
 
 
@@ -1832,4 +1874,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_headline_fragments_and": _HEADLINE_FRAGMENTS_AND_SQL,
         "bm25_phrase_or_topk": _BM25_PHRASE_OR_SQL,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
+        "ts_headline_fragments_phrase": _HEADLINE_FRAGMENTS_PHRASE_SQL,
     }

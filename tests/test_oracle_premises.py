@@ -411,6 +411,44 @@ def test_simhash_sql_matches_kernel_on_random_texts():
         assert got[i] == kernel(t), (i, t)
 
 
+def test_headline_fragments_phrase_closed_form_matches_kernel():
+    """Fragments mode with a PHRASE query: the cover fold's
+    window-match filter composes with the fragment machinery."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(61)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 60, 400),
+        (["spark", "merge", "the", "a", "x"], 80, 500),
+        (["value"] * 20 + ["spark", "merge"], 200, 250),
+        (["a", "x", "spark", "merge"], 40, 300),
+    ]
+    texts = []
+    i = 0
+    for pool, maxn, reps in pools:
+        for _ in range(reps):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(
+        con.execute(entry_mod._HEADLINE_FRAGMENTS_PHRASE_SQL).fetchall()
+    )
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(t, "spark <-> merge", mode="tsquery",
+                     min_words=5, max_words=12, max_fragments=2)
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 700
+
+
 def test_bm25_phrase_or_routes_through_tree_evaluation():
     """The bm25_phrase_or_topk driver row exists to exercise the
     boolean-tree evaluator with a lazy phrase recheck - assert the
