@@ -670,6 +670,27 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality score (mean token negative
+    log-likelihood) - the LM-style corpus-filtering signal.  Exact
+    oracle: the closed driver vocabulary makes the engine tokenizer
+    equal whitespace split + stopword drop + the 5-word stem map, so
+    DuckDB reproduces cf/total and the same -ln average."""
+    from pg_cjk_parser_spark.ops.textstats import unigram_logprob_score
+
+    return unigram_logprob_score(_docs(spark, sf_dir))
+
+
+_UNIGRAM_LOGPROB_SQL = f"""
+WITH {_TOK_CTE},
+cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+tot AS (SELECT sum(cf)::DOUBLE AS total FROM cf)
+SELECT t.doc_id, round(avg(-ln(cf.cf / tot.total)), 4) AS nll
+FROM tok t JOIN cf USING (term) CROSS JOIN tot
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_cjk_parser_spark.ops.textstats import token_counts
 
@@ -1839,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_or_topk": _q_bm25_phrase_or_topk,
         "near_dup_clusters": _q_near_dup_clusters,
         "ts_headline_fragments_phrase": _q_headline_fragments_phrase,
+        "unigram_logprob": _q_unigram_logprob,
     }
 
 
@@ -1875,4 +1897,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_or_topk": _BM25_PHRASE_OR_SQL,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
         "ts_headline_fragments_phrase": _HEADLINE_FRAGMENTS_PHRASE_SQL,
+        "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
     }

@@ -164,3 +164,43 @@ def char_window_fingerprint(
         F.col(id_col),
         F.slice(F.array_sort(digests), 1, n_mins).alias("fingerprint"),
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-doc mean unigram negative log-likelihood under the corpus's
+    own unigram distribution: nll(d) = avg over token occurrences of
+    -ln(cf(term) / total_cf).  A cheap LM-style fluency/quality proxy
+    for corpus filtering (documents full of rare or garbled tokens
+    score high; boilerplate scores low) in the spirit of
+    CCNet/Gopher-style quality pipelines, computable without a model.
+
+    Scale shape: one tokenizer pass, one groupBy for corpus term
+    frequencies (map-side combinable), the frequency table re-joined
+    BROADCAST (vocabulary-sized, not corpus-sized), one final per-doc
+    aggregation.  The corpus-totals scalar rides a broadcast cross
+    join, so nothing is collected to the driver.
+    """
+    from ..spark.udfs import lexemes_udf
+
+    lex = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(lexemes_udf(F.col(text_col))).alias("l"),
+    ).select(id_col, F.col("l.term").alias("term"))
+    cf = lex.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    tot = cf.agg(F.sum("cf").cast("double").alias("total"))
+    return (
+        lex.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("cf") / F.col("total"))), round_digits
+            ).alias("nll")
+        )
+        .orderBy(id_col)
+    )

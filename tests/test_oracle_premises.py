@@ -463,6 +463,29 @@ def test_bm25_phrase_or_routes_through_tree_evaluation():
     assert sorted(pq.terms) == ["merg", "spark", "vector"]
 
 
+def test_unigram_logprob_round4_boundary_margin():
+    """The unigram_logprob oracle compares round-4 doubles computed by
+    two engines (libm ulp + summation-order differences ~1e-14): every
+    per-doc nll at the oracle scale must sit far from a .00005
+    rounding boundary so the comparison cannot flip."""
+    con = duckdb.connect()
+    raw = con.execute(f"""
+WITH tok AS (
+  SELECT d.doc_id, {entry_mod._STEM_CASE} AS term
+  FROM read_parquet('{SF_DIR}/documents.parquet') d,
+       unnest(string_split(d.text, ' ')) AS t(term)
+  WHERE t.term <> '' AND t.term NOT IN ('the', 'a')
+), cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+tot AS (SELECT sum(cf)::DOUBLE AS total FROM cf)
+SELECT avg(-ln(cf.cf / tot.total)) AS nll
+FROM tok t JOIN cf USING (term) CROSS JOIN tot GROUP BY t.doc_id
+""").df()
+    con.close()
+    frac = (raw["nll"] * 1e4) % 1
+    margin = (frac - 0.5).abs().min()
+    assert margin > 1e-6, f"nll too close to a round-4 boundary: {margin}"
+
+
 def test_ivf_oracle_candidates_match_engine_derivation():
     """The IVF oracle embeds a candidate id list derived by replicating
     the engine's deterministic training in numpy; the embedded list
