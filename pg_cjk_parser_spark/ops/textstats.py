@@ -171,6 +171,7 @@ def unigram_logprob_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int = 4,
+    term_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc mean unigram negative log-likelihood under the corpus's
     own unigram distribution: nll(d) = avg over token occurrences of
@@ -179,23 +180,38 @@ def unigram_logprob_score(
     score high; boilerplate scores low) in the spirit of
     CCNet/Gopher-style quality pipelines, computable without a model.
 
-    Scale shape: one tokenizer pass, one groupBy for corpus term
-    frequencies (map-side combinable), the frequency table re-joined
-    BROADCAST (vocabulary-sized, not corpus-sized), one final per-doc
-    aggregation.  The corpus-totals scalar rides a broadcast cross
-    join, so nothing is collected to the driver.
+    Scale shape: term frequencies come from one tokenizer pass + a
+    map-side-combinable groupBy, and the corpus total is folded INTO
+    that (vocabulary-sized) table with an unpartitioned window - NOT a
+    third scan: Catalyst does not dedupe common subtrees, so deriving
+    the total from a separate aggregate re-tokenizes the corpus (the
+    explain showed three ArrowEvalPython scans before this rewrite).
+    The stats table re-joins BROADCAST against the probe pass, so the
+    corpus is tokenized exactly twice and nothing corpus-sized
+    shuffles or reaches the driver.  Term frequencies are
+    query-independent corpus state - pass a precomputed
+    ``term_freqs`` (term, cf) table to drop to a single pass.
     """
+    from pyspark.sql.window import Window
+
     from ..spark.udfs import lexemes_udf
 
-    lex = docs.select(
-        F.col(id_col).alias(id_col),
-        F.explode(lexemes_udf(F.col(text_col))).alias("l"),
-    ).select(id_col, F.col("l.term").alias("term"))
-    cf = lex.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
-    tot = cf.agg(F.sum("cf").cast("double").alias("total"))
+    def lex_of(df):
+        return df.select(
+            F.col(id_col).alias(id_col),
+            F.explode(lexemes_udf(F.col(text_col))).alias("l"),
+        ).select(id_col, F.col("l.term").alias("term"))
+
+    if term_freqs is None:
+        term_freqs = lex_of(docs).groupBy("term").agg(
+            F.count(F.lit(1)).alias("cf")
+        )
+    cf2 = term_freqs.withColumn(
+        "total", F.sum("cf").over(Window.partitionBy()).cast("double")
+    )
     return (
-        lex.join(F.broadcast(cf), "term")
-        .crossJoin(F.broadcast(tot))
+        lex_of(docs)
+        .join(F.broadcast(cf2), "term")
         .groupBy(id_col)
         .agg(
             F.round(
