@@ -691,6 +691,63 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by id hash (md5-based so
+    both engines compute the identical assignment)."""
+    from pg_cjk_parser_spark.ops.textstats import hash_split
+
+    return hash_split(_docs(spark, sf_dir))
+
+
+_HASH_SPLIT_SQL = """
+SELECT doc_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+    AS split
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
+      AS b
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+_PROBE_TEXTS = [
+    "spark merge query window table scan filter",
+    "customer value batch stream sort order group",
+    "the data table join a key hash part",
+]
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination overlap: docs sharing any 3-gram with
+    the (fixed, embedded) probe texts, with distinct-hit counts."""
+    from pg_cjk_parser_spark.ops.textstats import contamination_overlap
+
+    return contamination_overlap(_docs(spark, sf_dir), _PROBE_TEXTS, n=3)
+
+
+def _contamination_sql() -> str:
+    grams = set()
+    for t in _PROBE_TEXTS:
+        ws = t.split()
+        for i in range(len(ws) - 2):
+            grams.add(" ".join(ws[i : i + 3]))
+    vals = ", ".join(f"('{g}')" for g in sorted(grams))
+    return f"""
+WITH probe(gram) AS (VALUES {vals}),
+dg AS (
+  SELECT DISTINCT d.doc_id, array_to_string(
+           list_slice(string_split(d.text, ' '), i.i, i.i + 2), ' ') AS gram
+  FROM documents d, (SELECT unnest(generate_series(1, 4000)) AS i) i
+  WHERE i.i <= len(string_split(d.text, ' ')) - 2
+)
+SELECT dg.doc_id, count(*) AS n_hits
+FROM dg JOIN probe USING (gram)
+GROUP BY dg.doc_id ORDER BY dg.doc_id
+"""
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_cjk_parser_spark.ops.textstats import token_counts
 
@@ -1861,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "ts_headline_fragments_phrase": _q_headline_fragments_phrase,
         "unigram_logprob": _q_unigram_logprob,
+        "hash_split": _q_hash_split,
+        "contamination_overlap": _q_contamination,
     }
 
 
@@ -1898,4 +1957,6 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
         "ts_headline_fragments_phrase": _HEADLINE_FRAGMENTS_PHRASE_SQL,
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+        "hash_split": _HASH_SPLIT_SQL,
+        "contamination_overlap": _contamination_sql(),
     }

@@ -220,3 +220,92 @@ def unigram_logprob_score(
         )
         .orderBy(id_col)
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``(id, split)`` by
+    hashing the doc id (md5 of ``salt:id``, first 8 hex digits mod
+    100) against cumulative percentage ``weights`` (default
+    train 80 / val 10 / test 10).
+
+    Properties a training pipeline needs and a random split lacks:
+    stable under reprocessing (same id -> same split, regardless of
+    partitioning, ordering, or cluster size), leakage-safe across
+    incremental runs (new docs never move old ones between splits),
+    and embarrassingly parallel (a narrow projection - no shuffle, no
+    RNG state).  The salt namespaces independent splits of the same
+    corpus."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    bucket = (
+        F.conv(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+            .substr(1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.select(
+        F.col(id_col).alias(id_col), expr.alias("split")
+    ).orderBy(id_col)
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    probe_texts: list[str],
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination check: which corpus docs contain any
+    word n-gram of the probe texts (an eval set), and how many
+    distinct probe n-grams each hits - ``(id, n_hits)``.
+
+    Scale shape: the probe n-gram set is built driver-side (eval sets
+    are small by definition), broadcast, and joined against the
+    corpus's exploded n-grams - corpus-side work is one projection +
+    one broadcast semi-aggregation; the corpus never shuffles on its
+    own size."""
+    grams = set()
+    for t in probe_texts:
+        ws = (t or "").split()
+        for i in range(max(len(ws) - n + 1, 0)):
+            grams.add(" ".join(ws[i : i + n]))
+    if not grams:
+        raise ValueError("probe texts yield no n-grams")
+    spark = docs.sparkSession
+    probe = spark.createDataFrame(
+        [(g,) for g in sorted(grams)], "gram string"
+    )
+    t = F.split(F.col(text_col), " ")
+    doc_grams = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(t) - (n - 1), F.lit(0)),
+                ),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        ).alias("gram"),
+    ).distinct()
+    return (
+        doc_grams.join(F.broadcast(probe), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(id_col)
+    )

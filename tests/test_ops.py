@@ -168,3 +168,52 @@ def test_near_dup_clusters_direction_independent(spark):
     pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {r.id: r.cluster for r in near_dup_clusters(pdf).collect()}
     assert got == {2: 2, 5: 2, 7: 2, 9: 2}
+
+
+def test_hash_split_deterministic_and_weighted(spark):
+    from pg_cjk_parser_spark.ops.textstats import hash_split
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(2000)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    # repartitioned input -> identical assignment (order/partition free)
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / 2000 < 0.9
+    assert 0.05 < c["val"] / 2000 < 0.15
+    assert 0.05 < c["test"] / 2000 < 0.15
+    # different salt -> different (still valid) assignment
+    d = {r.doc_id: r.split for r in hash_split(docs, salt="v2").collect()}
+    assert d != a
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(docs, weights={"train": 50, "val": 10})
+
+
+def test_contamination_overlap_hits(spark):
+    from pg_cjk_parser_spark.ops.textstats import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # contains probe 3-gram
+            (2, "beta gamma alpha beta"),       # does not (wrong order)
+            (3, "x alpha beta gamma y"),        # contains, mid-doc
+            (4, "unrelated words here only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in contamination_overlap(
+            docs, ["alpha beta gamma delta"], n=3
+        ).collect()
+    }
+    assert got == {1: 2, 3: 1}  # doc1 hits both probe 3-grams
