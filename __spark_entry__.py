@@ -748,6 +748,60 @@ GROUP BY dg.doc_id ORDER BY dg.doc_id
 """
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: duplicate- and top-n-gram
+    fractions for n=2,3."""
+    from pg_cjk_parser_spark.ops.textstats import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g2 AS (SELECT doc_id, array_to_string(list_slice(ws, i.i, i.i + 1), ' ') AS g
+       FROM w, (SELECT unnest(generate_series(1, 4000)) AS i) i
+       WHERE i.i <= len(ws) - 1),
+a2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+s2 AS (SELECT doc_id,
+              round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup2_frac,
+              round(max(c)::DOUBLE / sum(c), 4) AS top2_frac
+       FROM a2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, array_to_string(list_slice(ws, i.i, i.i + 2), ' ') AS g
+       FROM w, (SELECT unnest(generate_series(1, 4000)) AS i) i
+       WHERE i.i <= len(ws) - 2),
+a3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+s3 AS (SELECT doc_id,
+              round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup3_frac,
+              round(max(c)::DOUBLE / sum(c), 4) AS top3_frac
+       FROM a3 GROUP BY doc_id)
+SELECT s2.doc_id, dup2_frac, top2_frac, dup3_frac, top3_frac
+FROM s2 JOIN s3 USING (doc_id) ORDER BY s2.doc_id
+"""
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022 style):
+    distinct 8-word spans per doc shared with another doc."""
+    from pg_cjk_parser_spark.ops.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=8)
+
+
+_DUP_SPANS_SQL = """
+WITH sp AS (
+  SELECT DISTINCT d.doc_id,
+         array_to_string(
+           list_slice(string_split(d.text, ' '), i.i, i.i + 7), ' ') AS g
+  FROM documents d, (SELECT unnest(generate_series(1, 4000)) AS i) i
+  WHERE i.i <= len(string_split(d.text, ' ')) - 7
+),
+sh AS (SELECT g FROM sp GROUP BY g HAVING count(*) >= 2)
+SELECT sp.doc_id, count(*)::BIGINT AS n_dup_spans
+FROM sp JOIN sh USING (g)
+GROUP BY sp.doc_id ORDER BY sp.doc_id
+"""
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_cjk_parser_spark.ops.textstats import token_counts
 
@@ -1920,6 +1974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "hash_split": _q_hash_split,
         "contamination_overlap": _q_contamination,
+        "repetition_signals": _q_repetition_signals,
+        "duplicate_spans": _q_duplicate_spans,
     }
 
 
@@ -1959,4 +2015,6 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _UNIGRAM_LOGPROB_SQL,
         "hash_split": _HASH_SPLIT_SQL,
         "contamination_overlap": _contamination_sql(),
+        "repetition_signals": _REPETITION_SQL,
+        "duplicate_spans": _DUP_SPANS_SQL,
     }

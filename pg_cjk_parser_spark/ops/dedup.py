@@ -461,3 +461,51 @@ def near_dup_clusters(
         "cluster",
         (F.col("id") == F.col("cluster")).cast("int").alias("is_canonical"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication signal in the style of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"):
+    for each document, the number of distinct k-word spans that also
+    occur verbatim in at least one other document - ``(id,
+    n_dup_spans)``, rows only for docs with >= 1 shared span.  A
+    training pipeline thresholds or span-masks on it where suffix
+    arrays are the single-node tool.
+
+    Scale shape: spans hash to 64 bits JVM-side (xxhash64 of the
+    joined words - the text never travels past the projection), one
+    distinct, then ``groupBy(span)`` with map-side combine to find
+    spans in >= 2 docs, and a join back on the span hash.  Zipf-heavy
+    boilerplate spans concentrate ONE row per span in the shared set
+    (not one per occurrence), so the join's build side stays
+    proportional to distinct shared spans; no self-join on docs, no
+    all-pairs blowup.
+    """
+    from .textstats import word_ngrams_col
+
+    t = F.split(F.col(text_col), " ")
+    spans = (
+        docs.select(
+            F.col(id_col).alias(id_col),
+            F.explode(word_ngrams_col(t, k)).alias("g"),
+        )
+        .select(id_col, F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    shared = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        spans.join(shared, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        .orderBy(id_col)
+    )

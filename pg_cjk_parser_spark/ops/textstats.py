@@ -263,6 +263,21 @@ def hash_split(
     ).orderBy(id_col)
 
 
+def word_ngrams_col(t, n: int):
+    """Column of word ``n``-grams (space-joined) over a split-words
+    array column ``t``.  Safe for short docs: Spark's ``sequence(1, 0)``
+    is the *descending* ``[1, 0]`` and ``slice(t, 0, n)`` throws, so
+    texts with fewer than ``n`` words must short-circuit to an empty
+    array (``explode`` then drops the row)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def contamination_overlap(
     docs: DataFrame,
     probe_texts: list[str],
@@ -293,15 +308,7 @@ def contamination_overlap(
     t = F.split(F.col(text_col), " ")
     doc_grams = docs.select(
         F.col(id_col).alias(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size(t) - (n - 1), F.lit(0)),
-                ),
-                lambda i: F.array_join(F.slice(t, i, n), " "),
-            )
-        ).alias("gram"),
+        F.explode(word_ngrams_col(t, n)).alias("gram"),
     ).distinct()
     return (
         doc_grams.join(F.broadcast(probe), "gram")
@@ -309,3 +316,50 @@ def contamination_overlap(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .orderBy(id_col)
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Within-document repetition signals in the style of the Gopher
+    quality rules (Rae et al. 2021, "Scaling Language Models", table
+    A1): for each word n-gram size in ``ns``, the duplicate-n-gram
+    fraction ``1 - distinct/total`` and the top-n-gram fraction
+    ``max_count/total``.  Repetitive machine-generated or boilerplate
+    pages score high on both; a corpus filter thresholds them.
+
+    Output: ``(id, dup{n}_frac, top{n}_frac, ...)`` one row per doc
+    with at least ``max(ns)`` words.
+
+    Scale shape: per n, explode n-grams JVM-side and aggregate
+    ``groupBy(id, gram)`` then ``groupBy(id)`` - both hash aggregations
+    with map-side partial combine; no self-join, no UDF.  The per-n
+    results join back on the doc id, which is unique (at most
+    ``len(ns)`` small shuffles of one row per doc)."""
+    t = F.split(F.col(text_col), " ")
+    out = None
+    for n in ns:
+        per_gram = (
+            docs.select(
+                F.col(id_col).alias(id_col),
+                F.explode(word_ngrams_col(t, n)).alias("gram"),
+            )
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        per_doc = per_gram.groupBy(id_col).agg(
+            F.round(
+                F.lit(1.0)
+                - F.count(F.lit(1)) / F.sum("c"),
+                round_digits,
+            ).alias(f"dup{n}_frac"),
+            F.round(
+                F.max("c") / F.sum("c"), round_digits
+            ).alias(f"top{n}_frac"),
+        )
+        out = per_doc if out is None else out.join(per_doc, id_col)
+    return out.orderBy(id_col)

@@ -217,3 +217,67 @@ def test_contamination_overlap_hits(spark):
         ).collect()
     }
     assert got == {1: 2, 3: 1}  # doc1 hits both probe 3-grams
+
+
+def test_contamination_overlap_short_docs_no_crash(spark):
+    from pg_cjk_parser_spark.ops.textstats import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in contamination_overlap(
+            docs, ["alpha beta gamma"], n=3
+        ).collect()
+    }
+    assert got == {3: 1}
+
+
+def test_repetition_signals_gopher_fractions(spark):
+    from pg_cjk_parser_spark.ops.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab -> 5 total 2 distinct
+            (2, "x y z w v u"),        # all distinct
+            (3, "a b"),                # too short for trigrams -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1.dup2_frac == 0.6    # 1 - 2/5
+    assert r1.top2_frac == 0.6    # ab appears 3/5
+    assert r1.dup3_frac == 0.5    # aba,bab,aba,bab -> 1 - 2/4
+    r2 = rows[2]
+    assert r2.dup2_frac == 0.0 and r2.top2_frac == 0.2
+
+
+def test_duplicate_spans_shared_only(spark):
+    from pg_cjk_parser_spark.ops.dedup import duplicate_spans
+
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),
+            (2, f"gamma {shared} delta"),
+            (3, "totally different words here now"),
+            (4, "one two three"),  # shorter than k -> no spans
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_dup_spans
+        for r in duplicate_spans(docs, k=4).collect()
+    }
+    # only the exact 4-gram "one two three four" is shared
+    assert got == {1: 1, 2: 1}
+    # repeated span inside one doc only does not count as shared
+    solo = spark.createDataFrame(
+        [(9, "p q r s p q r s"), (10, "unrelated text entirely here")],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(solo, k=4).count() == 0
