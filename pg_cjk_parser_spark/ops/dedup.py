@@ -479,13 +479,19 @@ def duplicate_spans(
 
     Scale shape: spans hash to 64 bits JVM-side (xxhash64 of the
     joined words - the text never travels past the projection), one
-    distinct, then ``groupBy(span)`` with map-side combine to find
-    spans in >= 2 docs, and a join back on the span hash.  Zipf-heavy
-    boilerplate spans concentrate ONE row per span in the shared set
-    (not one per occurrence), so the join's build side stays
-    proportional to distinct shared spans; no self-join on docs, no
-    all-pairs blowup.
+    distinct on (doc, span) with map-side partial dedup, then a
+    window ``count(*) over (partition by span)`` marks shared spans.
+    The window formulation is deliberate: the naive
+    groupBy-then-join-back reads the corpus and recomputes the
+    explode+distinct TWICE (Catalyst does not dedupe common
+    subtrees), while the window is one corpus scan and one extra
+    shuffle of two-long rows.  Hot boilerplate spans make one large
+    window group of (doc, span) pairs - WindowExec spills beyond its
+    buffer, and the group is the same size the join probe side would
+    have been.  No self-join on docs, no all-pairs blowup.
     """
+    from pyspark.sql import Window
+
     from .textstats import word_ngrams_col
 
     t = F.split(F.col(text_col), " ")
@@ -497,14 +503,10 @@ def duplicate_spans(
         .select(id_col, F.xxhash64("g").alias("h"))
         .distinct()
     )
-    shared = (
-        spans.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h")
-    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        spans.join(shared, "h")
+        spans.withColumn("nd", nd)
+        .where(F.col("nd") >= 2)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
         .orderBy(id_col)

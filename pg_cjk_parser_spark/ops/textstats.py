@@ -335,31 +335,53 @@ def repetition_signals(
     Output: ``(id, dup{n}_frac, top{n}_frac, ...)`` one row per doc
     with at least ``max(ns)`` words.
 
-    Scale shape: per n, explode n-grams JVM-side and aggregate
-    ``groupBy(id, gram)`` then ``groupBy(id)`` - both hash aggregations
-    with map-side partial combine; no self-join, no UDF.  The per-n
-    results join back on the doc id, which is unique (at most
-    ``len(ns)`` small shuffles of one row per doc)."""
+    Scale shape: ONE corpus scan - all n sizes explode in a single
+    tagged pass (a per-n loop joining per-n aggregates would re-read
+    and re-explode the corpus ``len(ns)`` times; Catalyst does not
+    dedupe common subtrees), then ``groupBy(id, n, gram)`` and
+    ``groupBy(id, n)`` hash aggregations with map-side partial
+    combine, and a pivot of the (already tiny) per-doc rows into
+    columns.  No self-join, no UDF."""
     t = F.split(F.col(text_col), " ")
-    out = None
+
+    # a two-arg lambda would make F.transform bind (element, INDEX) -
+    # the index would shadow an `n=n` default - so close over n here
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(
+        *[F.transform(word_ngrams_col(t, n), _tag(n)) for n in ns]
+    )
+    per_gram = (
+        docs.select(
+            F.col(id_col).alias(id_col),
+            F.explode(tagged).alias("x"),
+        )
+        .select(id_col, F.col("x.n").alias("n"), F.col("x.gram").alias("gram"))
+        .groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc_n = per_gram.groupBy(id_col, "n").agg(
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), round_digits
+        ).alias("dup_frac"),
+        F.round(F.max("c") / F.sum("c"), round_digits).alias("top_frac"),
+    )
+    wide = (
+        per_doc_n.groupBy(id_col)
+        .pivot("n", list(ns))
+        .agg(
+            F.first("dup_frac").alias("dup"),
+            F.first("top_frac").alias("top"),
+        )
+    )
+    cols = [F.col(id_col)]
+    notnull = None
     for n in ns:
-        per_gram = (
-            docs.select(
-                F.col(id_col).alias(id_col),
-                F.explode(word_ngrams_col(t, n)).alias("gram"),
-            )
-            .groupBy(id_col, "gram")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        per_doc = per_gram.groupBy(id_col).agg(
-            F.round(
-                F.lit(1.0)
-                - F.count(F.lit(1)) / F.sum("c"),
-                round_digits,
-            ).alias(f"dup{n}_frac"),
-            F.round(
-                F.max("c") / F.sum("c"), round_digits
-            ).alias(f"top{n}_frac"),
-        )
-        out = per_doc if out is None else out.join(per_doc, id_col)
-    return out.orderBy(id_col)
+        cols.append(F.col(f"{n}_dup").alias(f"dup{n}_frac"))
+        cols.append(F.col(f"{n}_top").alias(f"top{n}_frac"))
+        cond = F.col(f"{n}_dup").isNotNull()
+        notnull = cond if notnull is None else notnull & cond
+    # docs shorter than max(ns) words have no row for that n; keep the
+    # per-n inner-join semantics by dropping them
+    return wide.where(notnull).select(*cols).orderBy(id_col)
