@@ -248,6 +248,37 @@ def main() -> None:
         r2 = [d for d, _ in search_local(idx_web, "のび太", k=5)]
         extras["stream_compact_matches_batch"] = int(r1 == r2)
 
+    # -- 7. training-data pipeline ops at web-corpus scale ------------------
+    if parts_sel == "all":
+        from pg_cjk_parser_spark.ops.dedup import duplicate_spans
+        from pg_cjk_parser_spark.ops.textstats import (
+            hash_split,
+            repetition_signals,
+        )
+
+        for name, fn in (
+            (
+                "ops_duplicate_spans",
+                lambda: duplicate_spans(
+                    corpus, k=8, id_col="doc_seq"
+                ).count(),
+            ),
+            (
+                "ops_repetition_signals",
+                lambda: repetition_signals(
+                    corpus, id_col="doc_seq"
+                ).count(),
+            ),
+            (
+                "ops_hash_split",
+                lambda: hash_split(corpus, id_col="doc_seq").count(),
+            ),
+        ):
+            timed(name, fn)
+            extras[f"{name}_docs_per_sec"] = round(
+                synth_n / queries[name], 1
+            )
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
         import __spark_entry__ as entry_mod

@@ -141,9 +141,14 @@ bench: 29,218 docs/s at 200k docs / local[32].
 
 headline_suite_seconds grew from ~53 s (round 1) to ~75 s (round 2)
 because the suite gained sections: streaming 4-epoch + single-epoch
-appends (~24 s) and compaction (~10 s).  Like-for-like numbers
-(build docs/s, per-query medians) all improved; compare those, not
-the suite total.
+appends (~24 s) and compaction (~10 s).  Round 3 added a
+training-data-ops section (~14 s) measuring the pipeline operators on
+the same 200k-doc webcorpus: duplicate_spans ~41k docs/s (distinct
+8-word spans shared across docs; one scan, window over span hash),
+repetition_signals ~23k docs/s (dup/top n-gram fractions for n=2,3 in
+one tagged scan), hash_split ~570k docs/s (narrow projection).
+Like-for-like numbers (build docs/s, per-query medians) all improved
+or held; compare those, not the suite total.
 
 ## Scale ladder (same job, local[32]; corpus size x10)
 
