@@ -748,6 +748,104 @@ GROUP BY dg.doc_id ORDER BY dg.doc_id
 """
 
 
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation - the composition a training-data
+    pipeline runs over the raw corpus: quality gate (>=30 words, mean
+    word length in [3, 10]) -> exact dedup (keep the min doc_id per
+    identical text) -> near-dup dedup (MinHash -> LSH -> exact-Jaccard
+    verify -> connected components; keep only each cluster's canonical
+    min-id member) -> deterministic train/val/test assignment of the
+    survivors.  Every stage is individually oracled elsewhere; this row
+    proves they compose (filters don't break LSH completeness, the
+    cluster decision applies post-exact-dedup, splits are stable on the
+    curated subset)."""
+    from pg_cjk_parser_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_clusters,
+        verify_jaccard,
+    )
+    from pg_cjk_parser_spark.ops.textstats import hash_split
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    mwl = (
+        F.length(F.translate("text", " ", "")).cast("double")
+        / F.size(words)
+    )
+    good = docs.where(
+        (F.size(words) >= 30) & (mwl >= 3.0) & (mwl <= 10.0)
+    )
+    keep_exact = good.groupBy(F.md5("text").alias("k")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    good = good.join(keep_exact.select("doc_id"), "doc_id")
+    sigs = minhash_signatures(good, n_hashes=64, shingle_k=5)
+    pairs = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    verified = verify_jaccard(good, pairs, threshold=0.5)
+    clusters = near_dup_clusters(verified.select("id_a", "id_b"))
+    drop = clusters.where(F.col("is_canonical") == 0).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = good.join(drop, "doc_id", "left_anti")
+    return hash_split(kept)
+
+
+_CURATION_SQL = """
+WITH RECURSIVE filt AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 30
+    AND length(replace(text, ' ', ''))::DOUBLE
+          / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0
+),
+keep_exact AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+f2 AS (SELECT f.doc_id, f.text FROM filt f JOIN keep_exact USING (doc_id)),
+g AS (
+  SELECT DISTINCT d.doc_id AS id, array_to_string(
+           list_slice(string_split(d.text, ' '), i.i, i.i + 4), ' ') AS gram
+  FROM f2 d, (SELECT unnest(generate_series(1, 4000)) AS i) i
+  WHERE i.i <= greatest(len(string_split(d.text, ' ')) - 4, 1)
+), sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+p AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+  WHERE round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 4) >= 0.5
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+nodes AS (SELECT DISTINCT src AS id FROM e),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.src AS id, r.lab FROM reach r JOIN e ON e.dst = r.id
+),
+clusters AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+dropped AS (SELECT id FROM clusters WHERE id <> cluster),
+kept AS (
+  SELECT doc_id FROM f2
+  WHERE doc_id NOT IN (SELECT id FROM dropped)
+)
+SELECT doc_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+    AS split
+FROM (
+  SELECT doc_id,
+    ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
+      AS b
+  FROM kept
+)
+ORDER BY doc_id
+"""
+
+
 def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition: duplicate- and top-n-gram
     fractions for n=2,3."""
@@ -1976,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": _q_contamination,
         "repetition_signals": _q_repetition_signals,
         "duplicate_spans": _q_duplicate_spans,
+        "corpus_curation": _q_curation,
     }
 
 
@@ -2017,4 +2116,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination_overlap": _contamination_sql(),
         "repetition_signals": _REPETITION_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
+        "corpus_curation": _CURATION_SQL,
     }
