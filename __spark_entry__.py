@@ -748,6 +748,42 @@ GROUP BY dg.doc_id ORDER BY dg.doc_id
 """
 
 
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollups (4-hour inactivity gap) via Spark's
+    native session_window; oracle reproduces the semantics (merge
+    while gap < 4h; window end = last event + gap) with gap-and-
+    islands SQL."""
+    from pg_cjk_parser_spark.ops.stream_ops import session_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return session_stats(ev, gap="4 hours").orderBy(
+        "user_id", "session_start_us"
+    )
+
+
+_SESSION_STATS_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e
+)
+SELECT user_id,
+       epoch_us(min(ts))::BIGINT AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 4 HOUR)::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, session_start_us
+"""
+
+
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation - the composition a training-data
     pipeline runs over the raw corpus: quality gate (>=30 words, mean
@@ -2075,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "duplicate_spans": _q_duplicate_spans,
         "corpus_curation": _q_curation,
+        "session_stats": _q_session_stats,
     }
 
 
@@ -2117,4 +2154,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _REPETITION_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
         "corpus_curation": _CURATION_SQL,
+        "session_stats": _SESSION_STATS_SQL,
     }

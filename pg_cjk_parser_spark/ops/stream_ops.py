@@ -134,3 +134,59 @@ def windowed_ingest_stats(
         .groupBy(F.window(F.col(ts_col), window).alias("window"))
         .agg(*aggs)
     )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "4 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user session rollup via Spark's native session windows:
+    events of one user merge into a session while consecutive gaps
+    stay under ``gap``; the window end is last-event-time + gap
+    (Spark session_window semantics).
+
+    Output: (user, session_start_us, session_end_us, n_events,
+    sum_value) with timestamps as epoch microseconds (integer -
+    engine-portable, no wall-clock formatting).
+
+    Works on batch AND streaming input: pass ``watermark`` for a
+    stream - session state is bounded by it and each session emits
+    once, after it can no longer grow (append mode).  Scale shape:
+    one shuffle on the user key; session merging is Spark-native
+    (no UDF, no per-user collect)."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    # parquet event times are commonly TIMESTAMP_NTZ; unix_micros only
+    # accepts tz-aware TIMESTAMP (and a cast would re-interpret the
+    # wall clock in the session tz), so diff NTZ against an NTZ epoch
+    is_ntz = dict(events.dtypes).get(ts_col) == "timestamp_ntz"
+
+    def _us(field: str):
+        if is_ntz:
+            return F.expr(
+                "timestampdiff(MICROSECOND, "
+                "to_timestamp_ntz('1970-01-01 00:00:00'), "
+                f"session_window.{field})"
+            )
+        return F.unix_micros(F.col(f"session_window.{field}"))
+
+    return (
+        events.groupBy(
+            F.col(user_col), F.session_window(F.col(ts_col), gap)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            _us("start").alias("session_start_us"),
+            _us("end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

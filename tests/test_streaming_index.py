@@ -323,3 +323,67 @@ def test_validate_index_batch_stream_and_corruption(spark, tmp_path):
     rep = validate_index(bdir)
     assert not rep["ok"]
     assert any("sum(buckets)" in e for e in rep["errors"])
+
+
+def test_session_stats_batch_and_streaming(spark, tmp_path):
+    """session_window semantics: events merge while gaps < gap; window
+    end = last event + gap.  The same operator runs batch and (with a
+    watermark) streaming; closed sessions emit once in append mode."""
+    import datetime as dt
+
+    from pg_cjk_parser_spark.ops.stream_ops import session_stats
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id long, ts timestamp, value double"
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=30), 2.0),   # merges (gap < 1h)
+        (1, t0 + dt.timedelta(hours=2), 4.0),      # new session (gap >= 1h)
+        (2, t0 + dt.timedelta(minutes=5), 8.0),
+        # watermark driver: far-future event closes everything above
+        (3, t0 + dt.timedelta(days=2), 16.0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r.user_id, r.session_start_us): r
+        for r in session_stats(df, gap="1 hour").collect()
+    }
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    s1 = got[(1, us(t0))]
+    assert s1.n_events == 2 and s1.sum_value == 3.0
+    assert s1.session_end_us == us(t0 + dt.timedelta(hours=1, minutes=30))
+    s2 = got[(1, us(t0 + dt.timedelta(hours=2)))]
+    assert s2.n_events == 1 and s2.session_end_us == us(
+        t0 + dt.timedelta(hours=3)
+    )
+    assert got[(2, us(t0 + dt.timedelta(minutes=5)))].sum_value == 8.0
+
+    # streaming: same operator + watermark, append mode emits closed sessions
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        session_stats(stream, gap="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "select * from sess_stats order by user_id, session_start_us"
+    ).collect()
+    # user-3's day-2 event advances the watermark past every other
+    # session; those emit exactly once, user-3's own stays open
+    emitted = {(r.user_id, r.session_start_us) for r in out}
+    assert emitted == {
+        (1, us(t0)),
+        (1, us(t0 + dt.timedelta(hours=2))),
+        (2, us(t0 + dt.timedelta(minutes=5))),
+    }
+    for r in out:
+        b = got[(r.user_id, r.session_start_us)]
+        assert (r.n_events, r.sum_value, r.session_end_us) == (
+            b.n_events, b.sum_value, b.session_end_us
+        )
