@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
     corpus + the sf0.001 documents table, answer the reference CJK
     query set with BM25 top-10, return (query, rank, docid, score)."""
     from pg_cjk_parser_spark.index.build import build_index
-    from pg_cjk_parser_spark.query.topk import search
+    from pg_cjk_parser_spark.query.topk import search_many
     from pg_cjk_parser_spark.spark.corpus import synth_corpus
 
     index_dir = os.path.join(tempfile.gettempdir(), "pg_cjk_spark_entry_index")
@@ -57,23 +57,14 @@ def entry(spark: SparkSession) -> DataFrame:
     build_index(
         spark, corpus, index_dir, num_buckets=16, num_salts=2, block_size=64
     )
-    from pyspark.sql.window import Window
-
-    out = None
-    for q in ("のび太", "野比大雄", "「大韩民国개인정보", "Doraemnon"):
-        res = (
-            search(spark, index_dir, q, k=10)
-            .withColumn("query", F.lit(q))
-            .withColumn(
-                "rank",
-                F.row_number().over(
-                    Window.orderBy(F.desc("score"), F.asc("docid"))
-                ),
-            )
-            .select("query", "rank", "docid", "score")
-        )
-        out = res if out is None else out.unionAll(res)
-    return out
+    # the batched workload path: one postings scan + one Spark job for
+    # the whole query set (rank-identical per query to search())
+    return search_many(
+        spark,
+        index_dir,
+        ["のび太", "野比大雄", "「大韩民国개인정보", "Doraemnon"],
+        k=10,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -146,6 +146,22 @@ def main() -> None:
         mode = "tsquery" if "|" in q else "plain"
         timed_query(name, lambda q=q, m=mode: search(spark, idx_web, q, k=10, mode=m).collect())
 
+    # -- 4a. batched workload path: 4 queries in ONE Spark job -------------
+    from pg_cjk_parser_spark.query.topk import search_many
+
+    batch_qs = ["のび太", "野比大雄", "「大韩民国개인정보", "Nobita 牧場物語"]
+    timed_query(
+        "q_cjk_batch4",
+        lambda: search_many(spark, idx_web, batch_qs, k=10).collect(),
+    )
+    singles = (
+        queries["q_cjk_nobita"] + queries["q_cjk_nobihero"]
+        + queries["q_cjk_korean"] + queries["q_mixed"]
+    )
+    extras["batch4_vs_singles_ratio"] = round(
+        singles / queries["q_cjk_batch4"], 2
+    )
+
     # -- 4b. serving-tier point queries (no Spark job) ---------------------
     from pg_cjk_parser_spark.query.topk import search_local
 

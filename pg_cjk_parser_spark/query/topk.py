@@ -302,6 +302,99 @@ def search(
     )
 
 
+def search_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    mode: str = "plain",
+) -> DataFrame:
+    """Batched top-k: ALL queries answered in ONE Spark job -
+    ``(query, rank, docid, score)``, rank-/score-identical per query to
+    :func:`search`.
+
+    A production workload runs queries in batches, and per-query jobs
+    pay scheduling + scan setup B times; here the routed bucket paths
+    and the term IN-filter are unioned, the postings scan happens once,
+    and each salt partition scores every query against its own term
+    subset (queries stay independent - conjunction semantics are
+    per-query on the filtered frame).  Driver-side routing stays
+    O(total query terms); queries that cannot match any doc are simply
+    absent from the result."""
+    routed = []
+    for q in queries:
+        r = _route(index_dir, q, mode)
+        if r is not None:
+            routed.append((q, r))
+    empty_schema = "query string, rank int, docid long, score double"
+    if not routed:
+        return spark.createDataFrame([], empty_schema)
+    stats = routed[0][1][0]
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
+    num_salts = stats["num_salts"]
+    union_terms = sorted({t for _, (_, pq, _, _) in routed for t in pq.all_terms})
+    union_bset = sorted({bk for _, (_, _, bs, _) in routed for bk in bs})
+    paths = _postings_paths(index_dir, union_bset, stats)
+    if not paths:
+        return spark.createDataFrame([], empty_schema)
+    read_schema = (
+        "salt int, term string, n int, min_docid long, max_docid long, "
+        "docids binary, tfs binary, doclens binary, positions binary, "
+        "max_tf int, min_dl int"
+    )
+    blocks = (
+        spark.read.schema(read_schema)
+        .option("basePath", os.path.join(index_dir, "postings"))
+        .parquet(*paths)
+        .where(F.col("term").isin(union_terms))
+        .select(
+            "salt", "term", "n", "min_docid", "max_docid", "docids",
+            "tfs", "doclens", "positions", "max_tf", "min_dl",
+        )
+    )
+    qspecs = [
+        (
+            q, list(pq.all_terms), idf_map, pq.conjunctive, pq.phrases,
+            bool(pq.phrases), pq.tree,
+        )
+        for q, (_, pq, _, idf_map) in routed
+    ]
+
+    def score_partition(batches):
+        frames = [f for f in batches if len(f)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        outs = []
+        for q, all_t, idf_map, conj, phrases, need_pos, tree in qspecs:
+            sub = pdf[pdf["term"].isin(all_t)]
+            if not len(sub):
+                continue
+            out = _score_local(
+                sub.reset_index(drop=True), idf_map, k1, b, avgdl, k,
+                conj, phrases, need_pos, tree,
+            )
+            if out is not None and len(out):
+                out.insert(0, "query", q)
+                outs.append(out)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    scored = blocks.repartition(num_salts, "salt").mapInPandas(
+        score_partition, "query string, docid long, score double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query").orderBy(
+        F.desc("score"), F.asc("docid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query", "rank", "docid", "score")
+    )
+
+
 class _TermList:
     """Decoded posting list for one term in one partition, with lazy
     per-block position decoding for phrase rechecks."""

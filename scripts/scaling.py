@@ -198,6 +198,16 @@ index also dropped ~25% (10 s -> 6-7 s at 200k docs) from the flat
 termstats write; the compacted index answers identically to the batch
 index (stream_compact_matches_batch=1).
 
+## Batched query workload path (round 3)
+
+`search_many` answers a whole query batch in ONE Spark job (unioned
+routing/paths/term filter, one postings scan, per-salt scoring of each
+query against its own term subset) - rank-identical per query to
+`search()`.  Measured at sf0.1/local[32]: the 4-query CJK batch runs
+in 0.80 s vs 1.58 s as four sequential jobs (batch4_vs_singles_ratio
+~2x median; the gain is per-job scheduling + scan setup, which a real
+cluster pays per query otherwise).  entry() now uses it.
+
 ## Head-term skew (the salting rationale, measured)
 
 Adversarial corpus: the same CJK sentence prepended to EVERY doc, so

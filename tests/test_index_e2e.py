@@ -350,3 +350,40 @@ def test_normalize_zht_index_and_query(spark, tmp_path):
     assert {docid for docid, _ in search_local(d3, trad, k=10)} == {1, 2}
     compact_index(spark, d3)
     assert {docid for docid, _ in search_local(d3, trad, k=10)} == {1, 2}
+
+
+def test_search_many_matches_per_query_search(spark, built):
+    """Batched workload path: one Spark job for the whole query set,
+    rank- and score-identical per query to search(); unroutable
+    queries are absent, not erroring."""
+    from pg_cjk_parser_spark.query.topk import search_many
+
+    batch = QUERIES + ["zzzunknownterm"]
+    got = {}
+    for r in search_many(spark, index_dir := built[0], batch, k=10).collect():
+        got.setdefault(r.query, []).append((r.rank, r.docid, round(r.score, 6)))
+    assert "zzzunknownterm" not in got
+    for q in QUERIES:
+        want = [
+            (i + 1, r.docid, round(r.score, 6))
+            for i, r in enumerate(search(spark, index_dir, q, k=10).collect())
+        ]
+        assert sorted(got[q]) == want, q
+
+
+def test_search_many_tsquery_mode(spark, built):
+    from pg_cjk_parser_spark.query.topk import search_many
+
+    index_dir = built[0]
+    q = "'野比' | 'doraemnon'"
+    got = [
+        (r.rank, r.docid, round(r.score, 6))
+        for r in search_many(spark, index_dir, [q], k=10, mode="tsquery").collect()
+    ]
+    want = [
+        (i + 1, r.docid, round(r.score, 6))
+        for i, r in enumerate(
+            search(spark, index_dir, q, k=10, mode="tsquery").collect()
+        )
+    ]
+    assert sorted(got) == want
