@@ -192,6 +192,68 @@ ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
 """
 
 
+def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched workload path: both queries answered in ONE Spark job
+    via search_many (unioned routing + single postings scan), top-20
+    each re-ranked on round-4 scores like the single-query rows."""
+    from pyspark.sql.window import Window
+
+    from pg_cjk_parser_spark.query.topk import search_many
+
+    index_dir = _docs_index(spark, sf_dir)
+    res = search_many(
+        spark, index_dir, ["spark merge", "vector"], k=25
+    ).select(
+        "query",
+        F.col("docid").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        res.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("query", "doc_id", "score")
+        .orderBy("query", F.desc("score"), "doc_id")
+    )
+
+
+_BM25_BATCH_SQL = f"""
+WITH {_TOK_CTE},
+dl AS (
+  SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'merg', 'vector') GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT t.doc_id, t.term,
+         ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+           * t.tf / (t.tf + 1.2*(0.25 + 0.75*d.doclen/s.avgdl)) AS c
+  FROM tf t
+  JOIN df f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+), q1 AS (
+  SELECT 'spark merge' AS query, doc_id, round(sum(c), 4) AS score
+  FROM contrib WHERE term IN ('spark', 'merg')
+  GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY score DESC, doc_id ASC LIMIT 20
+), q2 AS (
+  SELECT 'vector' AS query, doc_id, round(c, 4) AS score
+  FROM contrib WHERE term = 'vector'
+  ORDER BY score DESC, doc_id ASC LIMIT 20
+)
+SELECT * FROM q1 UNION ALL SELECT * FROM q2
+"""
+
+
 def _q_bm25_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunctive BM25 (WAND path): top-20 for 'spark' | 'vector'."""
     from pg_cjk_parser_spark.query.topk import search
@@ -2103,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "corpus_curation": _q_curation,
         "session_stats": _q_session_stats,
+        "bm25_batch_topk": _q_bm25_batch,
     }
 
 
@@ -2146,4 +2209,5 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _DUP_SPANS_SQL,
         "corpus_curation": _CURATION_SQL,
         "session_stats": _SESSION_STATS_SQL,
+        "bm25_batch_topk": _BM25_BATCH_SQL,
     }
