@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: pin the scale-critical plan shapes
+documented in PLANS.md so refactors can't silently reintroduce
+double scans, lost broadcasts, or unpushed filters.
+
+These parse `.explain("formatted")` output; operator detail lines look
+like `(3) Scan parquet`, one per physical operator instance.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _count(plan: str, op: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {re.escape(op)}", plan, re.M))
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plandocs") / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+         for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_duplicate_spans_single_scan(docs):
+    """The groupBy+join-back formulation re-read the corpus twice
+    (Catalyst does not dedupe common subtrees); the window
+    formulation must keep it at ONE parquet scan."""
+    from pg_cjk_parser_spark.ops.dedup import duplicate_spans
+
+    plan = _plan(duplicate_spans(docs, k=4))
+    assert _count(plan, "Scan parquet") == 1, plan
+    assert _count(plan, "Window") == 1, plan
+
+
+def test_repetition_signals_single_scan(docs):
+    """All n-gram sizes must explode in one tagged pass - one corpus
+    scan regardless of len(ns)."""
+    from pg_cjk_parser_spark.ops.textstats import repetition_signals
+
+    plan = _plan(repetition_signals(docs, ns=(2, 3)))
+    assert _count(plan, "Scan parquet") == 1, plan
+
+
+def test_contamination_overlap_broadcasts_probe(docs):
+    """The probe n-gram set is tiny by definition; it must broadcast
+    (the corpus side never shuffles on its own size)."""
+    from pg_cjk_parser_spark.ops.textstats import contamination_overlap
+
+    plan = _plan(
+        contamination_overlap(docs, ["alpha beta gamma"], n=3)
+    )
+    assert _count(plan, "Scan parquet") == 1, plan
+    assert _count(plan, "BroadcastExchange") >= 1, plan
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_hash_split_no_shuffle_before_sort(docs):
+    """hash_split is a narrow projection - the only Exchange allowed
+    is the presentation orderBy's range partitioning."""
+    from pg_cjk_parser_spark.ops.textstats import hash_split
+
+    plan = _plan(hash_split(docs))
+    # every Exchange must be the rangepartitioning for the final sort
+    for m in re.finditer(r"^\(\d+\) Exchange\s*$(?:\n.+)+?Arguments: (\w+)", plan, re.M):
+        assert m.group(1) == "rangepartitioning", plan
+    assert _count(plan, "Scan parquet") == 1, plan
+
+
+def test_search_pushes_term_filter(spark, tmp_path_factory):
+    """The postings scan must push the term IN-list into parquet
+    row-group pruning and read only routed bucket dirs."""
+    from pg_cjk_parser_spark.index.build import build_index
+    from pg_cjk_parser_spark.query.topk import search, search_many
+    from pg_cjk_parser_spark.spark.corpus import synth_corpus
+
+    idx = str(tmp_path_factory.mktemp("planidx"))
+    build_index(
+        spark, synth_corpus(spark, 80, seed=7, num_partitions=2), idx,
+        num_buckets=8, num_salts=2, block_size=32,
+    )
+    plan = _plan(search(spark, idx, "のび太", k=5))
+    assert "PushedFilters: [In(term" in plan, plan
+    plan_b = _plan(search_many(spark, idx, ["のび太", "Doraemnon"], k=5))
+    assert "PushedFilters: [In(term" in plan_b, plan_b
+    assert _count(plan_b, "Scan parquet") == 1, plan_b
