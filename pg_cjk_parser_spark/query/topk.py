@@ -322,7 +322,11 @@ def search_many(
     O(total query terms); queries that cannot match any doc are simply
     absent from the result."""
     routed = []
+    seen: set[str] = set()
     for q in queries:
+        if q in seen:  # a duplicate would double-score and skew ranks
+            continue
+        seen.add(q)
         r = _route(index_dir, q, mode)
         if r is not None:
             routed.append((q, r))

@@ -150,23 +150,27 @@ one tagged scan), hash_split ~570k docs/s (narrow projection).
 Like-for-like numbers (build docs/s, per-query medians) all improved
 or held; compare those, not the suite total.
 
-## Scale ladder (same job, local[32]; corpus size x10)
+## Scale ladder (same job, local[32]; corpus size x20)
 
-| docs | postings | build | docs/s | index | notes |
-|---|---|---|---|---|---|
-| 200k | ~10.8M | 6.8 s | 29,218 | ~44 MB | driver bench config (B=64, S=4) |
-| 800k | ~43M | 17.7 s | 45,134 | - | scaling-run config |
-| 2M | 100.1M | 33.4 s | 59,797 | 440 MB | B=128, S=8; driver RSS 384 MB |
+| docs | postings | build | docs/s | index | driver RSS | notes |
+|---|---|---|---|---|---|---|
+| 200k | ~10.8M | 6.8 s | 29,218 | ~44 MB | - | driver bench config (B=64, S=4) |
+| 800k | ~43M | 17.7 s | 45,134 | - | - | scaling-run config |
+| 2M | 100.1M | 37.4 s | 53,449 | 440 MB | 162 MB | B=128, S=8 (round-3 code rerun) |
+| 4M | 200.3M | 89.2 s | 44,854 | 875 MB | 172 MB | B=128, S=8 held FIXED |
 
-Throughput RISES with corpus size - the fixed per-job costs amortize
-and every stage's task count scales with input, so nothing driver-side
-grows with N (peak driver RSS stays ~0.4 GB at 100M postings).  Query
-latency on the 2M-doc index: 1-2-term queries hold at ~0.52 s medians
-(identical to the 200k index - bucket+term pruning makes latency a
-function of the query, not the corpus); the 8-term CJK phrase worst
-case rises to ~1.4 s via the Spark path (head-term posting lists grow
-with N; the per-salt scorer parallelizes them, and raising num_salts
-is the documented knob at larger N).
+Throughput RISES with corpus size while per-job fixed costs amortize
+(200k -> 2M), then plateaus/dips at 4M with B and S held fixed -
+each (bucket, salt) cell doubles, so reducers work on 2x payloads;
+raising B x S with N (the documented knob) restores the balance.  The
+scale-safety claim this table pins is the flat DRIVER footprint:
+RSS stays ~170 MB from 100M to 200M postings - no driver-side state
+grows with corpus size, every stage's task count scales with input.
+Query latency is a function of the query, not the corpus: のび太
+holds ~0.5-0.6 s medians at 2M and 4M docs (same as 200k); the 8-term
+CJK phrase worst case grows 1.36 s (2M) -> 1.70 s (4M) as head-term
+posting lists lengthen - the per-salt scorer parallelizes them, and
+raising num_salts is the same knob.
 
 ## Streaming epoch appends (round 3: fixed costs cut)
 

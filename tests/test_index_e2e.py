@@ -387,3 +387,41 @@ def test_search_many_tsquery_mode(spark, built):
         )
     ]
     assert sorted(got) == want
+
+
+def test_search_many_randomized_batches(spark, built):
+    """Randomized query batches (subsets of the reference query set,
+    mixed known/unknown terms, duplicates allowed): search_many stays
+    rank- and score-identical to per-query search()."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        import pytest
+
+        pytest.skip("hypothesis unavailable")
+    from pg_cjk_parser_spark.query.topk import search_many
+
+    index_dir = built[0]
+    pool = QUERIES + ["zzzmissing", "のび太 zzzmissing"]
+    # precompute per-query reference answers once (hypothesis examples
+    # then cost one Spark job each, not len(batch)+1)
+    ref = {
+        q: [
+            (i + 1, r.docid, round(r.score, 6))
+            for i, r in enumerate(search(spark, index_dir, q, k=10).collect())
+        ]
+        for q in pool
+    }
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.sampled_from(pool), min_size=1, max_size=5))
+    def check(batch):
+        got = {}
+        for r in search_many(spark, index_dir, batch, k=10).collect():
+            got.setdefault(r.query, []).append(
+                (r.rank, r.docid, round(r.score, 6))
+            )
+        for q in set(batch):
+            assert sorted(got.get(q, [])) == ref[q], q
+
+    check()
