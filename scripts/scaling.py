@@ -160,17 +160,25 @@ or held; compare those, not the suite total.
 | 4M | 200.3M | 89.2 s | 44,854 | 875 MB | 172 MB | B=128, S=8 held FIXED |
 
 Throughput RISES with corpus size while per-job fixed costs amortize
-(200k -> 2M), then plateaus/dips at 4M with B and S held fixed -
-each (bucket, salt) cell doubles, so reducers work on 2x payloads;
-raising B x S with N (the documented knob) restores the balance.  The
-scale-safety claim this table pins is the flat DRIVER footprint:
-RSS stays ~170 MB from 100M to 200M postings - no driver-side state
-grows with corpus size, every stage's task count scales with input.
-Query latency is a function of the query, not the corpus: のび太
-holds ~0.5-0.6 s medians at 2M and 4M docs (same as 200k); the 8-term
-CJK phrase worst case grows 1.36 s (2M) -> 1.70 s (4M) as head-term
-posting lists lengthen - the per-salt scorer parallelizes them, and
-raising num_salts is the same knob.
+(200k -> 2M), then dips ~16% at 4M on this 32-thread VM (bigger cells
+-> more GC/spill pressure at fixed memory; total work is linear).  The
+scale-safety claims this table pins: the DRIVER footprint is flat
+(RSS ~170 MB from 100M to 200M postings - no driver-side state grows
+with corpus size, every stage's task count scales with input), and
+query latency is a function of the query, not the corpus (のび太
+holds ~0.5-0.6 s medians at 2M and 4M, same as 200k).
+
+**The B x S knob, measured at 4M docs:** rebuilding with B=256/S=16
+(4x the cells) cut the 8-term CJK worst-case query 1.70 s -> 1.09 s
+(more salts = more parallel scoring shards) but DROPPED build
+throughput to 31.2k docs/s - smaller cells raise per-cell fixed costs,
+and on this VM the extra tasks buy nothing (32 threads were already
+saturated; driver RSS stayed 162 MB).  So on fixed hardware B x S
+trades build overhead for query parallelism + bounded reducer memory;
+on a real cluster with more executors than tasks, the extra cells also
+become extra build parallelism.  Size B x S to the CLUSTER (comfortably
+above executor count, cells fitting executor memory), not to the
+corpus.
 
 ## Streaming epoch appends (round 3: fixed costs cut)
 

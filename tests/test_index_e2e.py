@@ -425,3 +425,25 @@ def test_search_many_randomized_batches(spark, built):
             assert sorted(got.get(q, [])) == ref[q], q
 
     check()
+
+
+def test_distance_phrase_query_index_path(spark, built):
+    """PG `<N>` distance phrases through the INDEX path: the lazy
+    position recheck must honor non-adjacent offsets, rank- and
+    score-identical to the brute-force oracle."""
+    index_dir, _, pdocs = built
+    # '野比' <2> '大雄' skips the intermediate 比大 bigram; '<5>' must
+    # then match NOTHING (same terms, wrong distance) - proving the
+    # recheck tests the offset, not mere co-occurrence
+    for q, expect_hits in (
+        ("'のび' <2> '太の'", True),
+        ("'野比' <2> '大雄'", True),
+        ("'野比' <5> '大雄'", False),
+    ):
+        got = [
+            (r.docid, round(r.score, 6))
+            for r in search(spark, index_dir, q, k=10, mode="tsquery").collect()
+        ]
+        want = brute_force_topk(pdocs, q, k=10, mode="tsquery")
+        assert got == want, (q, got[:3], want[:3])
+        assert bool(got) == expect_hits, q
