@@ -2125,6 +2125,378 @@ SELECT doc_id, idx AS i, alias, token FROM toks ORDER BY doc_id, i
 """
 
 
+# --------------------------------------------------------------------------
+# ts_rank / ts_rank_cd / weighted tsvectors / websearch_to_tsquery
+#
+# Ranking semantics follow PostgreSQL core's tsrank.c (the code a
+# pg_cjk_parser user ranks through; the reference extension ships no
+# ranking of its own - see kernel/tsrank.py).  The oracles replicate
+# the float64 arithmetic EXPRESSION-FOR-EXPRESSION (::DOUBLE casts
+# everywhere - bare DuckDB literals are DECIMAL), so Spark and DuckDB
+# produce bit-identical doubles before the final round(6); the
+# premises (exp()/sqrt() bit parity, list_sum/list_reduce fold order)
+# are pinned in tests/test_oracle_premises.py.
+# --------------------------------------------------------------------------
+
+# 1.64493406685 ~ pi^2/6 (tsrank.c); weights D=0.1 (unweighted), A=1.0.
+
+
+def _q_ts_rank_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_rank for the OR query 'merge | spark' over every document
+    (or-path: per-term 1/j^2 position-decay sums, tsrank.c
+    calc_rank_or)."""
+    from pg_cjk_parser_spark.spark.udfs import make_ts_rank_udf
+
+    rank = make_ts_rank_udf("merge | spark")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.round(rank(F.col("text")), 6).alias("rank"))
+        .orderBy("doc_id")
+    )
+
+
+def _rank_or_term_sql(word: str) -> str:
+    """Closed-form calc_rank_or contribution of one all-weight-D term:
+    ((w + w*H2(n)) - w) / (pi^2/6) with the kernel's exact FP shapes."""
+    return f"""
+      CASE WHEN n_{word} > 0 THEN
+        ((0.1::DOUBLE + list_sum(list_transform(generate_series(1, n_{word}),
+            j -> 0.1::DOUBLE / (j * j)))) - 0.1::DOUBLE) / 1.64493406685::DOUBLE
+      ELSE 0.0::DOUBLE END"""
+
+
+def _ts_rank_or_sql(words: list[str]) -> str:
+    words = sorted(words)  # SortAndUniqItems order; stems==words here
+    counts = ",\n    ".join(
+        f"least(len(list_filter(ws, w -> w = '{w}')), 256) AS n_{w}"
+        for w in words
+    )
+    contribs = " + ".join(f"c_{w}" for w in words)
+    defs = ",\n    ".join(
+        f"{_rank_or_term_sql(w)} AS c_{w}" for w in words
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), n AS (
+  SELECT doc_id,
+    {counts}
+  FROM d
+), c AS (
+  SELECT doc_id,
+    {defs}
+  FROM n
+)
+SELECT doc_id, round(({contribs}) / {len(words)}::DOUBLE, 6) AS rank
+FROM c ORDER BY doc_id
+"""
+
+
+def _q_ts_rank_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_rank for 'spark & merge' (and-path: proximity-weighted
+    cross-position fold, tsrank.c calc_rank_and + word_distance)."""
+    from pg_cjk_parser_spark.spark.udfs import make_ts_rank_udf
+
+    rank = make_ts_rank_udf("spark & merge")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.round(rank(F.col("text")), 6).alias("rank"))
+        .orderBy("doc_id")
+    )
+
+
+_TS_RANK_AND_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), o AS (
+  SELECT doc_id,
+    (list_filter(generate_series(1, len(ws)), j -> ws[j] = 'merge'))[1:256] AS om,
+    (list_filter(generate_series(1, len(ws)), j -> ws[j] = 'spark'))[1:256] AS os
+  FROM d
+), c AS (
+  -- pair (i='spark', k='merge') in sorted-term order: l outer over
+  -- spark positions, p inner over merge positions (calc_rank_and)
+  SELECT doc_id,
+    flatten(list_transform(os, l -> list_transform(om, p ->
+      sqrt((0.1::DOUBLE * 0.1::DOUBLE) *
+        (CASE WHEN abs(l - p) > 100 THEN 1e-30
+         ELSE 1.0::DOUBLE / (1.005::DOUBLE
+              + 0.05::DOUBLE * exp(abs(l - p) / 1.5::DOUBLE - 2)) END))
+    ))) AS curws
+  FROM o
+)
+SELECT doc_id,
+  CASE WHEN len(curws) > 0 THEN
+    round(list_reduce(curws,
+      (a, b) -> 1.0::DOUBLE - (1.0::DOUBLE - a) * (1.0::DOUBLE - b)), 6)
+  ELSE 0.0::DOUBLE END AS rank
+FROM c ORDER BY doc_id
+"""
+
+
+def _q_ts_rank_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_rank_cd for 'spark & merge' (cover-density: greedy minimal
+    covers, tsrank.c Cover + calc_rank_cd, normalization 0)."""
+    from pg_cjk_parser_spark.spark.udfs import make_ts_rank_udf
+
+    rank = make_ts_rank_udf("spark & merge", cd=True)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.round(rank(F.col("text")), 6).alias("rank"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_ts_rank_cd_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_rank_cd with normalization 4 (divide by mean extent
+    separation, tsrank.c RANK_NORM_EXTDIST)."""
+    from pg_cjk_parser_spark.spark.udfs import make_ts_rank_udf
+
+    rank = make_ts_rank_udf("spark & merge", cd=True, method=4)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.round(rank(F.col("text")), 6).alias("rank"))
+        .orderBy("doc_id")
+    )
+
+
+def _ts_rank_cd_sql(words: list[str], extdist: bool = False) -> str:
+    """Cover-density oracle for an N-term AND query: the same greedy
+    cover fold as the headline oracles (tsrank.c Cover == hlCover's
+    probe progression for pure AND over distinct terms), then
+    calc_rank_cd's per-cover arithmetic - all-D weights make
+    Cpos == 0.1 exactly, so Wdoc = sum_k 0.1/(1 + nNoise_k) in cover
+    order."""
+    occ_defs = ",\n    ".join(
+        f"list_filter(generate_series(1, m), i -> ws[i] = '{w}') AS o{j}"
+        for j, w in enumerate(words)
+    )
+    occ_cols = ", ".join(f"o{j}" for j in range(len(words)))
+    firsts = ",\n                 ".join(
+        f"list_filter(o{j}, o -> o >= pos)[1]" for j in range(len(words))
+    )
+    lasts = ",\n            ".join(
+        f"list_filter(o{j}, o -> o >= pos AND o <= qq)[-1]"
+        for j in range(len(words))
+    )
+    nonempty = "\n        AND ".join(
+        f"len(list_filter(o{j}, o -> o >= pos)) > 0"
+        for j in range(len(words))
+    )
+    items = " OR ".join(f"ws[j] = '{w}'" for w in words)
+    if extdist:
+        final = """
+  SELECT doc_id,
+    CASE WHEN next > 0 AND sd > 0.0::DOUBLE
+         THEN wdoc / (next::DOUBLE / sd)
+         ELSE wdoc END AS wdoc
+  FROM (
+    SELECT doc_id, wdoc, len(exts) AS next,
+      coalesce(list_sum(list_transform(generate_series(2, len(exts)),
+        i -> CASE WHEN exts[i] > exts[i-1]
+             THEN 1.0::DOUBLE / (exts[i] - exts[i-1])
+             ELSE 0.0::DOUBLE END)), 0.0::DOUBLE) AS sd
+    FROM agg
+  )"""
+    else:
+        final = "  SELECT doc_id, wdoc FROM agg"
+    return f"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS m
+  FROM documents
+),
+base AS (
+  SELECT doc_id, ws, m,
+    {occ_defs}
+  FROM d
+),
+cov AS (
+  SELECT doc_id, ws, m, {occ_cols}, 0 AS k, 1 AS pos,
+         CAST(NULL AS BIGINT) AS p, CAST(NULL AS BIGINT) AS q
+  FROM base
+  UNION ALL
+  SELECT doc_id, ws, m, {occ_cols}, k + 1,
+         pp + 1 AS pos, pp AS p, qq AS q
+  FROM (
+    SELECT *,
+      least({lasts}) AS pp
+    FROM (
+      SELECT *,
+        greatest({firsts}) AS qq
+      FROM cov
+      WHERE {nonempty}
+    )
+  )
+),
+covers AS (
+  SELECT doc_id, k, p, q,
+    len(list_filter(generate_series(p, q), j -> {items})) AS nitems
+  FROM cov WHERE k >= 1
+),
+agg AS (
+  SELECT doc_id,
+    list_sum(list(0.1::DOUBLE / (1 + ((q - p) - (nitems - 1))) ORDER BY k))
+      AS wdoc,
+    list((q + p) / 2.0::DOUBLE ORDER BY k) AS exts
+  FROM covers GROUP BY doc_id
+),
+w AS (
+{final}
+)
+SELECT d.doc_id, coalesce(round(w.wdoc, 6), 0.0::DOUBLE) AS rank
+FROM d LEFT JOIN w ON d.doc_id = w.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _q_ts_rank_cd_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_rank_cd for the phrase query 'fast <-> table': Cover's
+    TS_execute is phrase-aware, so covers are exactly the adjacent
+    occurrences, each contributing 0.1."""
+    from pg_cjk_parser_spark.spark.udfs import make_ts_rank_udf
+
+    rank = make_ts_rank_udf("fast <-> table", cd=True)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.round(rank(F.col("text")), 6).alias("rank"))
+        .orderBy("doc_id")
+    )
+
+
+_TS_RANK_CD_PHRASE_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS m
+  FROM documents
+), p AS (
+  SELECT doc_id,
+    len(list_filter(generate_series(1, m - 1),
+        j -> ws[j] = 'fast' AND ws[j+1] = 'table')) AS npairs
+  FROM d
+)
+SELECT doc_id,
+  CASE WHEN npairs > 0 THEN
+    round(list_sum(list_transform(generate_series(1, npairs),
+                                  x -> 0.1::DOUBLE)), 6)
+  ELSE 0.0::DOUBLE END AS rank
+FROM p ORDER BY doc_id
+"""
+
+
+def _q_ts_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical PG title/body weighting:
+    setweight(to_tsvector(title), 'A') || to_tsvector(body), ranked
+    with the default weight array {0.1,0.2,0.4,1.0}.  Title = first
+    5 words of the document (derived with Spark column ops so the
+    split itself is JVM-side)."""
+    from pg_cjk_parser_spark.spark.udfs import make_weighted_rank_udf
+
+    rank = make_weighted_rank_udf("merge | spark")
+    d = _docs(spark, sf_dir).withColumn("ws", F.split(F.col("text"), " "))
+    return (
+        d.select(
+            "doc_id",
+            F.round(
+                rank(
+                    F.array_join(F.slice(F.col("ws"), 1, 5), " "),
+                    F.array_join(
+                        F.expr(
+                            "slice(ws, 6, greatest(size(ws) - 5, 1))"
+                        ),
+                        " ",
+                    ),
+                ),
+                6,
+            ).alias("rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ts_rank_weighted_sql(words: list[str]) -> str:
+    """Weighted or-path oracle: each term's occurrence list is its
+    title hits (weight A=1.0, positions 1..5) followed by its body
+    hits (weight D=0.1); or-path rank only consumes the ORDERED
+    WEIGHT LIST, never positions, so the contribution is closed-form
+    in (n_title, n_body).  jm is always 0 (a max-weight hit comes
+    first either way), so the wjm term cancels with the kernel's
+    exact FP shape ((wjm + resj) - wjm)."""
+    words = sorted(words)
+    counts = ",\n    ".join(
+        f"len(list_filter(generate_series(1, least(m, 5)), j -> ws[j] = '{w}')) AS t_{w},\n"
+        f"    len(list_filter(generate_series(6, m), j -> ws[j] = '{w}')) AS b_{w}"
+        for w in words
+    )
+    defs = ",\n    ".join(
+        f"""CASE WHEN t_{w} + b_{w} > 0 THEN
+      (((CASE WHEN t_{w} > 0 THEN 1.0::DOUBLE ELSE 0.1::DOUBLE END)
+        + list_sum(list_transform(generate_series(1, least(t_{w} + b_{w}, 256)),
+            j -> (CASE WHEN j <= t_{w} THEN 1.0::DOUBLE ELSE 0.1::DOUBLE END)
+                 / (j * j))))
+       - (CASE WHEN t_{w} > 0 THEN 1.0::DOUBLE ELSE 0.1::DOUBLE END))
+      / 1.64493406685::DOUBLE
+    ELSE 0.0::DOUBLE END AS c_{w}"""
+        for w in words
+    )
+    contribs = " + ".join(f"c_{w}" for w in words)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS m
+  FROM documents
+), n AS (
+  SELECT doc_id,
+    {counts}
+  FROM d
+), c AS (
+  SELECT doc_id,
+    {defs}
+  FROM n
+)
+SELECT doc_id, round(({contribs}) / {len(words)}::DOUBLE, 6) AS rank
+FROM c ORDER BY doc_id
+"""
+
+
+def _q_websearch_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """websearch_to_tsquery('spark merge -batch or "fast table"')
+    matched with @@ on the scan path: (spark & merge & !batch) |
+    (fast <-> table)."""
+    from pg_cjk_parser_spark.spark.udfs import make_ts_match_udf
+
+    m = make_ts_match_udf('spark merge -batch or "fast table"', websearch=True)
+    return (
+        _docs(spark, sf_dir)
+        .where(m(F.col("text")))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_WEBSEARCH_MATCH_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS m
+  FROM documents
+)
+SELECT doc_id FROM d
+WHERE (len(list_filter(ws, w -> w = 'spark')) > 0
+   AND len(list_filter(ws, w -> w = 'merge')) > 0
+   AND len(list_filter(ws, w -> w = 'batch')) = 0)
+   OR len(list_filter(generate_series(1, m - 1),
+          j -> ws[j] = 'fast' AND ws[j+1] = 'table')) > 0
+ORDER BY doc_id
+"""
+
+
+_TS_RANK_OR_SQL = _ts_rank_or_sql(["merge", "spark"])
+_TS_RANK_CD_SQL = _ts_rank_cd_sql(["spark", "merge"])
+_TS_RANK_CD_NORM_SQL = _ts_rank_cd_sql(["spark", "merge"], extdist=True)
+_TS_RANK_WEIGHTED_SQL = _ts_rank_weighted_sql(["merge", "spark"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -2166,6 +2538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_curation,
         "session_stats": _q_session_stats,
         "bm25_batch_topk": _q_bm25_batch,
+        "ts_rank_or": _q_ts_rank_or,
+        "ts_rank_and": _q_ts_rank_and,
+        "ts_rank_cd": _q_ts_rank_cd,
+        "ts_rank_cd_norm": _q_ts_rank_cd_norm,
+        "ts_rank_cd_phrase": _q_ts_rank_cd_phrase,
+        "ts_rank_weighted": _q_ts_rank_weighted,
+        "websearch_match": _q_websearch_match,
     }
 
 
@@ -2210,4 +2589,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _CURATION_SQL,
         "session_stats": _SESSION_STATS_SQL,
         "bm25_batch_topk": _BM25_BATCH_SQL,
+        "ts_rank_or": _TS_RANK_OR_SQL,
+        "ts_rank_and": _TS_RANK_AND_SQL,
+        "ts_rank_cd": _TS_RANK_CD_SQL,
+        "ts_rank_cd_norm": _TS_RANK_CD_NORM_SQL,
+        "ts_rank_cd_phrase": _TS_RANK_CD_PHRASE_SQL,
+        "ts_rank_weighted": _TS_RANK_WEIGHTED_SQL,
+        "websearch_match": _WEBSEARCH_MATCH_SQL,
     }

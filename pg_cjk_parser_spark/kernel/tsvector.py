@@ -130,6 +130,84 @@ def plainto_tsquery(q: str) -> And | Phrase | None:
     return And(nodes)
 
 
+def websearch_to_tsquery(q: str):
+    """PG ``websearch_to_tsquery``: web-search-engine-style syntax
+    (to_tsvector.c ``parse_websearch``-equivalent surface behavior):
+
+    * unquoted text: AND of its operands, like :func:`plainto_tsquery`
+      (each parser chunk that yields multiple lexemes becomes a
+      phrase chain, matching this module's plainto semantics);
+    * ``"quoted text"``: a phrase chain over the quoted content, with
+      stopword-consumed positions leaving ``<N>`` gaps;
+    * ``or`` (case-insensitive, standalone, unquoted): OR at the
+      lowest precedence;
+    * ``-`` immediately before a word or quote start: NOT on that
+      operand (a ``-`` inside a word is ordinary text, so hyphen
+      compounds still reach the parser);
+    * any other tsquery punctuation (``& | ! ( ) < >``) is plain
+      text for the parser, never an operator.
+
+    Never raises on malformed input (PG guarantee): unbalanced
+    quotes run to end-of-string, dangling ``or``/``-`` and empty
+    groups are dropped.  Returns ``None`` for a query with no
+    positive or negative operands.
+    """
+    groups: list[list] = [[]]  # OR-separated groups of AND units
+
+    def emit(node, negate: bool):
+        if node is None:
+            return
+        groups[-1].append(Not(node) if negate else node)
+
+    i, n = 0, len(q)
+    negate = False
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                j = n
+            emit(_operand_to_node(q[i + 1 : j]), negate)
+            negate = False
+            i = j + 1
+            continue
+        if c == "-" and i + 1 < n and not q[i + 1].isspace():
+            negate = True
+            i += 1
+            continue
+        # a run of unquoted text up to the next quote / minus-at-
+        # word-start / end; split out standalone "or" words
+        j = i
+        while j < n and q[j] != '"' and not (
+            q[j] == "-"
+            and (j == 0 or q[j - 1].isspace())
+            and j + 1 < n
+            and not q[j + 1].isspace()
+        ):
+            j += 1
+        for chunk in q[i:j].split():
+            if chunk.lower() == "or" and not negate:
+                if groups[-1]:
+                    groups.append([])
+                continue
+            emit(_operand_to_node(chunk), negate)
+            negate = False
+        i = j
+    nodes = []
+    for g in groups:
+        if not g:
+            continue
+        nodes.append(g[0] if len(g) == 1 else And(g))
+    if not nodes:
+        return None
+    if len(nodes) == 1:
+        return nodes[0]
+    return Or(nodes)
+
+
 def to_tsquery(q: str):
     """Minimal to_tsquery: supports & | ! ( ) <-> <N> and quoted or bare
     operands; a bare multi-token operand becomes a phrase chain."""

@@ -11,6 +11,8 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -112,6 +114,95 @@ def zht2zhs_udf(texts: pd.Series) -> pd.Series:
     from ..functions.zht2zhs import zht2zhs
 
     return texts.map(lambda t: zht2zhs(t) if t is not None else None)
+
+
+def _parse_query(query: str, websearch: bool):
+    from ..kernel.tsvector import to_tsquery, websearch_to_tsquery
+
+    return websearch_to_tsquery(query) if websearch else to_tsquery(query)
+
+
+def make_ts_rank_udf(
+    query: str,
+    weights=None,
+    method: int = 0,
+    cd: bool = False,
+    websearch: bool = False,
+):
+    """``ts_rank`` / ``ts_rank_cd`` (``cd=True``) over a text column
+    for a fixed query, returning the raw float64 rank (round in the
+    caller if comparing against an oracle).  The query is parsed once
+    on the driver; per-row work is tokenize + rank inside one Arrow
+    batch."""
+    from ..kernel import tsrank
+    from ..kernel.tsvector import to_tsvector
+
+    node = _parse_query(query, websearch)
+    w = tuple(weights) if weights is not None else tsrank.DEF_WEIGHTS
+    fn = tsrank.ts_rank_cd if cd else tsrank.ts_rank
+
+    @pandas_udf(DoubleType())
+    def rank_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: fn(to_tsvector(t), node, w, method)
+            if t is not None
+            else None
+        )
+
+    return rank_udf
+
+
+def make_weighted_rank_udf(
+    query: str,
+    weights=None,
+    method: int = 0,
+    cd: bool = False,
+    title_label: str = "A",
+):
+    """Rank ``setweight(to_tsvector(title), label) ||
+    to_tsvector(body)`` - the canonical PG title/body weighting -
+    over two string columns."""
+    from ..kernel import tsrank
+    from ..kernel.tsvector import to_tsvector
+
+    node = _parse_query(query, websearch=False)
+    w = tuple(weights) if weights is not None else tsrank.DEF_WEIGHTS
+    fn = tsrank.ts_rank_cd if cd else tsrank.ts_rank
+
+    @pandas_udf(DoubleType())
+    def weighted_rank_udf(titles: pd.Series, bodies: pd.Series) -> pd.Series:
+        def one(title, body):
+            if title is None or body is None:
+                return None
+            v = tsrank.tsvector_concat(
+                tsrank.setweight(to_tsvector(title), title_label),
+                to_tsvector(body),
+            )
+            return fn(v, node, w, method)
+
+        return pd.Series(
+            [one(t, b) for t, b in zip(titles, bodies)], dtype="float64"
+        )
+
+    return weighted_rank_udf
+
+
+def make_ts_match_udf(query: str, websearch: bool = False):
+    """The ``@@`` operator over a text column for a fixed query
+    (scan path; the index path lives in query/topk.py)."""
+    from ..kernel.tsvector import to_tsvector, ts_match
+
+    node = _parse_query(query, websearch)
+
+    @pandas_udf(BooleanType())
+    def match_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: ts_match(to_tsvector(t), node)
+            if t is not None
+            else None
+        )
+
+    return match_udf
 
 
 def make_headline_udf(query: str, **opts):
