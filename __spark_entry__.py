@@ -2260,7 +2260,27 @@ def _q_ts_rank_cd_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ts_rank_cd_sql(words: list[str], extdist: bool = False) -> str:
+def _q_ts_rank_cd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-path ts_rank_cd top-20 for 'spark & merge': candidates
+    and positions come from the inverted index (no text rescan);
+    rank-identical to the scan path (tests assert it).  Fetch 25 and
+    re-rank on round-6 values with docid tiebreak, the same
+    robustness convention as the BM25 rows."""
+    from pg_cjk_parser_spark.query.topk import search_rank_cd
+
+    index_dir = _docs_index(spark, sf_dir)
+    res = search_rank_cd(
+        spark, index_dir, "spark & merge", k=25, mode="tsquery"
+    ).select(
+        F.col("docid").alias("doc_id"),
+        F.round("rank", 6).alias("rank"),
+    )
+    return res.orderBy(F.desc("rank"), F.asc("doc_id")).limit(20)
+
+
+def _ts_rank_cd_sql(
+    words: list[str], extdist: bool = False, topk: int | None = None
+) -> str:
     """Cover-density oracle for an N-term AND query: the same greedy
     cover fold as the headline oracles (tsrank.c Cover == hlCover's
     probe progression for pure AND over distinct terms), then
@@ -2345,9 +2365,12 @@ agg AS (
 w AS (
 {final}
 )
-SELECT d.doc_id, coalesce(round(w.wdoc, 6), 0.0::DOUBLE) AS rank
+{"SELECT doc_id, round(wdoc, 6) AS rank FROM w WHERE wdoc > 0"
+ f" ORDER BY round(wdoc, 6) DESC, doc_id ASC LIMIT {topk}"
+ if topk else
+ '''SELECT d.doc_id, coalesce(round(w.wdoc, 6), 0.0::DOUBLE) AS rank
 FROM d LEFT JOIN w ON d.doc_id = w.doc_id
-ORDER BY d.doc_id
+ORDER BY d.doc_id'''}
 """
 
 
@@ -2494,6 +2517,7 @@ ORDER BY doc_id
 _TS_RANK_OR_SQL = _ts_rank_or_sql(["merge", "spark"])
 _TS_RANK_CD_SQL = _ts_rank_cd_sql(["spark", "merge"])
 _TS_RANK_CD_NORM_SQL = _ts_rank_cd_sql(["spark", "merge"], extdist=True)
+_TS_RANK_CD_TOPK_SQL = _ts_rank_cd_sql(["spark", "merge"], topk=20)
 _TS_RANK_WEIGHTED_SQL = _ts_rank_weighted_sql(["merge", "spark"])
 
 
@@ -2545,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_cd_phrase": _q_ts_rank_cd_phrase,
         "ts_rank_weighted": _q_ts_rank_weighted,
         "websearch_match": _q_websearch_match,
+        "ts_rank_cd_topk": _q_ts_rank_cd_topk,
     }
 
 
@@ -2596,4 +2621,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_cd_phrase": _TS_RANK_CD_PHRASE_SQL,
         "ts_rank_weighted": _TS_RANK_WEIGHTED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,
+        "ts_rank_cd_topk": _TS_RANK_CD_TOPK_SQL,
     }

@@ -302,6 +302,122 @@ def search(
     )
 
 
+def search_rank_cd(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    mode: str = "tsquery",
+    method: int = 0,
+) -> DataFrame:
+    """Index-path ``ORDER BY ts_rank_cd(...) DESC LIMIT k``: the PG
+    cover-density rank served from the inverted index's per-posting
+    position lists - no document rescan or re-tokenize.
+
+    Candidates come from the conjunctive intersection (the same
+    rarest-first, block-range-pruned machinery as BM25 ``search``);
+    each candidate's restricted tsvector is assembled from lazily
+    decoded position blocks and ranked with the exact tsrank.c cover
+    fold (kernel/tsrank.py), so results are rank-identical to running
+    ``ts_rank_cd`` over the raw text (tests assert it).
+
+    Supported queries: conjunctive (AND / phrase) - the shapes whose
+    candidate set the index enumerates cheaply.  Supported
+    normalization ``method`` bits: 0 | 4 | 32 (bits 1/2/8/16 need
+    whole-document statistics the index does not store per posting;
+    use the scan path for those).
+    """
+    if method & ~(4 | 32):
+        raise ValueError(
+            "index-path ts_rank_cd supports normalization bits 4|32 only"
+        )
+    routed = _route(index_dir, query, mode)
+    if routed is None:
+        return spark.createDataFrame([], "docid long, rank double")
+    stats, pq, bset, _idf = routed
+    if not pq.conjunctive:
+        raise ValueError(
+            "index-path ts_rank_cd supports conjunctive queries only"
+        )
+    tree = pq.tree
+    n_terms = len(pq.terms)
+
+    paths = _postings_paths(index_dir, bset, stats)
+    if not paths:
+        return spark.createDataFrame([], "docid long, rank double")
+    read_schema = (
+        "salt int, term string, n int, min_docid long, max_docid long, "
+        "docids binary, tfs binary, doclens binary, positions binary, "
+        "max_tf int, min_dl int"
+    )
+    blocks = (
+        spark.read.schema(read_schema)
+        .option("basePath", os.path.join(index_dir, "postings"))
+        .parquet(*paths)
+        .where(F.col("term").isin(pq.all_terms))
+    )
+    num_salts = stats["num_salts"]
+
+    def rank_partition(batches):
+        frames = [f for f in batches if len(f)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        out = _rank_cd_local(pdf, tree, n_terms, k, method)
+        if out is not None:
+            yield out
+
+    ranked = blocks.repartition(num_salts, "salt").mapInPandas(
+        rank_partition, "docid long, rank double"
+    )
+    return (
+        ranked.orderBy(F.desc("rank"), F.asc("docid"))
+        .limit(k)
+        .select("docid", "rank")
+    )
+
+
+def _rank_cd_local(pdf, tree, n_terms, k, method):
+    """Per-salt-partition candidate intersection + exact kernel
+    cover-density ranking from decoded positions."""
+    from ..kernel.tsrank import ts_rank_cd
+
+    per_term = {t: g for t, g in pdf.groupby("term", sort=True)}
+    if len(per_term) < n_terms:
+        return None
+    order = sorted(per_term, key=lambda t: int(per_term[t]["n"].sum()))
+    lists: dict[str, _TermList] = {}
+    cand: np.ndarray | None = None
+    for t in order:
+        tb = per_term[t]
+        if cand is not None:
+            if cand.size == 0:
+                return None
+            lo, hi = int(cand[0]), int(cand[-1])
+            tb = tb[(tb["max_docid"] >= lo) & (tb["min_docid"] <= hi)]
+        tl = _TermList(tb, True)
+        lists[t] = tl
+        cand = tl.ids if cand is None else cand[
+            np.isin(cand, tl.ids, assume_unique=True)
+        ]
+    if cand is None or cand.size == 0:
+        return None
+    out_ids: list[int] = []
+    out_ranks: list[float] = []
+    for d in cand.tolist():
+        v = {t: tl.positions_of(d) for t, tl in lists.items()}
+        r = ts_rank_cd(v, tree, method=method)
+        if r > 0.0:
+            out_ids.append(int(d))
+            out_ranks.append(r)
+    if not out_ids:
+        return None
+    ids = np.asarray(out_ids, np.int64)
+    ranks = np.asarray(out_ranks, np.float64)
+    sel = np.lexsort((ids, -ranks))[:k]
+    return pd.DataFrame({"docid": ids[sel], "rank": ranks[sel]})
+
+
 def search_many(
     spark: SparkSession,
     index_dir: str,

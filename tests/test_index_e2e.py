@@ -447,3 +447,53 @@ def test_distance_phrase_query_index_path(spark, built):
         want = brute_force_topk(pdocs, q, k=10, mode="tsquery")
         assert got == want, (q, got[:3], want[:3])
         assert bool(got) == expect_hits, q
+
+
+def test_rank_cd_index_path_equals_scan_path(spark, built):
+    """search_rank_cd (covers ranked from index position lists) must
+    be rank- and value-identical to ts_rank_cd over the raw text."""
+    from pg_cjk_parser_spark.kernel.tsrank import ts_rank_cd
+    from pg_cjk_parser_spark.kernel.tsvector import to_tsquery, to_tsvector
+    from pg_cjk_parser_spark.query.topk import search_rank_cd
+
+    index_dir, _, pdocs = built
+    cases = [
+        ("のび太", 0),            # CJK bigram phrase chain
+        ("doraemnon & nobita", 0),
+        ("doraemnon & nobita", 4),
+        ("のび太", 32),
+    ]
+    nonempty = 0
+    for q, method in cases:
+        node = to_tsquery(q)
+        scan = [
+            (docid, ts_rank_cd(to_tsvector(text), node, method=method))
+            for docid, text in pdocs
+        ]
+        scan = sorted(
+            [(d, r) for d, r in scan if r > 0],
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        got = [
+            (r.docid, r.rank)
+            for r in search_rank_cd(
+                spark, index_dir, q, k=10, mode="tsquery", method=method
+            ).collect()
+        ]
+        assert got == scan, (q, method)
+        nonempty += bool(scan)
+    assert nonempty >= 3  # the comparison must not be vacuous
+
+
+def test_rank_cd_index_path_rejects_unsupported(spark, built):
+    import pytest as _pytest
+
+    from pg_cjk_parser_spark.query.topk import search_rank_cd
+
+    index_dir, _, _ = built
+    with _pytest.raises(ValueError, match="bits 4|32"):
+        search_rank_cd(spark, index_dir, "doraemnon", method=1)
+    with _pytest.raises(ValueError, match="conjunctive"):
+        search_rank_cd(
+            spark, index_dir, "doraemnon | nobita", mode="tsquery"
+        )
