@@ -162,6 +162,17 @@ def main() -> None:
         singles / queries["q_cjk_batch4"], 2
     )
 
+    # -- 4a2. index-path cover-density ranking (ts_rank_cd from the
+    # posting position lists; PG's ORDER BY ts_rank_cd ... LIMIT k)
+    from pg_cjk_parser_spark.query.topk import search_rank_cd
+
+    timed_query(
+        "q_rank_cd_nobita",
+        lambda: search_rank_cd(
+            spark, idx_web, "のび太", k=10, mode="tsquery"
+        ).collect(),
+    )
+
     # -- 4b. serving-tier point queries (no Spark job) ---------------------
     from pg_cjk_parser_spark.query.topk import search_local
 
@@ -271,6 +282,9 @@ def main() -> None:
             hash_split,
             repetition_signals,
         )
+        from pg_cjk_parser_spark.spark.udfs import make_ts_rank_udf
+
+        rank_cd_udf = make_ts_rank_udf("のび太", cd=True)
 
         for name, fn in (
             (
@@ -288,6 +302,16 @@ def main() -> None:
             (
                 "ops_hash_split",
                 lambda: hash_split(corpus, id_col="doc_seq").count(),
+            ),
+            (
+                # scan-path cover-density ranking: tokenize + rank
+                # every doc (the non-indexed ORDER BY ts_rank_cd)
+                "ops_ts_rank_cd_scan",
+                lambda: corpus.select(
+                    rank_cd_udf(F.col("text")).alias("r")
+                )
+                .where(F.col("r") > 0)
+                .count(),
             ),
         ):
             timed(name, fn)
