@@ -377,6 +377,85 @@ def search_rank_cd(
     )
 
 
+_KEYOFF = 1 << 15  # keeps pos - chain_offset positive inside 16 bits
+
+
+def _rank_cd_phrase_bulk(lists, cand, items, k, method):
+    """Vectorized cover-density ranking for a pure phrase-chain query
+    (the CJK-critical shape: every multi-token CJK lexeme is a chain).
+
+    For a phrase, tsrank.c's greedy Cover enumeration reduces to a
+    closed form: all matches have the same width, so the up-scan's
+    first-satisfied window always ends at the earliest chain end and
+    the down-scan's begin is that same chain's start - every chain
+    match is exactly one cover.  Match starts are found with sorted
+    intersections over (candidate, position-offset) keys across ALL
+    candidates at once; per-cover noise counts come from two
+    searchsorteds against the merged query-term position array.  Only
+    the final per-doc accumulation stays a Python loop (a handful of
+    float adds per doc) so the summation order - and therefore the
+    bits - match kernel ts_rank_cd exactly (tests assert identity).
+    """
+    base = items[0][1]
+    offsets = [(t, off - base) for t, off in items]
+    width = offsets[-1][1]
+    keybases: dict[str, np.ndarray] = {}
+    for t in {t for t, _ in offsets}:
+        cidx, pos = lists[t].positions_bulk(cand)
+        keybases[t] = (cidx << 16) + pos + _KEYOFF
+    starts = None
+    for t, off in offsets:
+        kb = keybases[t] - off
+        starts = kb if starts is None else np.intersect1d(
+            starts, kb, assume_unique=True
+        )
+        if not starts.size:
+            return None
+    merged = np.unique(np.concatenate(list(keybases.values())))
+    cnt = np.searchsorted(merged, starts + width, "right") - np.searchsorted(
+        merged, starts, "left"
+    )
+    contrib = 0.1 / (1.0 + (width - (cnt - 1)))
+    dci = starts >> 16
+    seg = np.concatenate(
+        ([0], np.flatnonzero(np.diff(dci)) + 1, [dci.size])
+    )
+    if method & 4:
+        spos = (starts & 0xFFFF) - _KEYOFF
+        exts = (2 * spos + width) / 2.0
+    out_ids: list[int] = []
+    out_ranks: list[float] = []
+    cl = contrib.tolist()
+    for si in range(seg.size - 1):
+        s, e = int(seg[si]), int(seg[si + 1])
+        wdoc = 0.0
+        for v in cl[s:e]:
+            wdoc += v
+        if method & 4:
+            sd = 0.0
+            prev = 0.0
+            n_ext = 0
+            for j in range(s, e):
+                cur = float(exts[j])
+                if n_ext > 0 and cur > prev:
+                    sd += 1.0 / (cur - prev)
+                prev = cur
+                n_ext += 1
+            if n_ext > 0 and sd > 0:
+                wdoc /= float(n_ext) / sd
+        if method & 32:
+            wdoc /= wdoc + 1
+        if wdoc > 0.0:
+            out_ids.append(int(cand[int(dci[s])]))
+            out_ranks.append(wdoc)
+    if not out_ids:
+        return None
+    ids = np.asarray(out_ids, np.int64)
+    ranks = np.asarray(out_ranks, np.float64)
+    sel = np.lexsort((ids, -ranks))[:k]
+    return pd.DataFrame({"docid": ids[sel], "rank": ranks[sel]})
+
+
 def _rank_cd_local(pdf, tree, n_terms, k, method):
     """Per-salt-partition candidate intersection + exact kernel
     cover-density ranking from decoded positions."""
@@ -402,6 +481,8 @@ def _rank_cd_local(pdf, tree, n_terms, k, method):
         ]
     if cand is None or cand.size == 0:
         return None
+    if isinstance(tree, Phrase):
+        return _rank_cd_phrase_bulk(lists, cand, tree.items, k, method)
     out_ids: list[int] = []
     out_ranks: list[float] = []
     for d in cand.tolist():
@@ -565,14 +646,35 @@ class _TermList:
             self.blk_lo = self.blk_hi = np.empty(0, np.int64)
         self._poscache: dict[int, list] = {}
 
+    def _decode_block(self, bi: int):
+        """Decode block ``bi``'s position stream once (vectorized) and
+        cache (values, per-posting delta offsets, per-posting counts)
+        as numpy arrays."""
+        dec = self._poscache.get(bi)
+        if dec is None:
+            vals = decode_varints(self.blk_pos[bi])
+            n = self.blk_ids[bi].size
+            offs = np.empty(n, np.int64)
+            cnts = np.empty(n, np.int64)
+            o = 0
+            vl = vals.tolist()
+            for ii in range(n):
+                c = vl[o]
+                offs[ii] = o + 1
+                cnts[ii] = c
+                o += 1 + c
+            dec = (vals, offs, cnts)
+            self._poscache[bi] = dec
+        return dec
+
     def positions_of(self, docid: int):
         """Positions for one doc (None if absent).  The containing
         block's varint stream is decoded once (vectorized) and cached
-        as (values, per-posting offsets); only the REQUESTED posting's
-        deltas are then prefix-summed - phrase rechecks touch a few
-        docs per block, so materializing every posting's list (the old
-        decode_positions call) wasted ~3/4 of the recheck time on the
-        reference CJK phrase queries."""
+        per block; only the REQUESTED posting's deltas are then
+        prefix-summed - phrase rechecks touch a few docs per block, so
+        materializing every posting's list (the old decode_positions
+        call) wasted ~3/4 of the recheck time on the reference CJK
+        phrase queries."""
         for bi in np.flatnonzero(
             (self.blk_lo <= docid) & (self.blk_hi >= docid)
         ).tolist():
@@ -580,26 +682,57 @@ class _TermList:
             j = int(np.searchsorted(bids, docid))
             if j >= bids.size or bids[j] != docid:
                 continue
-            dec = self._poscache.get(bi)
-            if dec is None:
-                vals = decode_varints(self.blk_pos[bi]).tolist()
-                n = bids.size
-                offs = [0] * n
-                o = 0
-                for ii in range(n):
-                    offs[ii] = o + 1
-                    o += 1 + vals[o]
-                dec = (vals, offs)
-                self._poscache[bi] = dec
-            vals, offs = dec
-            s = offs[j]
-            acc = 0
-            out = []
-            for d in vals[s : s + vals[s - 1]]:
-                acc += d
-                out.append(acc)
-            return out
+            vals, offs, cnts = self._decode_block(bi)
+            s = int(offs[j])
+            return np.cumsum(vals[s : s + int(cnts[j])]).tolist()
         return None
+
+    def positions_bulk(self, cand: np.ndarray):
+        """Positions for EVERY candidate docid in one vectorized pass.
+
+        ``cand`` must be sorted.  Returns ``(cand_idx, pos)`` int64
+        arrays aligned per occurrence, ordered by (candidate,
+        position) - the batched equivalent of calling
+        :meth:`positions_of` per candidate, for rankers that touch
+        every candidate (cover-density) rather than a few."""
+        out_idx: list[np.ndarray] = []
+        out_pos: list[np.ndarray] = []
+        lo, hi = (int(cand[0]), int(cand[-1])) if cand.size else (0, -1)
+        for bi in range(len(self.blk_ids)):
+            if self.blk_lo[bi] > hi or self.blk_hi[bi] < lo:
+                continue
+            bids = self.blk_ids[bi]
+            sel = np.flatnonzero(np.isin(bids, cand, assume_unique=True))
+            if not sel.size:
+                continue
+            vals, offs, cnts = self._decode_block(bi)
+            n = cnts[sel]
+            starts = offs[sel]
+            tot = int(n.sum())
+            cum = np.cumsum(n)
+            gather = (
+                np.repeat(starts, n)
+                + np.arange(tot)
+                - np.repeat(cum - n, n)
+            )
+            deltas = vals[gather].astype(np.int64)
+            g = np.cumsum(deltas)
+            prev_end = np.concatenate(([0], g[cum[:-1] - 1]))
+            pos = g - np.repeat(prev_end, n)
+            out_pos.append(pos)
+            out_idx.append(
+                np.repeat(np.searchsorted(cand, bids[sel]), n)
+            )
+        if not out_idx:
+            e = np.empty(0, np.int64)
+            return e, e
+        idx = np.concatenate(out_idx)
+        pos = np.concatenate(out_pos)
+        # one doc lives in exactly one block per term, and positions
+        # ascend within a posting: a stable sort on doc alone yields
+        # (doc, position) order
+        srt = np.argsort(idx, kind="stable")
+        return idx[srt], pos[srt]
 
 
 def search_local(

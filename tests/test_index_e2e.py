@@ -497,3 +497,49 @@ def test_rank_cd_index_path_rejects_unsupported(spark, built):
         search_rank_cd(
             spark, index_dir, "doraemnon | nobita", mode="tsquery"
         )
+
+
+def test_rank_cd_phrase_bulk_differential_dense_covers(spark, tmp_path):
+    """The vectorized phrase-chain ranker must be bit-identical to
+    kernel ts_rank_cd on adversarial texts: overlapping matches
+    (のび太のび太...), repeated chain terms, distance gaps, and every
+    supported normalization method."""
+    from pg_cjk_parser_spark.kernel.tsrank import ts_rank_cd
+    from pg_cjk_parser_spark.kernel.tsvector import to_tsquery, to_tsvector
+    from pg_cjk_parser_spark.query.topk import search_rank_cd
+
+    texts = [
+        "fast table fast table fast table",
+        "fast fast table table fast table",
+        "fast row table fast table value fast",
+        "fast value row table",
+        "のび太のび太のび太",
+        "のび太 のび のび太",
+        "fast a table fast the row table fast value table",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    index_dir = str(tmp_path / "idx")
+    build_index(
+        spark, docs, index_dir, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    for q in ("fast <-> table", "fast <2> table", "のび太"):
+        node = to_tsquery(q)
+        for method in (0, 4, 32, 36):
+            scan = sorted(
+                [
+                    (i, r)
+                    for i, t in enumerate(texts)
+                    if (r := ts_rank_cd(to_tsvector(t), node, method=method)) > 0
+                ],
+                key=lambda x: (-x[1], x[0]),
+            )
+            got = [
+                (r.docid, r.rank)
+                for r in search_rank_cd(
+                    spark, index_dir, q, k=10, mode="tsquery", method=method
+                ).collect()
+            ]
+            assert got == scan, (q, method)
