@@ -416,13 +416,51 @@ def _rank_cd_phrase_bulk(lists, cand, items, k, method):
         merged, starts, "left"
     )
     contrib = 0.1 / (1.0 + (width - (cnt - 1)))
-    dci = starts >> 16
+    spos = (starts & 0xFFFF) - _KEYOFF
+    exts = (2 * spos + width) / 2.0 if method & 4 else None
+    return _emit_rank_rows(cand, starts >> 16, contrib, exts, k, method)
+
+
+def _rank_cd_and2_bulk(lists, cand, ta, tb, k, method):
+    """Vectorized cover-density ranking for a two-distinct-term AND
+    query: the greedy Cover fold reduces to every consecutive
+    OPPOSITE-term pair in the per-doc merged occurrence stream (the
+    up-scan satisfies at the partner's next occurrence, the down-scan
+    walks back to the nearest preceding occurrence of the other term,
+    and the restart lands one item past the begin).  Each such cover
+    holds exactly its two endpoints, so nNoise = q - p - 1."""
+    ia, pa = lists[ta].positions_bulk(cand)
+    ib, pb = lists[tb].positions_bulk(cand)
+    keys = np.concatenate(
+        [(ia << 16) + pa + _KEYOFF, (ib << 16) + pb + _KEYOFF]
+    )
+    lab = np.concatenate(
+        [np.zeros(ia.size, np.int8), np.ones(ib.size, np.int8)]
+    )
+    srt = np.argsort(keys)  # positions are distinct -> keys unique
+    keys = keys[srt]
+    lab = lab[srt]
+    if keys.size < 2:
+        return None
+    sel = np.flatnonzero(
+        ((keys[1:] >> 16) == (keys[:-1] >> 16)) & (lab[1:] != lab[:-1])
+    )
+    if not sel.size:
+        return None
+    p = (keys[sel] & 0xFFFF) - _KEYOFF
+    q = (keys[sel + 1] & 0xFFFF) - _KEYOFF
+    contrib = 0.1 / (1.0 + (q - p - 1))
+    exts = (q + p) / 2.0 if method & 4 else None
+    return _emit_rank_rows(cand, keys[sel] >> 16, contrib, exts, k, method)
+
+
+def _emit_rank_rows(cand, dci, contrib, exts, k, method):
+    """Shared tail of the bulk rankers: per-doc SEQUENTIAL float
+    accumulation (bit-compatible with kernel ts_rank_cd), method 4/32
+    normalization, positive-rank filter, per-partition top-k."""
     seg = np.concatenate(
         ([0], np.flatnonzero(np.diff(dci)) + 1, [dci.size])
     )
-    if method & 4:
-        spos = (starts & 0xFFFF) - _KEYOFF
-        exts = (2 * spos + width) / 2.0
     out_ids: list[int] = []
     out_ranks: list[float] = []
     cl = contrib.tolist()
@@ -431,7 +469,7 @@ def _rank_cd_phrase_bulk(lists, cand, items, k, method):
         wdoc = 0.0
         for v in cl[s:e]:
             wdoc += v
-        if method & 4:
+        if exts is not None:
             sd = 0.0
             prev = 0.0
             n_ext = 0
@@ -483,6 +521,23 @@ def _rank_cd_local(pdf, tree, n_terms, k, method):
         return None
     if isinstance(tree, Phrase):
         return _rank_cd_phrase_bulk(lists, cand, tree.items, k, method)
+    if (
+        isinstance(tree, And)
+        and len(tree.children) == 2
+        and all(
+            isinstance(c, Phrase) and len(c.items) == 1
+            for c in tree.children
+        )
+        and tree.children[0].items[0][0] != tree.children[1].items[0][0]
+    ):
+        return _rank_cd_and2_bulk(
+            lists,
+            cand,
+            tree.children[0].items[0][0],
+            tree.children[1].items[0][0],
+            k,
+            method,
+        )
     out_ids: list[int] = []
     out_ranks: list[float] = []
     for d in cand.tolist():

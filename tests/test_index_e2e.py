@@ -525,7 +525,7 @@ def test_rank_cd_phrase_bulk_differential_dense_covers(spark, tmp_path):
         spark, docs, index_dir, docid_col="doc_id",
         num_buckets=4, num_salts=2, block_size=4,
     )
-    for q in ("fast <-> table", "fast <2> table", "のび太"):
+    for q in ("fast <-> table", "fast <2> table", "のび太", "fast & table"):
         node = to_tsquery(q)
         for method in (0, 4, 32, 36):
             scan = sorted(
