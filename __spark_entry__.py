@@ -2165,7 +2165,7 @@ def _rank_or_term_sql(word: str) -> str:
       ELSE 0.0::DOUBLE END"""
 
 
-def _ts_rank_or_sql(words: list[str]) -> str:
+def _ts_rank_or_sql(words: list[str], topk: int | None = None) -> str:
     words = sorted(words)  # SortAndUniqItems order; stems==words here
     counts = ",\n    ".join(
         f"least(len(list_filter(ws, w -> w = '{w}')), 256) AS n_{w}"
@@ -2175,6 +2175,18 @@ def _ts_rank_or_sql(words: list[str]) -> str:
     defs = ",\n    ".join(
         f"{_rank_or_term_sql(w)} AS c_{w}" for w in words
     )
+    if topk:
+        final = (
+            f"SELECT doc_id, round(({contribs}) / {len(words)}::DOUBLE, 6)"
+            f" AS rank\nFROM c WHERE ({contribs}) > 0\n"
+            f"ORDER BY round(({contribs}) / {len(words)}::DOUBLE, 6) DESC,"
+            f" doc_id ASC LIMIT {topk}"
+        )
+    else:
+        final = (
+            f"SELECT doc_id, round(({contribs}) / {len(words)}::DOUBLE, 6)"
+            " AS rank\nFROM c ORDER BY doc_id"
+        )
     return f"""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -2187,8 +2199,7 @@ WITH d AS (
     {defs}
   FROM n
 )
-SELECT doc_id, round(({contribs}) / {len(words)}::DOUBLE, 6) AS rank
-FROM c ORDER BY doc_id
+{final}
 """
 
 
@@ -2258,6 +2269,66 @@ def _q_ts_rank_cd_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round(rank(F.col("text")), 6).alias("rank"))
         .orderBy("doc_id")
     )
+
+
+def _q_ts_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-path ts_rank top-20 for the flat-OR 'merge | spark':
+    the or-path rank is a pure function of capped tf, computed from
+    the posting tf streams without touching positions."""
+    from pg_cjk_parser_spark.query.topk import search_rank
+
+    index_dir = _docs_index(spark, sf_dir)
+    res = search_rank(
+        spark, index_dir, "merge | spark", k=25, mode="tsquery"
+    ).select(
+        F.col("docid").alias("doc_id"),
+        F.round("rank", 6).alias("rank"),
+    )
+    return res.orderBy(F.desc("rank"), F.asc("doc_id")).limit(20)
+
+
+def _q_ts_rank_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-path ts_rank top-20 for 'spark & merge' (and-path:
+    word_distance proximity fold over indexed positions)."""
+    from pg_cjk_parser_spark.query.topk import search_rank
+
+    index_dir = _docs_index(spark, sf_dir)
+    res = search_rank(
+        spark, index_dir, "spark & merge", k=25, mode="tsquery"
+    ).select(
+        F.col("docid").alias("doc_id"),
+        F.round("rank", 6).alias("rank"),
+    )
+    return res.orderBy(F.desc("rank"), F.asc("doc_id")).limit(20)
+
+
+_TS_RANK_AND_TOPK_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), o AS (
+  SELECT doc_id,
+    (list_filter(generate_series(1, len(ws)), j -> ws[j] = 'merge'))[1:256] AS om,
+    (list_filter(generate_series(1, len(ws)), j -> ws[j] = 'spark'))[1:256] AS os
+  FROM d
+), c AS (
+  SELECT doc_id,
+    flatten(list_transform(os, l -> list_transform(om, p ->
+      sqrt((0.1::DOUBLE * 0.1::DOUBLE) *
+        (CASE WHEN abs(l - p) > 100 THEN 1e-30
+         ELSE 1.0::DOUBLE / (1.005::DOUBLE
+              + 0.05::DOUBLE * exp(abs(l - p) / 1.5::DOUBLE - 2)) END))
+    ))) AS curws
+  FROM o
+), r AS (
+  SELECT doc_id,
+    list_reduce(curws,
+      (a, b) -> 1.0::DOUBLE - (1.0::DOUBLE - a) * (1.0::DOUBLE - b))
+      AS rank
+  FROM c WHERE len(curws) > 0
+)
+SELECT doc_id, round(rank, 6) AS rank FROM r
+ORDER BY round(rank, 6) DESC, doc_id ASC LIMIT 20
+"""
 
 
 def _q_ts_rank_cd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2518,6 +2589,7 @@ _TS_RANK_OR_SQL = _ts_rank_or_sql(["merge", "spark"])
 _TS_RANK_CD_SQL = _ts_rank_cd_sql(["spark", "merge"])
 _TS_RANK_CD_NORM_SQL = _ts_rank_cd_sql(["spark", "merge"], extdist=True)
 _TS_RANK_CD_TOPK_SQL = _ts_rank_cd_sql(["spark", "merge"], topk=20)
+_TS_RANK_TOPK_SQL = _ts_rank_or_sql(["merge", "spark"], topk=20)
 _TS_RANK_WEIGHTED_SQL = _ts_rank_weighted_sql(["merge", "spark"])
 
 
@@ -2570,6 +2642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_weighted": _q_ts_rank_weighted,
         "websearch_match": _q_websearch_match,
         "ts_rank_cd_topk": _q_ts_rank_cd_topk,
+        "ts_rank_topk": _q_ts_rank_topk,
+        "ts_rank_and_topk": _q_ts_rank_and_topk,
     }
 
 
@@ -2622,4 +2696,6 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_weighted": _TS_RANK_WEIGHTED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,
         "ts_rank_cd_topk": _TS_RANK_CD_TOPK_SQL,
+        "ts_rank_topk": _TS_RANK_TOPK_SQL,
+        "ts_rank_and_topk": _TS_RANK_AND_TOPK_SQL,
     }

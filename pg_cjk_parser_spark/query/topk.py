@@ -494,6 +494,269 @@ def _emit_rank_rows(cand, dci, contrib, exts, k, method):
     return pd.DataFrame({"docid": ids[sel], "rank": ranks[sel]})
 
 
+def search_rank(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    mode: str = "tsquery",
+    method: int = 0,
+) -> DataFrame:
+    """Index-path ``WHERE tsv @@ q ORDER BY ts_rank(tsv, q) DESC
+    LIMIT k`` (tsrank.c calc_rank_or / calc_rank_and semantics).
+
+    * **or-path** (top node not AND/phrase, or a single lexeme): the
+      rank depends only on each term's capped occurrence count, so it
+      is computed fully vectorized from the posting tf streams - no
+      position decode at all.  Candidates are the @@ match set (the
+      union for a flat OR).
+    * **and-path** (top AND or multi-lexeme phrase): the
+      word_distance proximity fold over decoded positions
+      (:meth:`_TermList.positions_bulk`), with curw values taken from
+      an exact precomputed table and the per-doc fold kept
+      sequential, so results are bit-identical to scan-path
+      ``ts_rank`` (tests assert it).  Phrase chains additionally
+      filter candidates to true adjacency matches, matching ``@@``.
+
+    Supported query shapes: conjunctive (AND / phrase) and flat OR.
+    Supported normalization bits: 1 | 2 | 32 (cnt_length is the
+    indexed doclen); bits 8/16 need per-doc distinct-lexeme counts
+    the index does not store - use the scan path."""
+    if method & ~(1 | 2 | 32):
+        raise ValueError(
+            "index-path ts_rank supports normalization bits 1|2|32 only"
+        )
+    routed = _route(index_dir, query, mode)
+    if routed is None:
+        return spark.createDataFrame([], "docid long, rank double")
+    stats, pq, bset, _idf = routed
+    tree = pq.tree
+    if not pq.conjunctive and not _is_flat_or(tree):
+        raise ValueError(
+            "index-path ts_rank supports conjunctive or flat-OR "
+            "queries only"
+        )
+
+    paths = _postings_paths(index_dir, bset, stats)
+    if not paths:
+        return spark.createDataFrame([], "docid long, rank double")
+    read_schema = (
+        "salt int, term string, n int, min_docid long, max_docid long, "
+        "docids binary, tfs binary, doclens binary, positions binary, "
+        "max_tf int, min_dl int"
+    )
+    blocks = (
+        spark.read.schema(read_schema)
+        .option("basePath", os.path.join(index_dir, "postings"))
+        .parquet(*paths)
+        .where(F.col("term").isin(pq.all_terms))
+    )
+    num_salts = stats["num_salts"]
+    conj = pq.conjunctive
+    phrases = pq.phrases
+    n_terms = len(pq.terms)
+
+    def rank_partition(batches):
+        frames = [f for f in batches if len(f)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        out = _rank_ts_local(pdf, tree, conj, phrases, n_terms, k, method)
+        if out is not None:
+            yield out
+
+    ranked = blocks.repartition(num_salts, "salt").mapInPandas(
+        rank_partition, "docid long, rank double"
+    )
+    return (
+        ranked.orderBy(F.desc("rank"), F.asc("docid"))
+        .limit(k)
+        .select("docid", "rank")
+    )
+
+
+_PI2_6 = 1.64493406685
+_MAXNUMPOS = 256
+
+
+def _rank_or_contrib_table() -> list[float]:
+    """calc_rank_or per-term contribution for an all-weight-D term
+    with n stored positions, n = 0..256 - the exact FP shapes of
+    kernel _rank_or (wjm = 0.1, jm = 0)."""
+    out = [0.0]
+    resj = 0.0
+    for j in range(_MAXNUMPOS):
+        resj = resj + 0.1 / ((j + 1) * (j + 1))
+        out.append((0.1 + resj - 0.1 / 1) / _PI2_6)
+    return out
+
+
+def _curw_table() -> np.ndarray:
+    """curw(dist) for all-D weights, dist clipped at 101 for the
+    >100 floor - python-math exact so lookups are bit-identical to
+    kernel _rank_and."""
+    t = np.empty(102, np.float64)
+    t[0] = 0.0  # dist 0 never contributes (distinct positions)
+    for d in range(1, 101):
+        t[d] = math.sqrt(
+            (0.1 * 0.1) * (1.0 / (1.005 + 0.05 * math.exp(d / 1.5 - 2)))
+        )
+    t[101] = math.sqrt((0.1 * 0.1) * 1e-30)
+    return t
+
+
+_RANK_OR_CONTRIB = _rank_or_contrib_table()
+_CURW = _curw_table()
+
+
+def _phrase_start_docs(lists, cand, items):
+    """Candidate indices (into ``cand``) having at least one chain
+    match - the @@ adjacency recheck, batched."""
+    base = items[0][1]
+    starts = None
+    for t, off in items:
+        cidx, pos = lists[t].positions_bulk(cand)
+        kb = (cidx << 16) + pos + _KEYOFF - (off - base)
+        starts = kb if starts is None else np.intersect1d(
+            starts, kb, assume_unique=True
+        )
+        if not starts.size:
+            return np.empty(0, np.int64)
+    return np.unique(starts >> 16)
+
+
+def _rank_ts_local(pdf, tree, conj, phrases, n_terms, k, method):
+    """Per-salt-partition ts_rank: candidates from the @@ match set,
+    ranks bit-identical to kernel ts_rank."""
+    from ..kernel.tsrank import _operand_lexemes
+
+    terms = _operand_lexemes(tree)
+    and_path = (
+        isinstance(tree, And)
+        or (isinstance(tree, Phrase) and len(tree.items) > 1)
+    ) and len(terms) >= 2
+    per_term = {t: g for t, g in pdf.groupby("term", sort=True)}
+
+    if conj:
+        if len(per_term) < n_terms:
+            return None
+        order = sorted(per_term, key=lambda t: int(per_term[t]["n"].sum()))
+        lists: dict[str, _TermList] = {}
+        cand: np.ndarray | None = None
+        for t in order:
+            tb = per_term[t]
+            if cand is not None:
+                if cand.size == 0:
+                    return None
+                lo, hi = int(cand[0]), int(cand[-1])
+                tb = tb[(tb["max_docid"] >= lo) & (tb["min_docid"] <= hi)]
+            tl = _TermList(tb, and_path or bool(phrases))
+            lists[t] = tl
+            cand = tl.ids if cand is None else cand[
+                np.isin(cand, tl.ids, assume_unique=True)
+            ]
+        if cand is None or cand.size == 0:
+            return None
+        for chain in phrases:
+            keep = _phrase_start_docs(lists, cand, chain)
+            if not keep.size:
+                return None
+            cand = cand[keep]
+    else:  # flat OR
+        lists = {t: _TermList(tb, False) for t, tb in per_term.items()}
+        cand = np.unique(np.concatenate([tl.ids for tl in lists.values()]))
+        if not cand.size:
+            return None
+
+    nq = len(terms)
+    if not and_path:
+        # vectorized or-path: contribution is a pure function of the
+        # capped tf; accumulate per doc in sorted-term order (the
+        # kernel's SortAndUniqItems iteration)
+        ranks = np.zeros(cand.size, np.float64)
+        for t in terms:
+            tl = lists.get(t)
+            if tl is None:
+                continue
+            sel = np.isin(tl.ids, cand, assume_unique=True)
+            n_eff = np.minimum(
+                tl.tfs[sel].astype(np.int64), _MAXNUMPOS
+            )
+            idxs = np.searchsorted(cand, tl.ids[sel])
+            ranks[idxs] = ranks[idxs] + np.asarray(
+                _RANK_OR_CONTRIB, np.float64
+            )[n_eff]
+        ranks = ranks / float(nq)
+    else:
+        found = []
+        for t in terms:
+            tl = lists[t]
+            cidx, pos = tl.positions_bulk(cand)
+            found.append((cidx, pos))
+        ranks = np.empty(cand.size, np.float64)
+        curw_l = _CURW.tolist()
+        # per-candidate slices per term (docs sorted in cidx order)
+        slicers = []
+        for cidx, pos in found:
+            starts = np.searchsorted(cidx, np.arange(cand.size), "left")
+            ends = np.searchsorted(cidx, np.arange(cand.size), "right")
+            slicers.append((pos, starts, ends))
+        for di in range(cand.size):
+            res = -1.0
+            for i in range(nq):
+                pos_i, s_i, e_i = slicers[i]
+                pi = pos_i[s_i[di] : e_i[di]][:_MAXNUMPOS]
+                if not pi.size:
+                    continue
+                for kk in range(i):
+                    pos_k, s_k, e_k = slicers[kk]
+                    pk = pos_k[s_k[di] : e_k[di]][:_MAXNUMPOS]
+                    if not pk.size:
+                        continue
+                    d = np.abs(pi[:, None] - pk[None, :]).ravel()
+                    cw = np.minimum(d, 101)
+                    for j, dist in enumerate(d.tolist()):
+                        if dist:
+                            curw = curw_l[int(cw[j])]
+                            res = (
+                                curw
+                                if res < 0
+                                else 1.0 - (1.0 - res) * (1.0 - curw)
+                            )
+            ranks[di] = 1e-20 if res < 0 else res
+
+    if method & (1 | 2):
+        dls = np.zeros(cand.size, np.int64)
+        for tl in lists.values():
+            sel = np.isin(tl.ids, cand, assume_unique=True)
+            dls[np.searchsorted(cand, tl.ids[sel])] = tl.dls[sel].astype(
+                np.int64
+            )
+        if method & 1:
+            norm = {
+                int(d): math.log(int(d) + 1) / math.log(2.0)
+                for d in np.unique(dls)
+            }
+            ranks = ranks / np.asarray(
+                [norm[int(d)] for d in dls], np.float64
+            )
+        if method & 2:
+            pos_dl = dls > 0
+            ranks[pos_dl] = ranks[pos_dl] / dls[pos_dl].astype(np.float64)
+    if method & 32:
+        ranks = ranks / (ranks + 1)
+
+    keep = ranks > 0.0
+    return _topk_frame_rank(cand[keep], ranks[keep], k)
+
+
+def _topk_frame_rank(ids: np.ndarray, ranks: np.ndarray, k: int):
+    if not ids.size:
+        return None
+    sel = np.lexsort((ids, -ranks))[:k]
+    return pd.DataFrame({"docid": ids[sel], "rank": ranks[sel]})
+
+
 def _rank_cd_local(pdf, tree, n_terms, k, method):
     """Per-salt-partition candidate intersection + exact kernel
     cover-density ranking from decoded positions."""

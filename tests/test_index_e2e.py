@@ -543,3 +543,62 @@ def test_rank_cd_phrase_bulk_differential_dense_covers(spark, tmp_path):
                 ).collect()
             ]
             assert got == scan, (q, method)
+
+
+def test_ts_rank_index_path_equals_scan_path(spark, built):
+    """search_rank (or-path from tf streams, and-path from position
+    folds) must be bit-identical to kernel ts_rank over raw text,
+    with candidates equal to the @@ match set."""
+    from pg_cjk_parser_spark.kernel.tsrank import ts_rank
+    from pg_cjk_parser_spark.kernel.tsvector import (
+        to_tsquery,
+        to_tsvector,
+        ts_match,
+    )
+    from pg_cjk_parser_spark.query.topk import search_rank
+
+    index_dir, _, pdocs = built
+    cases = [
+        ("doraemnon | nobita", 0),   # flat OR -> or-path
+        ("doraemnon | nobita", 1),
+        ("doraemnon & nobita", 0),   # and-path proximity fold
+        ("doraemnon & nobita", 2),
+        ("のび太", 0),                # phrase -> and-path + @@ adjacency
+        ("のび太", 32),
+    ]
+    nonempty = 0
+    for q, method in cases:
+        node = to_tsquery(q)
+        scan = []
+        for docid, text in pdocs:
+            v = to_tsvector(text)
+            if not ts_match(v, node):
+                continue
+            r = ts_rank(v, node, method=method)
+            if r > 0:
+                scan.append((docid, r))
+        scan = sorted(scan, key=lambda x: (-x[1], x[0]))[:10]
+        got = [
+            (r.docid, r.rank)
+            for r in search_rank(
+                spark, index_dir, q, k=10, mode="tsquery", method=method
+            ).collect()
+        ]
+        assert got == scan, (q, method)
+        nonempty += bool(scan)
+    assert nonempty >= 4
+
+
+def test_ts_rank_index_path_rejects_unsupported(spark, built):
+    import pytest as _pytest
+
+    from pg_cjk_parser_spark.query.topk import search_rank
+
+    index_dir, _, _ = built
+    with _pytest.raises(ValueError, match="1|2|32"):
+        search_rank(spark, index_dir, "doraemnon", method=8)
+    with _pytest.raises(ValueError, match="flat-OR"):
+        search_rank(
+            spark, index_dir,
+            "doraemnon | (nobita & doraemon)", mode="tsquery",
+        )
