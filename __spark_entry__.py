@@ -2271,6 +2271,76 @@ def _q_ts_rank_cd_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix query on the index path: 'b:*' expands against the
+    termstats dictionary (query/topk.py expand_prefix - the GIN
+    btree-walk equivalent) into the OR of matching lexemes, then
+    scores through the flat-OR WAND path.  The oracle states prefix
+    semantics directly (term LIKE 'b%'), independent of what the
+    expansion finds."""
+    from pg_cjk_parser_spark.query.topk import search
+
+    index_dir = _docs_index(spark, sf_dir)
+    res = search(spark, index_dir, "b:*", k=25, mode="tsquery").select(
+        F.col("docid").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+_BM25_PREFIX_SQL = f"""
+WITH {_TOK_CTE},
+dl AS (
+  SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term LIKE 'b%' GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+              * t.tf / (t.tf + 1.2*(0.25 + 0.75*d.doclen/s.avgdl)) )
+           AS score
+  FROM tf t
+  JOIN df f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
+"""
+
+
+def _q_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-path @@ with a prefix operand: 'b:* & merge' (kernel
+    ts_match evaluates Prefix directly, no dictionary needed)."""
+    from pg_cjk_parser_spark.spark.udfs import make_ts_match_udf
+
+    m = make_ts_match_udf("b:* & merge")
+    return (
+        _docs(spark, sf_dir)
+        .where(m(F.col("text")))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_PREFIX_MATCH_SQL = f"""
+WITH {_TOK_CTE}
+SELECT DISTINCT doc_id FROM tok
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term LIKE 'b%')
+  AND doc_id IN (SELECT doc_id FROM tok WHERE term = 'merg')
+ORDER BY doc_id
+"""
+
+
 def _q_ts_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-path ts_rank top-20 for the flat-OR 'merge | spark':
     the or-path rank is a pure function of capped tf, computed from
@@ -2644,6 +2714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_cd_topk": _q_ts_rank_cd_topk,
         "ts_rank_topk": _q_ts_rank_topk,
         "ts_rank_and_topk": _q_ts_rank_and_topk,
+        "bm25_prefix_topk": _q_bm25_prefix_topk,
+        "prefix_match": _q_prefix_match,
     }
 
 
@@ -2698,4 +2770,6 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_cd_topk": _TS_RANK_CD_TOPK_SQL,
         "ts_rank_topk": _TS_RANK_TOPK_SQL,
         "ts_rank_and_topk": _TS_RANK_AND_TOPK_SQL,
+        "bm25_prefix_topk": _BM25_PREFIX_SQL,
+        "prefix_match": _PREFIX_MATCH_SQL,
     }

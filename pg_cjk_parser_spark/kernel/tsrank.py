@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import math
 
-from .tsvector import And, Not, Or, Phrase, ts_match
+from .tsvector import And, Not, Or, Phrase, Prefix, ts_match
 
 DEF_WEIGHTS = (0.1, 0.2, 0.4, 1.0)  # weight classes D, C, B, A
 
@@ -98,16 +98,18 @@ def cnt_length(v: dict[str, list[int]]) -> int:
     return sum(len(ps) for ps in v.values())
 
 
-def _operand_lexemes(node) -> list[str]:
-    """Distinct operand lexemes in sorted order (SortAndUniqItems),
-    including lexemes under NOT."""
-    out: set[str] = set()
+def _operands(node) -> list[tuple[str, bool]]:
+    """Distinct (operand_text, is_prefix) in sorted order
+    (SortAndUniqItems), including operands under NOT."""
+    out: set[tuple[str, bool]] = set()
 
     def walk(n):
         if n is None:
             return
         if isinstance(n, Phrase):
-            out.update(t for t, _ in n.items)
+            out.update((t, False) for t, _ in n.items)
+        elif isinstance(n, Prefix):
+            out.add((n.term, True))
         elif isinstance(n, (And, Or)):
             for c in n.children:
                 walk(c)
@@ -118,24 +120,37 @@ def _operand_lexemes(node) -> list[str]:
     return sorted(out)
 
 
-def _rank_or(weights, v, terms) -> float:
+def _operand_lexemes(node) -> list[str]:
+    """Distinct exact operand lexemes in sorted order (prefix
+    operands excluded - expand them first on the index path)."""
+    return [t for t, pre in _operands(node) if not pre]
+
+
+def _matching_lexemes(v, op: str, pre: bool) -> list[str]:
+    """tsvector entries matched by one operand, in entry (sorted
+    lexeme) order - PG find_wordentry, incl. its prefix variant."""
+    if not pre:
+        return [op] if op in v else []
+    return sorted(t for t in v if t.startswith(op))
+
+
+def _rank_or(weights, v, operands) -> float:
     res = 0.0
-    for t in terms:
-        ps = v.get(t)
-        if not ps:
-            continue
-        resj = 0.0
-        wjm = -1.0
-        jm = 0
-        for j, x in enumerate(ps):
-            w = weights[wep_weight(x)]
-            resj = resj + w / ((j + 1) * (j + 1))
-            if w > wjm:
-                wjm = w
-                jm = j
-        res = res + (wjm + resj - wjm / ((jm + 1) * (jm + 1))) / _PI2_6
-    if terms:
-        res = res / len(terms)
+    for op, pre in operands:
+        for t in _matching_lexemes(v, op, pre):
+            ps = v[t]
+            resj = 0.0
+            wjm = -1.0
+            jm = 0
+            for j, x in enumerate(ps):
+                w = weights[wep_weight(x)]
+                resj = resj + w / ((j + 1) * (j + 1))
+                if w > wjm:
+                    wjm = w
+                    jm = j
+            res = res + (wjm + resj - wjm / ((jm + 1) * (jm + 1))) / _PI2_6
+    if operands:
+        res = res / len(operands)
     return res
 
 
@@ -183,16 +198,22 @@ def ts_rank(
     """PG ``ts_rank([weights], vector, query [, normalization])``."""
     if not v or node is None:
         return 0.0
-    terms = _operand_lexemes(node)
-    if not terms:
+    ops = _operands(node)
+    if not ops:
         return 0.0
     and_path = isinstance(node, And) or (
         isinstance(node, Phrase) and len(node.items) > 1
     )
-    if and_path and len(terms) >= 2:
-        res = _rank_and(weights, v, terms)
+    if and_path and len(ops) >= 2:
+        if any(pre for _, pre in ops):
+            raise NotImplementedError(
+                "ts_rank and-path (top-level AND/phrase) with prefix "
+                "operands is not implemented; or-path, @@ match, BM25 "
+                "and ts_rank_cd all support prefixes"
+            )
+        res = _rank_and(weights, v, [t for t, _ in ops])
     else:
-        res = _rank_or(weights, v, terms)
+        res = _rank_or(weights, v, ops)
     if res < 0:
         res = 1e-20
     size = len(v)
@@ -211,12 +232,16 @@ def ts_rank(
     return res
 
 
-def _docrep(v, terms):
-    """tsrank.c ``get_docrep``: one item per (position of a query
-    lexeme), sorted by position: (pos, lexeme, weight_class)."""
+def _docrep(v, operands):
+    """tsrank.c ``get_docrep``: one item per (position of a lexeme
+    matched by some operand, incl. prefix matches), sorted by
+    position: (pos, lexeme, weight_class)."""
+    seen: set[str] = set()
+    for op, pre in operands:
+        seen.update(_matching_lexemes(v, op, pre))
     items = []
-    for t in terms:
-        for x in v.get(t, ()):
+    for t in seen:
+        for x in v[t]:
             items.append((wep_pos(x), t, wep_weight(x)))
     items.sort()
     return items
@@ -263,8 +288,7 @@ def ts_rank_cd(
     while ``ts_rank`` divides by log2; both are reproduced."""
     if not v or node is None:
         return 0.0
-    terms = _operand_lexemes(node)
-    items = _docrep(v, terms)
+    items = _docrep(v, _operands(node))
     if not items:
         return 0.0
     invws = [1.0 / w for w in weights]

@@ -95,6 +95,17 @@ class Phrase:
 
 
 @dataclass
+class Prefix:
+    """A prefix-match operand (PG ``'lex':*``): matches any tsvector
+    lexeme starting with ``term``.  The operand text runs through the
+    same dictionary pipeline first (PG behavior: ``to_tsquery('english',
+    'running:*')`` stems to ``'run':*``), so ``term`` is a normalized
+    lexeme prefix.  Only single-lexeme operands may carry ``:*``."""
+
+    term: str
+
+
+@dataclass
 class And:
     children: list
 
@@ -233,8 +244,12 @@ def _tq_lex(q: str) -> list[str]:
             i = j + 1
         elif c == "'":
             j = q.index("'", i + 1)
-            out.append("'" + q[i + 1 : j])
+            tok = "'" + q[i + 1 : j]
             i = j + 1
+            if q[i : i + 2] == ":*":
+                tok += ":*"
+                i += 2
+            out.append(tok)
         else:
             j = i
             while j < n and q[j] not in "&|!()<'" and not q[j].isspace():
@@ -290,14 +305,29 @@ def _tq_parse_atom(toks):
             raise ValueError("unbalanced parens in tsquery")
         return node, rest[1:]
     if t.startswith("'"):
-        node = _operand_to_node(t[1:])
+        text = t[1:]
+        if text.endswith(":*"):
+            node = _operand_to_node(text[:-2])
+            if node is None:
+                raise ValueError(
+                    f"prefix operand {text[:-2]!r} produced no lexemes"
+                )
+            if len(node.items) != 1:
+                raise ValueError(
+                    "prefix match (:*) is supported on single-lexeme "
+                    f"operands only; {text[:-2]!r} produced a phrase"
+                )
+            return Prefix(node.items[0][0]), toks[1:]
+        node = _operand_to_node(text)
         if node is None:
-            raise ValueError(f"operand {t[1:]!r} produced no lexemes")
+            raise ValueError(f"operand {text!r} produced no lexemes")
         return node, toks[1:]
     raise ValueError(f"unexpected tsquery token {t!r}")
 
 
 def tsquery_str(node) -> str:
+    if isinstance(node, Prefix):
+        return f"'{node.term}':*"
     if isinstance(node, Phrase):
         if len(node.items) == 1:
             return f"'{node.items[0][0]}'"
@@ -325,8 +355,13 @@ def _paren(n) -> str:
 
 
 def query_terms(node) -> set[str]:
-    """All positive lexemes referenced by a query (for scoring)."""
+    """All positive EXACT lexemes referenced by a query (for
+    scoring).  Prefix operands are not statically enumerable -
+    expand them against a dictionary first (query/topk.py does on
+    the index path)."""
     if node is None:
+        return set()
+    if isinstance(node, Prefix):
         return set()
     if isinstance(node, Phrase):
         return {t for t, _ in node.items}
@@ -345,6 +380,8 @@ def query_terms_all(node) -> set[str]:
     lookup: evaluating !term needs term's posting list)."""
     if node is None:
         return set()
+    if isinstance(node, Prefix):
+        return set()
     if isinstance(node, Phrase):
         return {t for t, _ in node.items}
     if isinstance(node, (And, Or)):
@@ -361,6 +398,8 @@ def ts_match(v: dict[str, list[int]], node) -> bool:
     """The @@ operator: does tsvector v satisfy the query?"""
     if node is None:
         return False
+    if isinstance(node, Prefix):
+        return any(t.startswith(node.term) for t in v)
     if isinstance(node, Phrase):
         return _phrase_match(v, node)
     if isinstance(node, And):

@@ -43,6 +43,7 @@ from ..kernel.tsvector import (
     Not,
     Or,
     Phrase,
+    Prefix,
     plainto_tsquery,
     query_terms,
     query_terms_all,
@@ -121,6 +122,41 @@ def _shard_paths(index_dir: str, subdir: str, bset, stats) -> list[str]:
     return paths
 
 
+def expand_prefix(
+    index_dir: str, prefix: str, stats, max_terms: int = 1000
+) -> list[str]:
+    """Dictionary scan for ``'prefix':*``: every indexed lexeme
+    starting with ``prefix``, from the metadata-only termstats shards.
+
+    A prefix does not hash, so unlike exact terms this reads ALL
+    buckets - but only their termstats (~1/block_size of postings
+    volume) with a pushed-down range filter, the same dictionary walk
+    PostgreSQL's GIN does over its term btree.  Bounded by
+    ``max_terms`` so a one-letter prefix over a web-scale dictionary
+    fails loudly instead of fanning out into a thousand-way OR."""
+    import pyarrow.dataset as ds
+
+    bset = list(range(stats["num_buckets"]))
+    paths = _shard_paths(index_dir, "termstats", bset, stats)
+    flt = ds.field("term") >= prefix
+    if ord(prefix[-1]) < 0x10FFFF:
+        flt = flt & (
+            ds.field("term") < prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        )
+    out: set[str] = set()
+    for p in paths:
+        tbl = ds.dataset(p).to_table(columns=["term"], filter=flt)
+        for t in tbl["term"].to_pylist():
+            if t.startswith(prefix):
+                out.add(t)
+        if len(out) > max_terms:
+            raise ValueError(
+                f"prefix '{prefix}:*' matches more than {max_terms} "
+                "indexed lexemes; narrow the prefix or raise max_terms"
+            )
+    return sorted(out)
+
+
 def _read_termstats(index_dir: str, bset: list[int], terms: list[str], stats):
     """Point-lookup df per term from the pruned termstats shards.
 
@@ -174,8 +210,54 @@ def _reduces_to_complement(node) -> bool:
     return False  # Phrase / term leaf
 
 
-def parse_query(query: str, mode: str = "plain") -> ParsedQuery:
+_IMPOSSIBLE_LEXEME = "\x00"  # the tokenizer can never emit NUL
+
+
+def _expand_prefix_nodes(node, expand):
+    """Replace every :pyclass:`Prefix` node with the OR of its
+    dictionary expansion (PostgreSQL GIN does the same walk over its
+    term btree; here the metadata-only termstats shards ARE the
+    dictionary).  An empty expansion becomes an impossible lexeme so
+    boolean evaluation stays structurally intact ('a | none:*' still
+    matches docs with 'a')."""
+    if node is None or isinstance(node, Phrase):
+        return node
+    if isinstance(node, Prefix):
+        terms = expand(node.term)
+        if not terms:
+            return Phrase([(_IMPOSSIBLE_LEXEME, 0)])
+        if len(terms) == 1:
+            return Phrase([(terms[0], 0)])
+        return Or([Phrase([(t, 0)]) for t in sorted(terms)])
+    if isinstance(node, And):
+        return And([_expand_prefix_nodes(c, expand) for c in node.children])
+    if isinstance(node, Or):
+        return Or([_expand_prefix_nodes(c, expand) for c in node.children])
+    if isinstance(node, Not):
+        return Not(_expand_prefix_nodes(node.child, expand))
+    return node
+
+
+def _contains_prefix(node) -> bool:
+    if isinstance(node, Prefix):
+        return True
+    if isinstance(node, (And, Or)):
+        return any(_contains_prefix(c) for c in node.children)
+    if isinstance(node, Not):
+        return _contains_prefix(node.child)
+    return False
+
+
+def parse_query(query: str, mode: str = "plain", expand=None) -> ParsedQuery:
     tree = to_tsquery(query) if mode == "tsquery" else plainto_tsquery(query)
+    if tree is not None and expand is not None:
+        tree = _expand_prefix_nodes(tree, expand)
+    if tree is not None and _contains_prefix(tree):
+        raise ValueError(
+            "prefix queries (:*) on the index path require a dictionary "
+            "expansion callback; the scan path (kernel ts_match) "
+            "evaluates them directly"
+        )
     if tree is not None and _reduces_to_complement(tree):
         raise ValueError(
             "query reduces to a pure negation (e.g. '!a', 'a | !b'): "
@@ -222,7 +304,11 @@ def _route(index_dir: str, query: str, mode: str):
         from ..functions.zht2zhs import zht2zhs
 
         query = zht2zhs(query)
-    pq = parse_query(query, mode)
+    pq = parse_query(
+        query,
+        mode,
+        expand=lambda p: expand_prefix(index_dir, p, stats),
+    )
     if not pq.terms:
         return None
     buckets = term_buckets(None, pq.all_terms, stats["num_buckets"])

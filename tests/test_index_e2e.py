@@ -602,3 +602,51 @@ def test_ts_rank_index_path_rejects_unsupported(spark, built):
             spark, index_dir,
             "doraemnon | (nobita & doraemon)", mode="tsquery",
         )
+
+
+def test_prefix_queries_index_path(spark, built):
+    """Prefix expansion against the termstats dictionary must make
+    the index path agree with scan-path ts_match + BM25 over the
+    expanded OR, across search / search_local / search_rank."""
+    from pg_cjk_parser_spark.kernel.tsvector import to_tsquery, to_tsvector, ts_match
+    from pg_cjk_parser_spark.query.topk import (
+        expand_prefix,
+        load_stats,
+        search,
+        search_local,
+        search_rank,
+    )
+
+    index_dir, stats, pdocs = built
+    terms = expand_prefix(index_dir, "dora", load_stats(index_dir))
+    assert "doraemnon" in terms
+    node = to_tsquery("dora:*")
+    expected_docs = {d for d, t in pdocs if ts_match(to_tsvector(t), node)}
+    assert expected_docs  # not vacuous
+
+    got = search(spark, index_dir, "dora:*", k=1000, mode="tsquery").collect()
+    assert {r.docid for r in got} == expected_docs
+    loc = search_local(index_dir, "dora:*", k=1000, mode="tsquery")
+    assert [(r.docid, round(r.score, 9)) for r in got[:10]] == [
+        (d, round(s, 9)) for d, s in loc[:10]
+    ]
+    # rank or-path over the expansion
+    ranked = search_rank(
+        spark, index_dir, "dora:*", k=5, mode="tsquery"
+    ).collect()
+    assert ranked and all(r.rank > 0 for r in ranked)
+    # no-match prefix under OR must not kill the other branch
+    both = search(
+        spark, index_dir, "zzzznope:* | doraemnon", k=10, mode="tsquery"
+    ).collect()
+    assert both
+
+
+def test_prefix_expansion_cap(spark, built):
+    import pytest as _pytest
+
+    from pg_cjk_parser_spark.query.topk import expand_prefix, load_stats
+
+    index_dir, _, _ = built
+    with _pytest.raises(ValueError, match="more than 1"):
+        expand_prefix(index_dir, "d", load_stats(index_dir), max_terms=1)

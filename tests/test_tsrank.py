@@ -261,3 +261,34 @@ def test_duckdb_curw_and_folds_bit_identical():
             " j -> 0.1::DOUBLE))"
         ).fetchone()[0]
         assert dd == py
+
+
+# --- prefix operands ---------------------------------------------------
+
+
+def test_prefix_parse_match_and_rank():
+    from pg_cjk_parser_spark.kernel.tsvector import Prefix
+
+    q = to_tsquery("b:* & merge")
+    assert tsquery_str(q) == "'b':* & 'merg'"
+    # the prefix operand passes through the dictionary (stemming)
+    assert tsquery_str(to_tsquery("'running':*")) == "'run':*"
+    assert ts_match(to_tsvector("big merge value"), q)
+    assert not ts_match(to_tsvector("value merge"), q)
+    assert ts_match(to_tsvector("batch table"), to_tsquery("b:*"))
+
+    # or-path rank: one entry per matched lexeme, divided by operand
+    # count (find_wordentry's multi-entry prefix behavior)
+    v = to_tsvector("big batch big table")
+    h1 = ((0.1 + 0.1 / 1) - 0.1) / PI2_6
+    h2 = ((0.1 + (0.1 / 1 + 0.1 / 4)) - 0.1) / PI2_6
+    assert ts_rank(v, to_tsquery("b:*")) == h1 + h2
+    # cover-density: each matched occurrence is a cover
+    assert ts_rank_cd(v, to_tsquery("b:*")) == pytest.approx(0.3)
+    assert ts_rank_cd(
+        to_tsvector("big table"), to_tsquery("b:* & table")
+    ) == 0.1
+    with pytest.raises(NotImplementedError):
+        ts_rank(v, to_tsquery("b:* & table"))
+    with pytest.raises(ValueError, match="phrase"):
+        to_tsquery("のび太:*")  # multi-lexeme operand cannot be a prefix
