@@ -1540,6 +1540,7 @@ def _headline_and_sql(
     minw: int = 5,
     maxw: int = 12,
     sw: int = 3,
+    ormode: bool = False,
 ) -> str:
     """Generate the recursive-CTE oracle for an N-term AND or PHRASE
     ts_headline query (reference semantics: hlCover
@@ -1569,7 +1570,15 @@ def _headline_and_sql(
     ``minw``/``maxw``/``sw`` parameterize MinWords/MaxWords/ShortWord
     (defaults 5/12/3); the closed-form constants are derived from
     them (extension target minw-1 more good words, window cap maxw,
-    shrink floor p+minw, short-word rule len > sw)."""
+    shrink floor p+minw, short-word rule len > sw).
+
+    OR mode (``ormode=True``): hlCover's per-operand scans simply
+    skip operands with no occurrence >= pos (the old-PG quirk where
+    a cover of 'a | b' SPANS both terms when both are present), so
+    the fold is the same with NULL-skipping greatest/least (DuckDB
+    ignores NULLs in both) and the nonempty guard OR-joined; the
+    window-match recheck is vacuous for a flat OR (any emitted
+    window contains an operand occurrence)."""
     a_, b_, mw = minw - 1, maxw - 1, minw
     occ_defs = ",\n    ".join(
         f"list_filter(generate_series(1, m), i -> ws[i] = '{w}') AS o{j}"
@@ -1583,7 +1592,8 @@ def _headline_and_sql(
         f"list_filter(o{j}, o -> o >= pos AND o <= qq)[-1]"
         for j in range(len(words))
     )
-    nonempty = "\n        AND ".join(
+    joiner = "\n        OR " if ormode else "\n        AND "
+    nonempty = joiner.join(
         f"len(list_filter(o{j}, o -> o >= pos)) > 0"
         for j in range(len(words))
     )
@@ -1997,6 +2007,26 @@ rendered AS (
 SELECT doc_id, snippet FROM rendered ORDER BY doc_id
 """
 
+
+def _q_headline_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_headline for the OR query 'spark | vector': covers come
+    from the NULL-skipping hlCover fold (a cover spans BOTH terms
+    when both are present - the old-PG wide-cover behavior the
+    reference inherits)."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf(
+        "spark | vector", mode="tsquery", min_words=5, max_words=12
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
+
+
+_HEADLINE_OR_SQL = _headline_and_sql(["spark", "vector"], ormode=True)
 
 _HEADLINE_AND_SQL = _headline_and_sql(["spark", "merge"])
 _HEADLINE_AND3_SQL = _headline_and_sql(["customer", "query", "window"])
@@ -2716,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_and_topk": _q_ts_rank_and_topk,
         "bm25_prefix_topk": _q_bm25_prefix_topk,
         "prefix_match": _q_prefix_match,
+        "ts_headline_or": _q_headline_or,
     }
 
 
@@ -2772,4 +2803,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_and_topk": _TS_RANK_AND_TOPK_SQL,
         "bm25_prefix_topk": _BM25_PREFIX_SQL,
         "prefix_match": _PREFIX_MATCH_SQL,
+        "ts_headline_or": _HEADLINE_OR_SQL,
     }

@@ -36,7 +36,14 @@ from ..kernel.fsm import (
     XMLENTITY,
 )
 from ..kernel.tokenizer import tokenize
-from ..kernel.tsvector import lexize, plainto_tsquery, query_terms, to_tsquery, ts_match
+from ..kernel.tsvector import (
+    lexize,
+    plainto_tsquery,
+    query_terms,
+    to_tsquery,
+    ts_match,
+    websearch_to_tsquery,
+)
 
 
 def _nonword(t: int) -> bool:
@@ -392,7 +399,12 @@ def headline(
             raise ValueError("ShortWord should be >= 0")
         if max_fragments < 0:
             raise ValueError("MaxFragments should be >= 0")
-    tree = to_tsquery(query) if mode == "tsquery" else plainto_tsquery(query)
+    if mode == "tsquery":
+        tree = to_tsquery(query)
+    elif mode == "websearch":
+        tree = websearch_to_tsquery(query)
+    else:
+        tree = plainto_tsquery(query)
     terms = sorted(query_terms(tree))
     words = _build_words(text, set(terms))
     if max_fragments == 0:

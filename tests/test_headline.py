@@ -69,3 +69,26 @@ def test_option_validation():
 
     with pytest.raises(ValueError):
         headline(LONG, "x", min_words=40, max_words=35)
+
+
+def test_headline_websearch_mode():
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    t = "the spark merge value big table fast row scan slow"
+    assert headline(t, '"spark merge"', mode="websearch") == headline(
+        t, "spark <-> merge", mode="tsquery"
+    )
+    h = headline(t, "spark or big", mode="websearch")
+    assert "<b>spark</b>" in h and "<b>big</b>" in h
+
+
+def test_headline_or_wide_cover():
+    """Old-PG quirk the reference inherits: a cover of 'a | b' spans
+    both terms when both are present, so the snippet window centers
+    on the span, not a single occurrence."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    t = ("spark " + "row " * 6 + "vector " + "line " * 10).strip()
+    h = headline(t, "spark | vector", mode="tsquery",
+                 min_words=5, max_words=12)
+    assert "<b>spark</b>" in h and "<b>vector</b>" in h

@@ -495,3 +495,44 @@ def test_ivf_oracle_candidates_match_engine_derivation():
     idlist = sql.split("vec_id IN (")[1].split(")")[0]
     cand = [int(x) for x in idlist.split(",")]
     assert 20 <= len(cand) < 499, len(cand)  # a real subset, covers k
+
+
+def test_headline_or_closed_form_matches_kernel():
+    """The NULL-skipping OR-mode hlCover fold (ormode=True) must
+    equal the kernel on randomized corpora: one-term-only docs
+    (tight covers), both-terms docs (the wide spanning covers),
+    shrink-branch docs, and no-term docs (absent rows)."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(11)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 60, 900),
+        (["value", "the", "a", "key"] * 4 + ["spark"], 120, 500),
+        (["value", "the", "a", "key"] * 4 + ["vector"], 120, 500),
+        (["spark", "vector", "the", "a"], 80, 600),
+        (["a", "the", "big", "key", "spark", "vector"] * 2
+         + ["row"] * 5, 140, 700),
+    ]
+    texts = []
+    i = 0
+    for pool, maxn, reps in pools:
+        for _ in range(reps):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._HEADLINE_OR_SQL).fetchall())
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(
+            t, "spark | vector", mode="tsquery", min_words=5, max_words=12
+        )
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 1000
