@@ -1541,6 +1541,7 @@ def _headline_and_sql(
     maxw: int = 12,
     sw: int = 3,
     ormode: bool = False,
+    phrase_len: int | None = None,
 ) -> str:
     """Generate the recursive-CTE oracle for an N-term AND or PHRASE
     ts_headline query (reference semantics: hlCover
@@ -1607,6 +1608,23 @@ def _headline_and_sql(
         valid = (
             f"\n    AND len(list_filter(generate_series(p, q - {len(words) - 1}),"
             f"\n        j -> {adj})) > 0"
+        )
+    elif phrase_len:
+        # websearch shape: (w0 <-> .. <-> w_{phrase_len-1}) OR the
+        # remaining lone words - the probe window passes TS_execute
+        # when the chain sits wholly inside [p, q] OR any lone
+        # operand does (reference hlCover recheck, :2440-2466)
+        adj = " AND ".join(
+            f"ws[j + {t}] = '{w}'"
+            for t, w in enumerate(words[:phrase_len])
+        )
+        others = " OR ".join(
+            f"len(list_filter(generate_series(p, q), j -> ws[j] = '{w}')) > 0"
+            for w in words[phrase_len:]
+        )
+        valid = (
+            f"\n    AND (len(list_filter(generate_series(p, q - {phrase_len - 1}),"
+            f"\n        j -> {adj})) > 0 OR {others})"
         )
     else:
         valid = ""
@@ -2025,6 +2043,32 @@ def _q_headline_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+
+def _q_headline_websearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_headline over a websearch query: '"spark merge" or vector'
+    - a phrase chain inside an OR, the shape where hlCover's
+    window-match retry is reachable (a probe spanning spark+merge
+    non-adjacent with no vector inside is rejected and the scan
+    resumes one past its begin)."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf(
+        '"spark merge" or vector',
+        mode="websearch",
+        min_words=5,
+        max_words=12,
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
+
+
+_HEADLINE_WEBSEARCH_SQL = _headline_and_sql(
+    ["spark", "merge", "vector"], ormode=True, phrase_len=2
+)
 
 _HEADLINE_OR_SQL = _headline_and_sql(["spark", "vector"], ormode=True)
 
@@ -2747,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_topk": _q_bm25_prefix_topk,
         "prefix_match": _q_prefix_match,
         "ts_headline_or": _q_headline_or,
+        "ts_headline_websearch": _q_headline_websearch,
     }
 
 
@@ -2804,4 +2849,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prefix_topk": _BM25_PREFIX_SQL,
         "prefix_match": _PREFIX_MATCH_SQL,
         "ts_headline_or": _HEADLINE_OR_SQL,
+        "ts_headline_websearch": _HEADLINE_WEBSEARCH_SQL,
     }

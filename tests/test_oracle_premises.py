@@ -536,3 +536,44 @@ def test_headline_or_closed_form_matches_kernel():
         else:
             assert i not in got, (i, t)
     assert checked > 1000
+
+
+def test_headline_websearch_closed_form_matches_kernel():
+    """ormode + phrase_len CTE ('"spark merge" or vector') vs the
+    kernel on randomized corpora, incl. pools dense in non-adjacent
+    spark/merge with no vector (the probe-reject/retry branch) and
+    pools where vector rescues wide probes."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(13)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 60, 900),
+        (["spark", "merge", "the", "row"], 100, 700),   # retry-dense
+        (["spark", "merge", "vector", "a"], 100, 700),  # rescue-dense
+        (["value", "the", "a"] * 3 + ["vector"], 120, 400),
+        (["spark"] * 2 + ["merge"] * 2 + ["row"] * 9, 140, 500),
+    ]
+    texts = []
+    i = 0
+    for pool, maxn, reps in pools:
+        for _ in range(reps):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._HEADLINE_WEBSEARCH_SQL).fetchall())
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(
+            t, '"spark merge" or vector', mode="websearch",
+            min_words=5, max_words=12,
+        )
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 1200
