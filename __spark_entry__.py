@@ -2737,6 +2737,51 @@ _TS_RANK_TOPK_SQL = _ts_rank_or_sql(["merge", "spark"], topk=20)
 _TS_RANK_WEIGHTED_SQL = _ts_rank_weighted_sql(["merge", "spark"])
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixing sample: keep 100% of src0, 50% of
+    src1, 25% of src2, 0% of src3, drop all other strata."""
+    from pg_cjk_parser_spark.ops.textstats import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
+      AS b
+  FROM documents
+)
+WHERE b < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+               WHEN 'src2' THEN 25 ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+def _q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-3 documents per source by length (the per-domain curation
+    primitive); rank cast to long to match the oracle's BIGINT."""
+    from pg_cjk_parser_spark.ops.textstats import top_k_per_group
+
+    return top_k_per_group(_docs(spark, sf_dir), k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+_TOP_K_PER_GROUP_SQL = """
+SELECT doc_id, source, rank FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+WHERE rank <= 3 ORDER BY source, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
@@ -2792,6 +2837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_match": _q_prefix_match,
         "ts_headline_or": _q_headline_or,
         "ts_headline_websearch": _q_headline_websearch,
+        "stratified_sample": _q_stratified_sample,
+        "top_k_per_group": _q_top_k_per_group,
     }
 
 
@@ -2850,4 +2897,6 @@ def oracle_sql() -> dict[str, str]:
         "prefix_match": _PREFIX_MATCH_SQL,
         "ts_headline_or": _HEADLINE_OR_SQL,
         "ts_headline_websearch": _HEADLINE_WEBSEARCH_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "top_k_per_group": _TOP_K_PER_GROUP_SQL,
     }

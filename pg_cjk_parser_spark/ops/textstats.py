@@ -385,3 +385,76 @@ def repetition_signals(
     # docs shorter than max(ns) words have no row for that n; keep the
     # per-n inner-join semantics by dropping them
     return wide.where(notnull).select(*cols).orderBy(id_col)
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: keep a hash-selected
+    ``fractions[stratum]`` share of each stratum's rows (fractions in
+    percent-granularity [0, 1], e.g. 0.25 -> 25 of 100 hash buckets).
+
+    The workhorse of corpus mixing ("keep 10% of CommonCrawl but
+    100% of Wikipedia"): like :func:`hash_split` it is a narrow
+    projection - no shuffle, no RNG state - so the same doc is kept
+    or dropped identically under reprocessing, repartitioning, and
+    incremental runs, and the sample of a union is the union of
+    samples.  Strata absent from ``fractions`` are dropped (explicit
+    mixing policy beats silently keeping unknown sources).  The salt
+    decorrelates this selection from hash_split's bucketing and from
+    other samples of the same corpus."""
+    for name, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {name!r} must be in [0, 1]")
+    bucket = (
+        F.conv(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+            .substr(1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    cut = None
+    for name, f in fractions.items():
+        c = F.when(F.col(strata_col) == name, F.lit(int(round(f * 100))))
+        cut = c if cut is None else cut.when(
+            F.col(strata_col) == name, F.lit(int(round(f * 100)))
+        )
+    cut = (cut if cut is not None else F.lit(0)).otherwise(F.lit(0))
+    return (
+        docs.where(bucket < cut)
+        .select(F.col(id_col).alias(id_col), F.col(strata_col))
+        .orderBy(id_col)
+    )
+
+
+def top_k_per_group(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Per-group top-k selection (``(id, group, rank)``): the data-
+    curation primitive behind "best k documents per domain by quality
+    score".  One hash-partitioned window per group - no global sort,
+    no driver collection; ties break on id so reprocessing is
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(group_col).orderBy(oc, F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(id_col).alias(id_col),
+            F.col(group_col),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .orderBy(group_col, "rank")
+    )

@@ -281,3 +281,47 @@ def test_duplicate_spans_shared_only(spark):
         "doc_id long, text string",
     )
     assert duplicate_spans(solo, k=4).count() == 0
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    from pg_cjk_parser_spark.ops.textstats import stratified_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    frac = {"s0": 1.0, "s1": 0.3, "s2": 0.0}
+    a = stratified_sample(df, frac).collect()
+    b = stratified_sample(df.repartition(13), frac).collect()
+    assert a == b  # partitioning-independent
+    by = {}
+    for r in a:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by["s0"]) == 1000          # fraction 1.0 keeps all
+    assert "s2" not in by                  # fraction 0.0 drops all
+    assert 200 < len(by["s1"]) < 400       # ~30 of 100 hash buckets
+    # sample of a subset == subset of the sample (incremental safety)
+    sub = stratified_sample(df.where("doc_id < 1000"), frac).collect()
+    kept = {(r.doc_id, r.source) for r in a if r.doc_id < 1000}
+    assert {(r.doc_id, r.source) for r in sub} == kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fraction"):
+        stratified_sample(df, {"s0": 1.5})
+
+
+def test_top_k_per_group(spark):
+    from pg_cjk_parser_spark.ops.textstats import top_k_per_group
+
+    rows = [(i, f"g{i % 4}", (i * 37) % 101) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = top_k_per_group(df, k=5, order_col="n_chars").collect()
+    assert len(out) == 20
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r)
+    expect = {}
+    for i, g, n in rows:
+        expect.setdefault(g, []).append((i, n))
+    for g, lst in by.items():
+        want = sorted(expect[g], key=lambda x: (-x[1], x[0]))[:5]
+        assert [(r.doc_id) for r in lst] == [i for i, _ in want]
+        assert [r.rank for r in lst] == [1, 2, 3, 4, 5]
