@@ -97,3 +97,26 @@ def test_search_pushes_term_filter(spark, tmp_path_factory):
     plan_b = _plan(search_many(spark, idx, ["のび太", "Doraemnon"], k=5))
     assert "PushedFilters: [In(term" in plan_b, plan_b
     assert _count(plan_b, "Scan parquet") == 1, plan_b
+
+
+def test_rank_paths_push_term_filter_single_scan(spark, tmp_path_factory):
+    """search_rank / search_rank_cd must inherit the BM25 scan shape:
+    one parquet scan of routed bucket dirs with the term IN-list
+    pushed down, one hash Exchange on salt, no extra shuffles."""
+    from pg_cjk_parser_spark.index.build import build_index
+    from pg_cjk_parser_spark.query.topk import search_rank, search_rank_cd
+    from pg_cjk_parser_spark.spark.corpus import synth_corpus
+
+    idx = str(tmp_path_factory.mktemp("rankidx"))
+    build_index(
+        spark, synth_corpus(spark, 80, seed=7, num_partitions=2), idx,
+        num_buckets=8, num_salts=2, block_size=32,
+    )
+    for fn, q in (
+        (search_rank, "doraemnon | nobita"),
+        (search_rank_cd, "のび太"),
+    ):
+        plan = _plan(fn(spark, idx, q, k=5, mode="tsquery"))
+        assert "PushedFilters: [In(term" in plan, plan
+        assert _count(plan, "Scan parquet") == 1, plan
+        assert _count(plan, "Exchange") <= 2, plan  # salt hash + final sort
