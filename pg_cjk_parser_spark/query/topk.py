@@ -695,6 +695,58 @@ _RANK_OR_CONTRIB = _rank_or_contrib_table()
 _CURW = _curw_table()
 
 
+def _rank_and2_positions_bulk(lists, cand, terms):
+    """Vectorized calc_rank_and for the two-distinct-term case (the
+    dominant and-path shape; every CJK bigram phrase ranks through
+    it): curw values for ALL cross-position pairs of ALL candidates
+    are computed in one pass from the exact CURW lookup table, with
+    the kernel's pair order (term-1 positions outer, term-0 inner)
+    preserved by segment arithmetic.  Only the final per-doc
+    1-(1-res)(1-curw) fold stays a Python loop (a handful of
+    multiplies per doc) so the bits match kernel ts_rank.  Falls back
+    to the generic path when any per-doc position list exceeds
+    MAXNUMPOS (the kernel caps at 256; positions_bulk does not)."""
+    (ia, pa) = lists[terms[0]].positions_bulk(cand)
+    (ib, pb) = lists[terms[1]].positions_bulk(cand)
+    n = cand.size
+    grid = np.arange(n)
+    a_start = np.searchsorted(ia, grid, "left")
+    a_end = np.searchsorted(ia, grid, "right")
+    b_start = np.searchsorted(ib, grid, "left")
+    b_end = np.searchsorted(ib, grid, "right")
+    na = a_end - a_start
+    nb = b_end - b_start
+    if (na > _MAXNUMPOS).any() or (nb > _MAXNUMPOS).any():
+        na = np.minimum(na, _MAXNUMPOS)
+        nb = np.minimum(nb, _MAXNUMPOS)
+    sizes = na * nb
+    tot = int(sizes.sum())
+    cum = np.cumsum(sizes)
+    within = np.arange(tot) - np.repeat(cum - sizes, sizes)
+    na_rep = np.repeat(na, sizes)
+    # pair order per doc: l outer over term-1 (sorted-second) wait -
+    # kernel pairs (i=1, k=0): l over terms[1] positions, p inner
+    # over terms[0] positions
+    l_idx = np.repeat(b_start, sizes) + within // na_rep
+    p_idx = np.repeat(a_start, sizes) + within % na_rep
+    d = np.abs(pb[l_idx] - pa[p_idx])
+    curw = _CURW[np.minimum(d, 101)]
+    ranks = np.empty(n, np.float64)
+    cl = curw.tolist()
+    seg_ends = cum.tolist()
+    s = 0
+    for di in range(n):
+        e = seg_ends[di]
+        res = -1.0
+        for j in range(s, e):
+            if cl[j] > 0.0:  # dist==0 pairs contribute nothing
+                v = cl[j]
+                res = v if res < 0 else 1.0 - (1.0 - res) * (1.0 - v)
+        ranks[di] = 1e-20 if res < 0 else res
+        s = e
+    return ranks
+
+
 def _phrase_start_docs(lists, cand, items):
     """Candidate indices (into ``cand``) having at least one chain
     match - the @@ adjacency recheck, batched."""
@@ -773,6 +825,8 @@ def _rank_ts_local(pdf, tree, conj, phrases, n_terms, k, method):
                 _RANK_OR_CONTRIB, np.float64
             )[n_eff]
         ranks = ranks / float(nq)
+    elif nq == 2:
+        ranks = _rank_and2_positions_bulk(lists, cand, terms)
     else:
         found = []
         for t in terms:
@@ -1106,7 +1160,13 @@ class _TermList:
             if self.blk_lo[bi] > hi or self.blk_hi[bi] < lo:
                 continue
             bids = self.blk_ids[bi]
-            sel = np.flatnonzero(np.isin(bids, cand, assume_unique=True))
+            # binary-search membership against the sorted candidate
+            # array: np.isin re-sorts `cand` for EVERY block, which
+            # dominated wall time at ~1k blocks x 50k candidates
+            j = np.searchsorted(cand, bids)
+            ok = j < cand.size
+            ok &= cand[np.minimum(j, cand.size - 1)] == bids
+            sel = np.flatnonzero(ok)
             if not sel.size:
                 continue
             vals, offs, cnts = self._decode_block(bi)
