@@ -120,7 +120,7 @@ hardware itself scales; the pipeline has no driver-side serialization
 point (all stages are DataFrame jobs whose task counts scale with the
 input). The same 800k-doc build reaches 34-45k docs/s at local[32]
 (45,134 best-of-2 warm, 17.7 s; +-30% VM variance).  Measured
-efficiency across reruns ranges 0.83 (round 2) to 1.07 (round 3,
+efficiency across reruns ranges 0.81-1.07 (rounds 2-3,
 nominally superlinear because the local[2] leg absorbed VM noise and
 per-job fixed costs) - both comfortably above the 0.8 bar; treat the
 RANGE, not a single rerun, as the number of record.
