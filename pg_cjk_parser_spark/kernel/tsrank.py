@@ -57,11 +57,68 @@ def wep_weight(x: int) -> int:
     return (x >> 14) & 3
 
 
-def setweight(v: dict[str, list[int]], label: str) -> dict[str, list[int]]:
-    """PG ``setweight(vector, 'A'|'B'|'C'|'D')``: stamp every
-    position's weight class."""
+def setweight(
+    v: dict[str, list[int]],
+    label: str,
+    lexemes: list[str] | None = None,
+) -> dict[str, list[int]]:
+    """PG ``setweight(vector, 'A'|'B'|'C'|'D' [, lexemes])``: stamp
+    every position's weight class - of every lexeme, or only the
+    listed ones (the selective 3-arg form)."""
     wc = _WCLASS[label.upper()] << 14
-    return {t: [wc | wep_pos(x) for x in ps] for t, ps in v.items()}
+    if lexemes is None:
+        return {t: [wc | wep_pos(x) for x in ps] for t, ps in v.items()}
+    sel = set(lexemes)
+    return {
+        t: [wc | wep_pos(x) for x in ps] if t in sel else list(ps)
+        for t, ps in v.items()
+    }
+
+
+def strip(v: dict[str, list[int]]) -> dict[str, list[int]]:
+    """PG ``strip(tsvector)``: drop all positions/weights.  A
+    stripped entry still matches plain lexeme queries but never
+    phrases, and ranks as if absent (PG POSNULL aside - tsrank's
+    stripped-entry pseudo-position is not reproduced; rank stripped
+    vectors at 0)."""
+    return {t: [] for t in v}
+
+
+def tsvector_length(v: dict[str, list[int]]) -> int:
+    """PG ``length(tsvector)``: number of distinct lexemes."""
+    return len(v)
+
+
+def ts_delete(
+    v: dict[str, list[int]], lexemes: str | list[str]
+) -> dict[str, list[int]]:
+    """PG ``ts_delete(vector, lexeme | lexemes[])``."""
+    sel = {lexemes} if isinstance(lexemes, str) else set(lexemes)
+    return {t: list(ps) for t, ps in v.items() if t not in sel}
+
+
+def ts_filter(
+    v: dict[str, list[int]], weights: list[str]
+) -> dict[str, list[int]]:
+    """PG ``ts_filter(vector, weights)``: keep only positions whose
+    weight class is listed; lexemes left with no positions drop out."""
+    keep = {_WCLASS[w.upper()] for w in weights}
+    out = {}
+    for t, ps in v.items():
+        kept = [x for x in ps if wep_weight(x) in keep]
+        if kept:
+            out[t] = kept
+    return out
+
+
+def tsvector_to_array(v: dict[str, list[int]]) -> list[str]:
+    """PG ``tsvector_to_array``: sorted distinct lexemes."""
+    return sorted(v)
+
+
+def array_to_tsvector(lexemes: list[str]) -> dict[str, list[int]]:
+    """PG ``array_to_tsvector``: position-less entries."""
+    return {t: [] for t in set(lexemes)}
 
 
 def strip_weights(v: dict[str, list[int]]) -> dict[str, list[int]]:

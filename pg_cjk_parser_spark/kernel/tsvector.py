@@ -354,6 +354,51 @@ def _paren(n) -> str:
     return f"( {s} )" if isinstance(n, (And, Or)) else s
 
 
+def numnode(node) -> int:
+    """PG ``numnode(tsquery)``: total QueryItems - one per operand
+    lexeme plus one per operator (a phrase chain of n lexemes is n
+    operands + n-1 phrase operators; n-ary And/Or count n-1 binary
+    operators, PG's tree being strictly binary)."""
+    if node is None:
+        return 0
+    if isinstance(node, Prefix):
+        return 1
+    if isinstance(node, Phrase):
+        return 2 * len(node.items) - 1
+    if isinstance(node, (And, Or)):
+        return (len(node.children) - 1) + sum(
+            numnode(c) for c in node.children
+        )
+    if isinstance(node, Not):
+        return 1 + numnode(node.child)
+    return 0
+
+
+def querytree(node) -> str:
+    """PG ``querytree(tsquery)``: the portion usable for an index
+    scan - negated subtrees are removed (an And keeps its remaining
+    children; an Or with a removed child is removed entirely); an
+    empty result renders as ``T`` (matches everything)."""
+
+    def clean(n):
+        if n is None or isinstance(n, Not):
+            return None
+        if isinstance(n, And):
+            kept = [c for c in (clean(x) for x in n.children) if c]
+            if not kept:
+                return None
+            return kept[0] if len(kept) == 1 else And(kept)
+        if isinstance(n, Or):
+            kept = [clean(x) for x in n.children]
+            if any(c is None for c in kept):
+                return None
+            return Or(kept)
+        return n
+
+    cleaned = clean(node)
+    return "T" if cleaned is None else tsquery_str(cleaned)
+
+
 def query_terms(node) -> set[str]:
     """All positive EXACT lexemes referenced by a query (for
     scoring).  Prefix operands are not statically enumerable -
@@ -415,6 +460,10 @@ def _phrase_match(v: dict[str, list[int]], ph: Phrase) -> bool:
     first_t, first_off = ph.items[0]
     if first_t not in v:
         return False
+    if len(ph.items) == 1:
+        # plain existence: matches even a stripped (position-less)
+        # tsvector, PG semantics (phrases below never do)
+        return True
     for p in v[first_t]:
         base = p - first_off
         if all(base + off in _posset(v, t) for t, off in ph.items):

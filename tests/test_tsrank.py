@@ -292,3 +292,73 @@ def test_prefix_parse_match_and_rank():
         ts_rank(v, to_tsquery("b:* & table"))
     with pytest.raises(ValueError, match="phrase"):
         to_tsquery("のび太:*")  # multi-lexeme operand cannot be a prefix
+
+
+# --- FTS utility functions ---------------------------------------------
+
+
+def test_strip_and_stripped_matching():
+    from pg_cjk_parser_spark.kernel.tsrank import strip
+
+    v = strip(to_tsvector("fast table merge"))
+    assert all(ps == [] for ps in v.values())
+    assert ts_match(v, to_tsquery("fast"))
+    assert ts_match(v, to_tsquery("fast & merge"))
+    assert not ts_match(v, to_tsquery("fast <-> table"))  # no positions
+    assert ts_rank_cd(v, to_tsquery("fast")) == 0.0
+
+
+def test_setweight_selective():
+    v = setweight(to_tsvector("fast table"), "A", ["tabl"])
+    assert [wep_weight(x) for x in v["fast"]] == [0]
+    assert [wep_weight(x) for x in v["tabl"]] == [3]
+
+
+def test_ts_delete_and_filter():
+    from pg_cjk_parser_spark.kernel.tsrank import ts_delete, ts_filter
+
+    v = to_tsvector("fast table merge")
+    assert set(ts_delete(v, "tabl")) == {"fast", "merg"}
+    assert set(ts_delete(v, ["tabl", "merg"])) == {"fast"}
+    w = setweight(v, "A", ["fast"])
+    assert set(ts_filter(w, ["A"])) == {"fast"}
+    assert ts_filter(w, ["A"])["fast"] == w["fast"]
+    assert set(ts_filter(w, ["A", "D"])) == {"fast", "tabl", "merg"}
+
+
+def test_length_and_arrays():
+    from pg_cjk_parser_spark.kernel.tsrank import (
+        array_to_tsvector,
+        tsvector_length,
+        tsvector_to_array,
+    )
+
+    v = to_tsvector("fast table fast")
+    assert tsvector_length(v) == 2
+    assert tsvector_to_array(v) == ["fast", "tabl"]
+    back = array_to_tsvector(["xx", "yy", "xx"])
+    assert set(back) == {"xx", "yy"}
+    assert ts_match(back, to_tsquery("xx & yy"))
+
+
+def test_numnode():
+    from pg_cjk_parser_spark.kernel.tsvector import numnode
+
+    assert numnode(to_tsquery("fast")) == 1
+    assert numnode(to_tsquery("fast & table")) == 3
+    assert numnode(to_tsquery("(fast | table) & !merge")) == 6
+    assert numnode(to_tsquery("fast <-> table")) == 3
+    assert numnode(to_tsquery("b:*")) == 1
+
+
+def test_querytree():
+    from pg_cjk_parser_spark.kernel.tsvector import querytree
+
+    assert querytree(to_tsquery("fast & !table")) == "'fast'"
+    assert querytree(to_tsquery("!fast")) == "T"
+    assert querytree(to_tsquery("fast | !table")) == "T"
+    assert querytree(to_tsquery("fast & table")) == "'fast' & 'tabl'"
+    assert (
+        querytree(to_tsquery("(fast & !merge) | table"))
+        == "'fast' | 'tabl'"
+    )
