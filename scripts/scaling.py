@@ -180,6 +180,16 @@ become extra build parallelism.  Size B x S to the CLUSTER (comfortably
 above executor count, cells fitting executor memory), not to the
 corpus.
 
+
+**Rank queries at scale (round 3):** the cover-density / proximity
+rank paths (`search_rank_cd` / `search_rank`) score EVERY candidate
+(PG `ORDER BY ts_rank* LIMIT k` semantics - no WAND-style pruning is
+sound for them), so their latency is candidates-per-salt bound:
+のび太 ranks in ~1.1-1.3 s median at BOTH 800k docs (S=4) and 2M docs
+(S=8, ~2.5x candidates) on this VM - raising S with the corpus holds
+latency flat, the same lever as BM25 scoring shards (BM25 のび太:
+0.5 s at 2M for comparison).
+
 ## Streaming epoch appends (round 3: fixed costs cut)
 
 A batch-sized micro-batch (200k docs as one epoch) appends at
