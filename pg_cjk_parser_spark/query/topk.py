@@ -897,6 +897,82 @@ def _topk_frame_rank(ids: np.ndarray, ranks: np.ndarray, k: int):
     return pd.DataFrame({"docid": ids[sel], "rank": ranks[sel]})
 
 
+def rank_local(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    mode: str = "tsquery",
+    method: int = 0,
+    cd: bool = True,
+) -> list[tuple[int, float]]:
+    """Serving-tier ``ORDER BY ts_rank_cd/ts_rank LIMIT k`` - no
+    Spark session, no job; the pyarrow twin of :func:`search_local`
+    for the rank paths.  Results are identical to
+    :func:`search_rank_cd` / :func:`search_rank` (tests assert it);
+    the same supported-shape/method rules apply."""
+    import pyarrow.dataset as ds
+
+    if cd:
+        if method & ~(4 | 32):
+            raise ValueError(
+                "index-path ts_rank_cd supports normalization bits "
+                "4|32 only"
+            )
+    elif method & ~(1 | 2 | 32):
+        raise ValueError(
+            "index-path ts_rank supports normalization bits 1|2|32 only"
+        )
+    routed = _route(index_dir, query, mode)
+    if routed is None:
+        return []
+    stats, pq, bset, _idf = routed
+    if cd and not pq.conjunctive:
+        raise ValueError(
+            "index-path ts_rank_cd supports conjunctive queries only"
+        )
+    if not cd and not pq.conjunctive and not _is_flat_or(pq.tree):
+        raise ValueError(
+            "index-path ts_rank supports conjunctive or flat-OR "
+            "queries only"
+        )
+    paths = _shard_paths(index_dir, "postings", bset, stats)
+    if not paths:
+        return []
+    tbl = ds.dataset([ds.dataset(p) for p in paths]).to_table(
+        columns=[
+            "salt", "term", "n", "min_docid", "max_docid", "docids",
+            "tfs", "doclens", "positions", "max_tf", "min_dl",
+        ],
+        filter=ds.field("term").isin(pq.all_terms),
+    )
+    pdf = tbl.to_pandas()
+    if len(pdf) == 0:
+        return []
+    frames = []
+    for _, grp in pdf.groupby("salt", sort=False):
+        g = grp.reset_index(drop=True)
+        out = (
+            _rank_cd_local(g, pq.tree, len(pq.terms), k, method)
+            if cd
+            else _rank_ts_local(
+                g, pq.tree, pq.conjunctive, pq.phrases,
+                len(pq.terms), k, method,
+            )
+        )
+        if out is not None:
+            frames.append(out)
+    if not frames:
+        return []
+    allf = pd.concat(frames, ignore_index=True)
+    order = np.lexsort(
+        (allf["docid"].to_numpy(), -allf["rank"].to_numpy())
+    )[:k]
+    return [
+        (int(allf["docid"].iloc[i]), float(allf["rank"].iloc[i]))
+        for i in order
+    ]
+
+
 def _rank_cd_local(pdf, tree, n_terms, k, method):
     """Per-salt-partition candidate intersection + exact kernel
     cover-density ranking from decoded positions."""

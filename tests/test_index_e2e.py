@@ -650,3 +650,73 @@ def test_prefix_expansion_cap(spark, built):
     index_dir, _, _ = built
     with _pytest.raises(ValueError, match="more than 1"):
         expand_prefix(index_dir, "d", load_stats(index_dir), max_terms=1)
+
+
+def test_rank_local_equals_spark_paths(spark, built):
+    """Serving-tier rank_local (no Spark job) must equal the Spark
+    rank paths for both ranking functions and all supported shapes."""
+    from pg_cjk_parser_spark.query.topk import (
+        rank_local,
+        search_rank,
+        search_rank_cd,
+    )
+
+    index_dir, _, _ = built
+    cases = [
+        ("のび太", True, 0),
+        ("doraemnon & nobita", True, 4),
+        ("doraemnon & nobita", False, 2),
+        ("doraemnon | nobita", False, 0),
+    ]
+    nonempty = 0
+    for q, cd, method in cases:
+        fn = search_rank_cd if cd else search_rank
+        spark_res = [
+            (r.docid, r.rank)
+            for r in fn(
+                spark, index_dir, q, k=10, mode="tsquery", method=method
+            ).collect()
+        ]
+        local_res = rank_local(
+            index_dir, q, k=10, mode="tsquery", method=method, cd=cd
+        )
+        assert local_res == spark_res, (q, cd, method)
+        nonempty += bool(spark_res)
+    assert nonempty >= 3
+
+
+def test_rank_over_streaming_epoch_index(spark, tmp_path):
+    """Rank paths must read epoch-layout (streaming append) indexes
+    identically to a batch rebuild of the same corpus."""
+    from pg_cjk_parser_spark.index.streaming import append_index_batch
+    from pg_cjk_parser_spark.query.topk import search_rank_cd
+
+    texts = [
+        (i, t)
+        for i, t in enumerate(
+            ["fast table merge", "fast row table", "fast table fast table",
+             "merge value", "fast table merge fast table"] * 4
+        )
+    ]
+    half = len(texts) // 2
+    sdir = str(tmp_path / "stream")
+    for ep, (lo, hi) in enumerate(((0, half), (half, len(texts)))):
+        df = spark.createDataFrame(
+            texts[lo:hi], "doc_id long, text string"
+        )
+        append_index_batch(
+            spark, df, sdir, epoch=ep, docid_col="doc_id",
+            num_buckets=4, num_salts=2, block_size=4,
+        )
+    bdir = str(tmp_path / "batch")
+    build_index(
+        spark,
+        spark.createDataFrame(texts, "doc_id long, text string"),
+        bdir, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    q = "fast <-> table"
+    a = search_rank_cd(spark, sdir, q, k=20, mode="tsquery").collect()
+    b = search_rank_cd(spark, bdir, q, k=20, mode="tsquery").collect()
+    assert [(r.docid, r.rank) for r in a] == [(r.docid, r.rank) for r in b]
+    assert a
