@@ -185,6 +185,13 @@ def main() -> None:
             name, lambda q=q, m=m: search_local(idx_web, q, k=10, mode=m)
         )
 
+    from pg_cjk_parser_spark.query.topk import rank_local
+
+    timed_query(
+        "q_local_rank_cd",
+        lambda: rank_local(idx_web, "のび太", k=10, cd=True),
+    )
+
     # -- 5. auxiliary operators -------------------------------------------
     if parts_sel == "web":
         total = round(time.time() - t_all, 3)
