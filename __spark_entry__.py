@@ -2698,6 +2698,70 @@ FROM c ORDER BY doc_id
 """
 
 
+def _q_ts_rank_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utility-function pipeline through the gate: build the
+    title/body weighted vector, ts_filter to weight A (title hits
+    only), rank 'merge | spark' - so the rank is the closed-form
+    or-path over title occurrences alone at weight 1.0."""
+    from pg_cjk_parser_spark.spark.udfs import make_filtered_rank_udf
+
+    filtered_rank = make_filtered_rank_udf("merge | spark", ["A"])
+    d = _docs(spark, sf_dir).withColumn("ws", F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        F.round(
+            filtered_rank(
+                F.array_join(F.slice(F.col("ws"), 1, 5), " "),
+                F.array_join(
+                    F.expr("slice(ws, 6, greatest(size(ws) - 5, 1))"), " "
+                ),
+            ),
+            6,
+        ).alias("rank"),
+    ).orderBy("doc_id")
+
+
+def _ts_rank_filtered_sql(words: list[str]) -> str:
+    """Oracle: after ts_filter(['A']) only title occurrences remain
+    (weight 1.0, ascending positions), so each found term contributes
+    ((1.0 + 1.0*H2(nt)) - 1.0) / (pi^2/6), divided by operand count."""
+    words = sorted(words)
+    counts = ",\n    ".join(
+        f"len(list_filter(generate_series(1, least(m, 5)), j -> ws[j] = '{w}'))"
+        f" AS t_{w}"
+        for w in words
+    )
+    defs = ",\n    ".join(
+        f"""CASE WHEN t_{w} > 0 THEN
+      ((1.0::DOUBLE + list_sum(list_transform(generate_series(1, t_{w}),
+          j -> 1.0::DOUBLE / (j * j)))) - 1.0::DOUBLE)
+      / 1.64493406685::DOUBLE
+    ELSE 0.0::DOUBLE END AS c_{w}"""
+        for w in words
+    )
+    contribs = " + ".join(f"c_{w}" for w in words)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS m
+  FROM documents
+), n AS (
+  SELECT doc_id,
+    {counts}
+  FROM d
+), c AS (
+  SELECT doc_id,
+    {defs}
+  FROM n
+)
+SELECT doc_id, round(({contribs}) / {len(words)}::DOUBLE, 6) AS rank
+FROM c ORDER BY doc_id
+"""
+
+
+_TS_RANK_FILTERED_SQL = _ts_rank_filtered_sql(["merge", "spark"])
+
+
 def _q_websearch_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """websearch_to_tsquery('spark merge -batch or "fast table"')
     matched with @@ on the scan path: (spark & merge & !batch) |
@@ -2829,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_cd_norm": _q_ts_rank_cd_norm,
         "ts_rank_cd_phrase": _q_ts_rank_cd_phrase,
         "ts_rank_weighted": _q_ts_rank_weighted,
+        "ts_rank_filtered": _q_ts_rank_filtered,
         "websearch_match": _q_websearch_match,
         "ts_rank_cd_topk": _q_ts_rank_cd_topk,
         "ts_rank_topk": _q_ts_rank_topk,
@@ -2889,6 +2954,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_cd_norm": _TS_RANK_CD_NORM_SQL,
         "ts_rank_cd_phrase": _TS_RANK_CD_PHRASE_SQL,
         "ts_rank_weighted": _TS_RANK_WEIGHTED_SQL,
+        "ts_rank_filtered": _TS_RANK_FILTERED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,
         "ts_rank_cd_topk": _TS_RANK_CD_TOPK_SQL,
         "ts_rank_topk": _TS_RANK_TOPK_SQL,

@@ -187,6 +187,43 @@ def make_weighted_rank_udf(
     return weighted_rank_udf
 
 
+def make_filtered_rank_udf(
+    query: str,
+    keep_weights: list[str],
+    weights=None,
+    method: int = 0,
+    title_label: str = "A",
+):
+    """Rank ``ts_filter(setweight(to_tsvector(title), label) ||
+    to_tsvector(body), keep_weights)`` over two string columns - the
+    utility-function pipeline (setweight -> concat -> ts_filter ->
+    ts_rank) as one Arrow batch."""
+    from ..kernel import tsrank
+    from ..kernel.tsvector import to_tsvector
+
+    node = _parse_query(query, websearch=False)
+    w = tuple(weights) if weights is not None else tsrank.DEF_WEIGHTS
+
+    @pandas_udf(DoubleType())
+    def filtered_rank_udf(titles: pd.Series, bodies: pd.Series) -> pd.Series:
+        def one(title, body):
+            if title is None or body is None:
+                return None
+            v = tsrank.tsvector_concat(
+                tsrank.setweight(to_tsvector(title), title_label),
+                to_tsvector(body),
+            )
+            return tsrank.ts_rank(
+                tsrank.ts_filter(v, keep_weights), node, w, method
+            )
+
+        return pd.Series(
+            [one(t, b) for t, b in zip(titles, bodies)], dtype="float64"
+        )
+
+    return filtered_rank_udf
+
+
 def make_ts_match_udf(query: str, websearch: bool = False):
     """The ``@@`` operator over a text column for a fixed query
     (scan path; the index path lives in query/topk.py)."""
