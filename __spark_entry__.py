@@ -2762,6 +2762,47 @@ FROM c ORDER BY doc_id
 _TS_RANK_FILTERED_SQL = _ts_rank_filtered_sql(["merge", "spark"])
 
 
+def _q_trgm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm fuzzy matching: document pairs (doc_id < 60) whose
+    trigram-set similarity clears 0.87 (the % operator with a raised
+    threshold - the closed shared vocabulary makes all docs fairly
+    similar, so the interesting signal is at the top)."""
+    from pg_cjk_parser_spark.ops.trgm import trgm_similar_pairs
+
+    return trgm_similar_pairs(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 60),
+        threshold=0.87,
+        round_digits=6,
+    )
+
+
+_TRGM_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    list_sort(list_distinct(flatten(
+      list_transform(
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    w -> w <> ''),
+        w -> list_transform(
+          generate_series(1, length('  ' || w || ' ') - 2),
+          i -> substr('  ' || w || ' ', i, 3))
+      )
+    ))) AS tg
+  FROM documents WHERE doc_id < 60
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_filter(a.tg, x -> list_contains(b.tg, x))) AS inter,
+    len(a.tg) AS na, len(b.tg) AS nb
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(inter / CAST(na + nb - inter AS DOUBLE), 6) AS sim
+FROM p
+WHERE round(inter / CAST(na + nb - inter AS DOUBLE), 6) >= 0.87
+ORDER BY id_a, id_b
+"""
+
+
 def _q_websearch_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """websearch_to_tsquery('spark merge -batch or "fast table"')
     matched with @@ on the scan path: (spark & merge & !batch) |
@@ -2894,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_cd_phrase": _q_ts_rank_cd_phrase,
         "ts_rank_weighted": _q_ts_rank_weighted,
         "ts_rank_filtered": _q_ts_rank_filtered,
+        "trgm_pairs": _q_trgm_pairs,
         "websearch_match": _q_websearch_match,
         "ts_rank_cd_topk": _q_ts_rank_cd_topk,
         "ts_rank_topk": _q_ts_rank_topk,
@@ -2955,6 +2997,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_cd_phrase": _TS_RANK_CD_PHRASE_SQL,
         "ts_rank_weighted": _TS_RANK_WEIGHTED_SQL,
         "ts_rank_filtered": _TS_RANK_FILTERED_SQL,
+        "trgm_pairs": _TRGM_PAIRS_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,
         "ts_rank_cd_topk": _TS_RANK_CD_TOPK_SQL,
         "ts_rank_topk": _TS_RANK_TOPK_SQL,

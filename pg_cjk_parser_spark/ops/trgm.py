@@ -1,0 +1,99 @@
+"""pg_trgm-style trigram similarity, JVM-side end to end.
+
+PostgreSQL FTS deployments pair the parser with the ``pg_trgm``
+extension for fuzzy matching (typo-tolerant lookup, fuzzy dedup);
+this module reproduces its core semantics - ``show_trgm``,
+``similarity`` and the ``%`` threshold operator - as pure Spark
+column expressions (split/transform/flatten/array_distinct), so
+trigram extraction and pair scoring stay inside whole-stage codegen
+with no Python boundary.
+
+Semantics (pg_trgm trgm_op.c / generate_trgm):
+
+* the string is lowercased and split into words on non-alphanumeric
+  runs;
+* each word is padded with TWO leading spaces and ONE trailing space
+  and every 3-char window becomes a trigram;
+* the string's trigram SET is the dedup of all words' trigrams;
+* ``similarity(a, b) = |A ∩ B| / |A ∪ B|``.
+
+``word_similarity`` (extent-limited) is not implemented - it needs
+per-extent scans that don't decompose into set algebra; the plain
+similarity operator is what fuzzy dedup uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# non-alphanumeric separator class; the Unicode-class variant
+# "[^\\p{L}\\p{N}]+" matches PG's wchar path, the ASCII default
+# mirrors pg_trgm's C locale behavior
+ASCII_SEP = "[^a-z0-9]+"
+UNICODE_SEP = "[^\\p{L}\\p{N}]+"
+
+
+def trgm_col(col: Column, sep: str = ASCII_SEP) -> Column:
+    """``show_trgm``: the deduplicated trigram array of a string
+    column, sorted (pg_trgm returns a sorted set)."""
+    words = F.filter(
+        F.split(F.lower(col), sep), lambda w: w != F.lit("")
+    )
+    padded = F.transform(
+        words, lambda w: F.concat(F.lit("  "), w, F.lit(" "))
+    )
+    trgms = F.flatten(
+        F.transform(
+            padded,
+            lambda p: F.transform(
+                F.sequence(F.lit(1), F.length(p) - 2),
+                lambda i: p.substr(i, F.lit(3)),
+            ),
+        )
+    )
+    return F.array_sort(F.array_distinct(trgms))
+
+
+def trgm_similarity(a: Column, b: Column) -> Column:
+    """``similarity(text, text)`` over two PRE-EXTRACTED trigram
+    array columns: |intersection| / |union| as a double."""
+    inter = F.size(F.array_intersect(a, b))
+    denom = (F.size(a) + F.size(b) - inter).cast("double")
+    # two empty sets: pg_trgm returns 0, not a division error
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(inter / denom)
+
+
+def trgm_similar_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ASCII_SEP,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """All document pairs with trigram similarity >= threshold (the
+    ``%`` operator, default threshold 0.3): ``(id_a, id_b, sim)``.
+
+    Scale shape: trigrams extract once per doc (projection), then the
+    pair join; at corpus scale, prefilter with an inverted
+    trigram->doc index or MinHash over trigram sets before the exact
+    join - the existing LSH machinery (ops/dedup.py) composes, since
+    a trigram set is just another shingle set."""
+    t = docs.select(
+        F.col(id_col).alias("id"), trgm_col(F.col(text_col), sep).alias("t")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    sim = trgm_similarity(F.col("a.t"), F.col("b.t"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

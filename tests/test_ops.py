@@ -325,3 +325,47 @@ def test_top_k_per_group(spark):
         want = sorted(expect[g], key=lambda x: (-x[1], x[0]))[:5]
         assert [(r.doc_id) for r in lst] == [i for i, _ in want]
         assert [r.rank for r in lst] == [1, 2, 3, 4, 5]
+
+
+def test_trgm_matches_pg_semantics(spark):
+    """Trigram extraction must match pg_trgm's generate_trgm: word
+    split on non-alnum, two-space/one-space padding, dedup, sort."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pg_cjk_parser_spark.ops.trgm import trgm_col, trgm_similar_pairs
+
+    def ref(s):
+        out = set()
+        for w in re.split("[^a-z0-9]+", s.lower()):
+            if w:
+                p = "  " + w + " "
+                out |= {p[i : i + 3] for i in range(len(p) - 2)}
+        return sorted(out)
+
+    texts = [
+        "Spark merge", "spark merges", "table scan", "a", "",
+        "word-word word", "12ab  ab12", "UPPER lower MiXeD",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in df.select("doc_id", trgm_col(F.col("text")).alias("t")).collect():
+        assert r.t == ref(texts[r.doc_id]), (r.doc_id, texts[r.doc_id])
+
+    pairs = {
+        (r.id_a, r.id_b): r.sim
+        for r in trgm_similar_pairs(df, threshold=0.0).collect()
+    }
+
+    def sim(a, b):
+        ta, tb = set(ref(a)), set(ref(b))
+        if not ta and not tb:
+            return 0.0  # pg_trgm: similarity of two empties is 0
+        return len(ta & tb) / len(ta | tb)
+
+    for (i, j), s in pairs.items():
+        assert s == sim(texts[i], texts[j]), (i, j)
+    # the near-identical pair ranks highest
+    assert max(pairs, key=pairs.get) == (0, 1)
