@@ -2803,6 +2803,55 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Did you mean' from the index's own termstats dictionary:
+    candidates within 2 edits of the misspelling 'paat', ranked by
+    trigram similarity then df then term."""
+    from pg_cjk_parser_spark.ops.trgm import suggest_terms
+
+    index_dir = _docs_index(spark, sf_dir)
+    return suggest_terms(spark, index_dir, "paat", k=5, max_dist=2)
+
+
+_TERM_SUGGEST_SQL = f"""
+WITH {_TOK_CTE},
+dic AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), tg AS (
+  SELECT term, df,
+    list_sort(list_distinct(flatten(
+      list_transform(
+        list_filter(string_split_regex(lower(term), '[^a-z0-9]+'),
+                    w -> w <> ''),
+        w -> list_transform(
+          generate_series(1, length('  ' || w || ' ') - 2),
+          i -> substr('  ' || w || ' ', i, 3))
+      )
+    ))) AS t,
+    list_sort(list_distinct(flatten(
+      list_transform(
+        list_filter(string_split_regex('paat', '[^a-z0-9]+'),
+                    w -> w <> ''),
+        w -> list_transform(
+          generate_series(1, length('  ' || w || ' ') - 2),
+          i -> substr('  ' || w || ' ', i, 3))
+      )
+    ))) AS tq
+  FROM dic WHERE levenshtein(term, 'paat') <= 2
+), scored AS (
+  SELECT term, df,
+    round(
+      len(list_filter(t, x -> list_contains(tq, x)))
+      / CAST(len(t) + len(tq)
+             - len(list_filter(t, x -> list_contains(tq, x))) AS DOUBLE),
+      6) AS sim
+  FROM tg
+)
+SELECT term, df, sim FROM scored
+ORDER BY sim DESC, df DESC, term ASC LIMIT 5
+"""
+
+
 def _q_websearch_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """websearch_to_tsquery('spark merge -batch or "fast table"')
     matched with @@ on the scan path: (spark & merge & !batch) |
@@ -2936,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_weighted": _q_ts_rank_weighted,
         "ts_rank_filtered": _q_ts_rank_filtered,
         "trgm_pairs": _q_trgm_pairs,
+        "term_suggest": _q_term_suggest,
         "websearch_match": _q_websearch_match,
         "ts_rank_cd_topk": _q_ts_rank_cd_topk,
         "ts_rank_topk": _q_ts_rank_topk,
@@ -2998,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_weighted": _TS_RANK_WEIGHTED_SQL,
         "ts_rank_filtered": _TS_RANK_FILTERED_SQL,
         "trgm_pairs": _TRGM_PAIRS_SQL,
+        "term_suggest": _TERM_SUGGEST_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,
         "ts_rank_cd_topk": _TS_RANK_CD_TOPK_SQL,
         "ts_rank_topk": _TS_RANK_TOPK_SQL,

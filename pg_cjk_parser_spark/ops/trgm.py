@@ -97,3 +97,45 @@ def trgm_similar_pairs(
         .where(F.col("sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def suggest_terms(
+    spark,
+    index_dir: str,
+    word: str,
+    k: int = 5,
+    max_dist: int = 2,
+    sep: str = ASCII_SEP,
+) -> DataFrame:
+    """"Did you mean": spell-correction candidates for a query word
+    from the INDEX'S OWN dictionary - the metadata-only termstats
+    shards (the same dictionary prefix queries expand against), so no
+    corpus rescan.  Candidates within ``max_dist`` edits rank by
+    trigram similarity, then document frequency, then term
+    (pg_trgm's similarity ordering with a Levenshtein guard).
+    Returns (term, df, sim)."""
+    import os
+
+    from ..query.topk import _shard_paths, load_stats
+
+    stats = load_stats(index_dir)
+    paths = _shard_paths(
+        index_dir, "termstats", list(range(stats["num_buckets"])), stats
+    )
+    dic = (
+        spark.read.option(
+            "basePath", os.path.join(index_dir, "termstats")
+        )
+        .parquet(*paths)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    sim = trgm_similarity(
+        trgm_col(F.col("term"), sep), trgm_col(F.lit(word), sep)
+    )
+    return (
+        dic.where(F.levenshtein(F.col("term"), F.lit(word)) <= max_dist)
+        .select("term", "df", F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
