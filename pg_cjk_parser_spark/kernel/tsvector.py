@@ -354,6 +354,37 @@ def _paren(n) -> str:
     return f"( {s} )" if isinstance(n, (And, Or)) else s
 
 
+def tsquery_and(a, b):
+    """PG ``tsquery && tsquery``."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return And([a, b])
+
+
+def tsquery_or(a, b):
+    """PG ``tsquery || tsquery``."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return Or([a, b])
+
+
+def tsquery_not(a):
+    """PG ``!! tsquery``."""
+    return None if a is None else Not(a)
+
+
+def tsquery_phrase(a, b, distance: int = 1):
+    """PG ``tsquery_phrase(a, b [, distance])`` / ``a <-> b``: both
+    operands must be phrase-compatible (lexemes or chains)."""
+    if a is None or b is None:
+        return a if b is None else b
+    return _phrase_join(a, b, distance)
+
+
 def numnode(node) -> int:
     """PG ``numnode(tsquery)``: total QueryItems - one per operand
     lexeme plus one per operator (a phrase chain of n lexemes is n

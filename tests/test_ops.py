@@ -369,3 +369,24 @@ def test_trgm_matches_pg_semantics(spark):
         assert s == sim(texts[i], texts[j]), (i, j)
     # the near-identical pair ranks highest
     assert max(pairs, key=pairs.get) == (0, 1)
+
+
+def test_trgm_unicode_separator_cjk(spark):
+    """UNICODE_SEP treats CJK runs as words: trigram windows over the
+    padded run, same as pg_trgm's wchar path."""
+    from pyspark.sql import functions as F
+
+    from pg_cjk_parser_spark.ops.trgm import UNICODE_SEP, trgm_col
+
+    df = spark.createDataFrame([(1, "ドラえもん のび太")], "id long, text string")
+    got = df.select(
+        trgm_col(F.col("text"), UNICODE_SEP).alias("t")
+    ).collect()[0].t
+    import re
+
+    out = set()
+    for w in re.split(r"[^\w]+", "ドラえもん のび太".lower()):
+        if w:
+            p = "  " + w + " "
+            out |= {p[i:i + 3] for i in range(len(p) - 2)}
+    assert got == sorted(out)

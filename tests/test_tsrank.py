@@ -362,3 +362,28 @@ def test_querytree():
         querytree(to_tsquery("(fast & !merge) | table"))
         == "'fast' | 'tabl'"
     )
+
+
+def test_tsquery_composition():
+    from pg_cjk_parser_spark.kernel.tsvector import (
+        tsquery_and,
+        tsquery_not,
+        tsquery_or,
+        tsquery_phrase,
+    )
+
+    a = to_tsquery("fast")
+    b = to_tsquery("table")
+    assert tsquery_str(tsquery_and(a, b)) == "'fast' & 'tabl'"
+    assert tsquery_str(tsquery_or(a, b)) == "'fast' | 'tabl'"
+    assert tsquery_str(tsquery_not(a)) == "!'fast'"
+    assert tsquery_str(tsquery_phrase(a, b)) == "'fast' <-> 'tabl'"
+    assert tsquery_str(tsquery_phrase(a, b, 3)) == "'fast' <3> 'tabl'"
+    # None (empty query) identities
+    assert tsquery_and(None, a) is a
+    assert tsquery_or(a, None) is a
+    assert tsquery_not(None) is None
+    # composed phrase matches like the parsed equivalent
+    v = to_tsvector("fast row row table")
+    assert ts_match(v, tsquery_phrase(a, b, 3))
+    assert not ts_match(v, tsquery_phrase(a, b))
