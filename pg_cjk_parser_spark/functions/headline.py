@@ -37,9 +37,12 @@ from ..kernel.fsm import (
 )
 from ..kernel.tokenizer import tokenize
 from ..kernel.tsvector import (
+    And,
+    Or,
+    Phrase,
+    Prefix,
     lexize,
     plainto_tsquery,
-    query_terms,
     to_tsquery,
     ts_match,
     websearch_to_tsquery,
@@ -71,7 +74,37 @@ class _Word:
     repeated: bool = False
 
 
-def _build_words(text: str, terms: set[str]) -> list[_Word]:
+def _positive_operands(tree) -> list[tuple[str, bool]]:
+    """Sorted positive (operand_text, is_prefix) pairs.  Negated
+    operands are deliberately excluded (documented divergence: old-PG
+    hlCover lets a negated operand's occurrences extend covers; here
+    they only participate via the window-match recheck)."""
+    out: set[tuple[str, bool]] = set()
+
+    def walk(n):
+        if n is None:
+            return
+        if isinstance(n, Phrase):
+            out.update((t, False) for t, _ in n.items)
+        elif isinstance(n, Prefix):
+            out.add((n.term, True))
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c)
+        # Not: skipped
+
+    walk(tree)
+    return sorted(out)
+
+
+def _op_match(item: str | None, op: tuple[str, bool]) -> bool:
+    if item is None:
+        return False
+    text, pre = op
+    return item.startswith(text) if pre else item == text
+
+
+def _build_words(text: str, operands: list[tuple[str, bool]]) -> list[_Word]:
     words = []
     pos = 0
     for start, ln, tt in tokenize(text):
@@ -81,7 +114,7 @@ def _build_words(text: str, terms: set[str]) -> list[_Word]:
             pos += 1
             w.pos = pos
             for term in lex:
-                if term in terms:
+                if any(_op_match(term, op) for op in operands):
                     w.item = term
                     break
         words.append(w)
@@ -103,18 +136,18 @@ def _hl_cover(words, tree, terms, p0):
     pos = p0
     while True:
         q = -1
-        for term in terms:
+        for op in terms:
             for i in range(pos, n):
-                if words[i].item == term:
+                if _op_match(words[i].item, op):
                     if i > q:
                         q = i
                     break
         if q < 0:
             return None
         p = n
-        for term in terms:
+        for op in terms:
             for i in range(q, pos - 1, -1):
-                if words[i].item == term:
+                if _op_match(words[i].item, op):
                     if i < p:
                         p = i
                     break
@@ -405,8 +438,8 @@ def headline(
         tree = websearch_to_tsquery(query)
     else:
         tree = plainto_tsquery(query)
-    terms = sorted(query_terms(tree))
-    words = _build_words(text, set(terms))
+    terms = _positive_operands(tree)
+    words = _build_words(text, terms)
     if max_fragments == 0:
         _mark_hl_words(
             words, tree, terms, highlight_all, short_word, min_words, max_words

@@ -92,3 +92,14 @@ def test_headline_or_wide_cover():
     h = headline(t, "spark | vector", mode="tsquery",
                  min_words=5, max_words=12)
     assert "<b>spark</b>" in h and "<b>vector</b>" in h
+
+
+def test_headline_prefix_operand():
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    t = "the spark merge value big batch table fast row scan"
+    h = headline(t, "b:* & merge", mode="tsquery", min_words=5, max_words=12)
+    assert "<b>big</b>" in h and "<b>batch</b>" in h and "<b>merge</b>" in h
+    # prefix with no match in the doc -> no highlight
+    h2 = headline(t, "zz:*", mode="tsquery", min_words=5, max_words=12)
+    assert "<b>" not in h2
