@@ -385,6 +385,80 @@ def tsquery_phrase(a, b, distance: int = 1):
     return _phrase_join(a, b, distance)
 
 
+def _qtn_key(node):
+    """Canonical comparison key (PG QTNode sort): commutative
+    operators flatten and sort their children, so 'a & b' == 'b & a'
+    and nested same-op trees compare equal."""
+    if node is None:
+        return ("empty",)
+    if isinstance(node, Phrase):
+        return ("phrase", tuple(node.items))
+    if isinstance(node, Prefix):
+        return ("prefix", node.term)
+    if isinstance(node, Not):
+        return ("not", _qtn_key(node.child))
+    op = "and" if isinstance(node, And) else "or"
+    keys = []
+    for c in node.children:
+        ck = _qtn_key(c)
+        if ck[0] == op:
+            keys.extend(ck[1])
+        else:
+            keys.append(ck)
+    return (op, tuple(sorted(keys)))
+
+
+def ts_rewrite(query, target, substitute):
+    """PG ``ts_rewrite(query, target, substitute)``: replace every
+    subtree of ``query`` equal to ``target`` (up to commutative
+    reordering) with ``substitute``; for AND/OR nodes a target with
+    the same operator also matches a SUBSET of the children ('xx &
+    yy & zz' rewritten by 'xx & zz' -> 'sub' leaves 'yy & sub'), the
+    synonym-table semantics.  One bottom-up pass."""
+    tkey = _qtn_key(target)
+
+    def walk(n):
+        if n is None:
+            return None
+        if isinstance(n, (And, Or)):
+            op = And if isinstance(n, And) else Or
+            kids = []
+            for c in n.children:
+                w = walk(c)
+                # flatten nested same-op nodes (PG QTN normalization)
+                # so subset matching sees the full operand list
+                if isinstance(w, op):
+                    kids.extend(w.children)
+                else:
+                    kids.append(w)
+            n = op(kids)
+            if _qtn_key(n) == tkey:
+                return substitute
+            if isinstance(target, type(n)):
+                to_drop = list(_qtn_key(target)[1])
+                remaining = []
+                for c in kids:
+                    ck = _qtn_key(c)
+                    if ck in to_drop:
+                        to_drop.remove(ck)
+                    else:
+                        remaining.append(c)
+                if not to_drop and remaining:  # strict multiset subset
+                    remaining.append(substitute)
+                    return (
+                        remaining[0]
+                        if len(remaining) == 1
+                        else op(remaining)
+                    )
+            return n
+        if isinstance(n, Not):
+            n = Not(walk(n.child))
+            return substitute if _qtn_key(n) == tkey else n
+        return substitute if _qtn_key(n) == tkey else n
+
+    return walk(query)
+
+
 def numnode(node) -> int:
     """PG ``numnode(tsquery)``: total QueryItems - one per operand
     lexeme plus one per operator (a phrase chain of n lexemes is n

@@ -387,3 +387,37 @@ def test_tsquery_composition():
     v = to_tsvector("fast row row table")
     assert ts_match(v, tsquery_phrase(a, b, 3))
     assert not ts_match(v, tsquery_phrase(a, b))
+
+
+def test_ts_rewrite():
+    from pg_cjk_parser_spark.kernel.tsvector import _qtn_key, ts_rewrite
+
+    def eq(a, b):
+        return _qtn_key(a) == _qtn_key(b)
+
+    q = to_tsquery("xx & yy")
+    # leaf substitution (PG docs: ts_rewrite('a & b', 'a', 'c'))
+    assert eq(ts_rewrite(q, to_tsquery("xx"), to_tsquery("zz")),
+              to_tsquery("zz & yy"))
+    # commutative whole-tree match
+    assert eq(ts_rewrite(q, to_tsquery("yy & xx"), to_tsquery("zz")),
+              to_tsquery("zz"))
+    # subset match inside a wider AND (synonym-table semantics)
+    assert eq(ts_rewrite(to_tsquery("xx & yy & zz"),
+                         to_tsquery("zz & xx"), to_tsquery("ww")),
+              to_tsquery("yy & ww"))
+    # substitution by a subtree (expansion)
+    assert eq(ts_rewrite(to_tsquery("xx"), to_tsquery("xx"),
+                         to_tsquery("xx | vv")),
+              to_tsquery("xx | vv"))
+    # no match -> unchanged
+    assert eq(ts_rewrite(q, to_tsquery("vv"), to_tsquery("zz")), q)
+    # phrase targets match exactly, not commutatively
+    p = to_tsquery("xx <-> yy")
+    assert eq(ts_rewrite(p, to_tsquery("xx <-> yy"), to_tsquery("zz")),
+              to_tsquery("zz"))
+    assert eq(ts_rewrite(p, to_tsquery("yy <-> xx"), to_tsquery("zz")), p)
+    # rewrite under NOT
+    assert eq(ts_rewrite(to_tsquery("vv & !xx"), to_tsquery("xx"),
+                         to_tsquery("zz")),
+              to_tsquery("vv & !zz"))
