@@ -2852,6 +2852,67 @@ ORDER BY sim DESC, df DESC, term ASC LIMIT 5
 """
 
 
+def _q_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE parity: tombstone docs 0-9, then BM25 'spark merge'
+    top-20 - deleted docs are excluded while survivors keep their
+    as-built scores (stats frozen until compaction, Lucene live-docs
+    semantics; the oracle therefore scores with FULL-corpus stats and
+    filters the deleted ids)."""
+    import hashlib
+    import tempfile as _tf
+
+    from pg_cjk_parser_spark.index.build import build_index
+    from pg_cjk_parser_spark.index.tombstones import delete_docs
+    from pg_cjk_parser_spark.query.topk import search
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    key = hashlib.md5(f"{sf_dir}|{n}|del".encode()).hexdigest()[:12]
+    index_dir = os.path.join(_tf.gettempdir(), f"pg_cjk_spark_tomb_{key}")
+    build_index(
+        spark, docs, index_dir, docid_col="doc_id",
+        num_buckets=16, num_salts=2, block_size=64,
+        resume=True, fingerprint=f"docs-del-{key}", n_docs=n,
+    )
+    delete_docs(index_dir, range(10))
+    res = search(spark, index_dir, "spark merge", k=25).select(
+        F.col("docid").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+_BM25_DELETED_SQL = f"""
+WITH {_TOK_CTE},
+dl AS (
+  SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doclen) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('spark', 'merg') GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+              * t.tf / (t.tf + 1.2*(0.25 + 0.75*d.doclen/s.avgdl)) )
+           AS score,
+         count(*) AS nterms
+  FROM tf t
+  JOIN df f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE nterms = 2 AND doc_id >= 10
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
+"""
+
+
 def _q_websearch_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """websearch_to_tsquery('spark merge -batch or "fast table"')
     matched with @@ on the scan path: (spark & merge & !batch) |
@@ -2986,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_filtered": _q_ts_rank_filtered,
         "trgm_pairs": _q_trgm_pairs,
         "term_suggest": _q_term_suggest,
+        "bm25_deleted": _q_bm25_deleted,
         "websearch_match": _q_websearch_match,
         "ts_rank_cd_topk": _q_ts_rank_cd_topk,
         "ts_rank_topk": _q_ts_rank_topk,
@@ -3049,6 +3111,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_filtered": _TS_RANK_FILTERED_SQL,
         "trgm_pairs": _TRGM_PAIRS_SQL,
         "term_suggest": _TERM_SUGGEST_SQL,
+        "bm25_deleted": _BM25_DELETED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,
         "ts_rank_cd_topk": _TS_RANK_CD_TOPK_SQL,
         "ts_rank_topk": _TS_RANK_TOPK_SQL,

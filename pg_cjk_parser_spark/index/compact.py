@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession, functions as F
 from .build import BLOCK_SCHEMA
 from .codec import decode_positions, decode_varints, delta_decode
 from .streaming import _atomic_json, _rebuild_stats
+from .tombstones import alive_mask, clear_tombstones, load_tombstones
 
 _POSTING_SCHEMA = (
     "bucket int, salt int, term string, docid long, tf int, doclen int, "
@@ -79,7 +80,7 @@ def decode_postings(spark: SparkSession, index_dir: str):
     ).mapInPandas(_decode_blocks, _POSTING_SCHEMA)
 
 
-def _decode_to_cells(batches, flush_at: int = 500_000):
+def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
     """Decode posting blocks straight into packed (bucket, salt) cells
     for the packed-cell shuffle (build.py:_encode_cells) - the same
     cells-not-rows strategy as the batch build, so compaction never
@@ -114,16 +115,27 @@ def _decode_to_cells(batches, flush_at: int = 500_000):
         ):
             ids = delta_decode(docids_b).view(np.int64)
             n = len(ids)
+            tfs_d = decode_varints(tfs_b)
+            dls_d = decode_varints(dls_b)
+            pos_d = decode_positions(pos_b, n)
+            alive = alive_mask(ids, deleted)
+            if alive is not None:
+                # tombstoned postings drop here, permanently
+                ids = ids[alive]
+                tfs_d = tfs_d[alive]
+                dls_d = dls_d[alive]
+                pos_d = [p for p, a in zip(pos_d, alive.tolist()) if a]
+                n = len(ids)
+                if not n:
+                    continue
             cell = cells.setdefault(
                 (int(bucket), int(salt)), ([], [], [], [], [])
             )
             cell[0].extend([term.encode("utf-8", "surrogatepass")] * n)
             cell[1].extend(ids.tolist())
-            cell[2].extend(decode_varints(tfs_b).tolist())
-            cell[3].extend(decode_varints(dls_b).tolist())
-            cell[4].extend(
-                _enc_pos(ps) for ps in decode_positions(pos_b, n)
-            )
+            cell[2].extend(tfs_d.tolist())
+            cell[3].extend(dls_d.tolist())
+            cell[4].extend(_enc_pos(ps) for ps in pos_d)
             count += n
             if count >= flush_at:
                 df = flush()
@@ -151,9 +163,15 @@ def compact_index(
     from .build import PACKED_SCHEMA, _encode_cells
 
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    deleted = load_tombstones(index_dir)
+    removed = (
+        _deleted_stats(postings, deleted) if deleted is not None else None
+    )
     cells = postings.select(
         "bucket", "salt", "term", "docids", "tfs", "doclens", "positions"
-    ).mapInPandas(_decode_to_cells, PACKED_SCHEMA)
+    ).mapInPandas(
+        lambda it: _decode_to_cells(it, deleted=deleted), PACKED_SCHEMA
+    )
     blocks = cells.repartition(parts, "bucket", "salt").mapInPandas(
         lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA
     )
@@ -164,17 +182,30 @@ def compact_index(
         "overwrite"
     ).partitionBy("epoch", "bucket").parquet(tmp_postings)
 
-    # termstats: re-aggregate across epochs into the flat per-epoch
-    # layout (one plain dir, bucket as a data column, one file per
-    # bucket) - same shape streaming appends write, so a compacted
-    # index plus later epochs keeps a uniform directory depth for
-    # partition discovery
-    ts = spark.read.parquet(os.path.join(index_dir, "termstats"))
+    # termstats: re-aggregate into the flat per-epoch layout (one
+    # plain dir, bucket as a data column, one file per bucket) - same
+    # shape streaming appends write, so a compacted index plus later
+    # epochs keeps a uniform directory depth for partition discovery.
+    # Without tombstones the old termstats re-aggregate cheaply; with
+    # tombstones applied, per-term df/cf must come from the NEW block
+    # metadata (deleted docs no longer count), the same
+    # (term, n, sum_tf) derivation the batch build uses.
     tmp_ts = os.path.join(index_dir, "_compact_termstats")
+    if removed is None:
+        ts = (
+            spark.read.parquet(os.path.join(index_dir, "termstats"))
+            .groupBy("bucket", "term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+    else:
+        ts = (
+            spark.read.parquet(tmp_postings)
+            .select("bucket", "term", "n", "sum_tf")
+            .groupBy("bucket", "term")
+            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+        )
     (
-        ts.groupBy("bucket", "term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .repartition(stats["num_buckets"], "bucket")
+        ts.repartition(stats["num_buckets"], "bucket")
         .write.mode("overwrite")
         .parquet(os.path.join(tmp_ts, f"epoch={new_epoch}"))
     )
@@ -187,6 +218,14 @@ def compact_index(
         os.replace(live, old)
         os.replace(tmp, live)
         shutil.rmtree(old, ignore_errors=True)
+
+    if removed is not None:
+        # tombstones are now physically applied: refresh corpus stats
+        # (n_docs / total_tf / n_postings) and drop the tombstone files
+        stats["n_docs"] -= removed["n_docs"]
+        stats["total_tf"] -= removed["total_tf"]
+        stats["n_postings"] -= removed["n_postings"]
+        clear_tombstones(index_dir)
 
     # consolidate epoch manifests into one
     mdir = os.path.join(index_dir, "manifests")
@@ -213,6 +252,50 @@ def compact_index(
     # compaction rewrote the layout under epoch=<new_epoch> even for a
     # batch-built index: record it so query routing derives scan paths
     stats["epochs"] = [new_epoch]
+    stats["avgdl"] = stats["total_tf"] / max(stats["n_docs"], 1)
     stats["compacted_at"] = time.time()
     _atomic_json(os.path.join(index_dir, "stats.json"), stats)
     return stats
+
+
+def _deleted_stats(postings, deleted) -> dict:
+    """Exact stats removed by applying the tombstones: distinct
+    deleted docs actually present, their total tf mass, and their
+    posting count - one column-pruned decode pass emitting ONLY the
+    matched postings (bounded by the tombstone set size)."""
+    def gen(batches):
+        for pdf in batches:
+            out_ids, out_tfs = [], []
+            for docids_b, tfs_b in zip(
+                pdf["docids"].tolist(), pdf["tfs"].tolist()
+            ):
+                ids = delta_decode(docids_b).view(np.int64)
+                alive = alive_mask(ids, deleted)
+                if alive is None:
+                    continue
+                hit = ~alive
+                out_ids.append(ids[hit])
+                out_tfs.append(decode_varints(tfs_b)[hit].astype(np.int64))
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "docid": np.concatenate(out_ids),
+                        "tf": np.concatenate(out_tfs),
+                    }
+                )
+
+    row = (
+        postings.select("docids", "tfs")
+        .mapInPandas(gen, "docid long, tf long")
+        .agg(
+            F.countDistinct("docid").alias("nd"),
+            F.sum("tf").alias("tt"),
+            F.count(F.lit(1)).alias("np"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_docs": int(row.nd or 0),
+        "total_tf": int(row.tt or 0),
+        "n_postings": int(row.np or 0),
+    }

@@ -50,6 +50,7 @@ from ..kernel.tsvector import (
     to_tsquery,
 )
 from ..index.codec import decode_positions, decode_varints
+from ..index.tombstones import alive_mask, load_tombstones
 
 
 def load_stats(index_dir: str) -> dict:
@@ -366,6 +367,7 @@ def search(
     tree = pq.tree
     need_pos = bool(phrases)
     num_salts = stats["num_salts"]
+    deleted = load_tombstones(index_dir)
 
     def score_partition(batches):
         frames = [f for f in batches if len(f)]
@@ -373,7 +375,8 @@ def search(
             return
         pdf = pd.concat(frames, ignore_index=True)
         out = _score_local(
-            pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree
+            pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree,
+            deleted,
         )
         if out is not None:
             yield out
@@ -443,13 +446,14 @@ def search_rank_cd(
         .where(F.col("term").isin(pq.all_terms))
     )
     num_salts = stats["num_salts"]
+    deleted = load_tombstones(index_dir)
 
     def rank_partition(batches):
         frames = [f for f in batches if len(f)]
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
-        out = _rank_cd_local(pdf, tree, n_terms, k, method)
+        out = _rank_cd_local(pdf, tree, n_terms, k, method, deleted)
         if out is not None:
             yield out
 
@@ -641,13 +645,16 @@ def search_rank(
     conj = pq.conjunctive
     phrases = pq.phrases
     n_terms = len(pq.terms)
+    deleted = load_tombstones(index_dir)
 
     def rank_partition(batches):
         frames = [f for f in batches if len(f)]
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
-        out = _rank_ts_local(pdf, tree, conj, phrases, n_terms, k, method)
+        out = _rank_ts_local(
+            pdf, tree, conj, phrases, n_terms, k, method, deleted
+        )
         if out is not None:
             yield out
 
@@ -763,7 +770,7 @@ def _phrase_start_docs(lists, cand, items):
     return np.unique(starts >> 16)
 
 
-def _rank_ts_local(pdf, tree, conj, phrases, n_terms, k, method):
+def _rank_ts_local(pdf, tree, conj, phrases, n_terms, k, method, deleted=None):
     """Per-salt-partition ts_rank: candidates from the @@ match set,
     ranks bit-identical to kernel ts_rank."""
     from ..kernel.tsrank import _operand_lexemes
@@ -788,7 +795,7 @@ def _rank_ts_local(pdf, tree, conj, phrases, n_terms, k, method):
                     return None
                 lo, hi = int(cand[0]), int(cand[-1])
                 tb = tb[(tb["max_docid"] >= lo) & (tb["min_docid"] <= hi)]
-            tl = _TermList(tb, and_path or bool(phrases))
+            tl = _TermList(tb, and_path or bool(phrases), deleted)
             lists[t] = tl
             cand = tl.ids if cand is None else cand[
                 np.isin(cand, tl.ids, assume_unique=True)
@@ -801,7 +808,9 @@ def _rank_ts_local(pdf, tree, conj, phrases, n_terms, k, method):
                 return None
             cand = cand[keep]
     else:  # flat OR
-        lists = {t: _TermList(tb, False) for t, tb in per_term.items()}
+        lists = {
+            t: _TermList(tb, False, deleted) for t, tb in per_term.items()
+        }
         cand = np.unique(np.concatenate([tl.ids for tl in lists.values()]))
         if not cand.size:
             return None
@@ -948,15 +957,16 @@ def rank_local(
     pdf = tbl.to_pandas()
     if len(pdf) == 0:
         return []
+    deleted = load_tombstones(index_dir)
     frames = []
     for _, grp in pdf.groupby("salt", sort=False):
         g = grp.reset_index(drop=True)
         out = (
-            _rank_cd_local(g, pq.tree, len(pq.terms), k, method)
+            _rank_cd_local(g, pq.tree, len(pq.terms), k, method, deleted)
             if cd
             else _rank_ts_local(
                 g, pq.tree, pq.conjunctive, pq.phrases,
-                len(pq.terms), k, method,
+                len(pq.terms), k, method, deleted,
             )
         )
         if out is not None:
@@ -973,7 +983,7 @@ def rank_local(
     ]
 
 
-def _rank_cd_local(pdf, tree, n_terms, k, method):
+def _rank_cd_local(pdf, tree, n_terms, k, method, deleted=None):
     """Per-salt-partition candidate intersection + exact kernel
     cover-density ranking from decoded positions."""
     from ..kernel.tsrank import ts_rank_cd
@@ -991,7 +1001,7 @@ def _rank_cd_local(pdf, tree, n_terms, k, method):
                 return None
             lo, hi = int(cand[0]), int(cand[-1])
             tb = tb[(tb["max_docid"] >= lo) & (tb["min_docid"] <= hi)]
-        tl = _TermList(tb, True)
+        tl = _TermList(tb, True, deleted)
         lists[t] = tl
         cand = tl.ids if cand is None else cand[
             np.isin(cand, tl.ids, assume_unique=True)
@@ -1094,6 +1104,7 @@ def search_many(
         )
         for q, (_, pq, _, idf_map) in routed
     ]
+    deleted = load_tombstones(index_dir)
 
     def score_partition(batches):
         frames = [f for f in batches if len(f)]
@@ -1107,7 +1118,7 @@ def search_many(
                 continue
             out = _score_local(
                 sub.reset_index(drop=True), idf_map, k1, b, avgdl, k,
-                conj, phrases, need_pos, tree,
+                conj, phrases, need_pos, tree, deleted,
             )
             if out is not None and len(out):
                 out.insert(0, "query", q)
@@ -1139,7 +1150,7 @@ class _TermList:
         "blk_lo", "blk_hi", "_poscache",
     )
 
-    def __init__(self, tb, decode_pos_blobs: bool):
+    def __init__(self, tb, decode_pos_blobs: bool, deleted=None):
         # batch-decode docids across ALL blocks in one varint pass:
         # concatenated per-block delta streams -> global cumsum minus a
         # per-block correction (each block's first delta is absolute)
@@ -1170,6 +1181,14 @@ class _TermList:
         self.ids = ids[srt]
         self.tfs = tfs[srt]
         self.dls = dls[srt]
+        # tombstones: deleted docs drop out of the SCORING arrays
+        # (they can't match or take top-k slots) while the block
+        # arrays keep their physical layout for position decoding
+        alive = alive_mask(self.ids, deleted)
+        if alive is not None:
+            self.ids = self.ids[alive]
+            self.tfs = self.tfs[alive]
+            self.dls = self.dls[alive]
         self.blk_ids = blk_ids
         self.blk_pos = blk_pos
         self.blk_n = blk_n
@@ -1307,11 +1326,13 @@ def search_local(
     pdf = tbl.to_pandas()
     if len(pdf) == 0:
         return []
+    deleted = load_tombstones(index_dir)
     frames = []
     for _, grp in pdf.groupby("salt", sort=False):
         out = _score_local(
             grp.reset_index(drop=True), idf_map, k1, b, avgdl, k,
             pq.conjunctive, pq.phrases, bool(pq.phrases), pq.tree,
+            deleted,
         )
         if out is not None:
             frames.append(out)
@@ -1325,7 +1346,7 @@ def search_local(
     ]
 
 
-def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=None):
+def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=None, deleted=None):
     """Exact local top-k over one salt-partition's blocks."""
     per_term = {t: g for t, g in pdf.groupby("term", sort=True)}
     if conj:
@@ -1343,7 +1364,7 @@ def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=No
                     return None
                 lo, hi = int(cand[0]), int(cand[-1])
                 tb = tb[(tb["max_docid"] >= lo) & (tb["min_docid"] <= hi)]
-            tl = _TermList(tb, need_pos and t in phrase_terms)
+            tl = _TermList(tb, need_pos and t in phrase_terms, deleted)
             lists[t] = tl
             cand = tl.ids if cand is None else cand[
                 np.isin(cand, tl.ids, assume_unique=True)
@@ -1388,10 +1409,10 @@ def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=No
     # simple and exact: decode all referenced lists (the bucket+term
     # pruned read already bounds this to |q| lists in this partition).
     if _is_flat_or(tree):
-        return _score_wand_or(pdf, per_term, idf_map, k1, b, avgdl, k)
+        return _score_wand_or(pdf, per_term, idf_map, k1, b, avgdl, k, deleted)
     phrase_terms = {t for chain in phrases for t, _ in chain}
     lists = {
-        t: _TermList(tb, need_pos and t in phrase_terms)
+        t: _TermList(tb, need_pos and t in phrase_terms, deleted)
         for t, tb in per_term.items()
     }
     matched = _eval_tree(tree, lists, phrases)
@@ -1423,7 +1444,7 @@ def _is_flat_or(tree) -> bool:
     )
 
 
-def _score_wand_or(pdf, per_term, idf_map, k1, b, avgdl, k):
+def _score_wand_or(pdf, per_term, idf_map, k1, b, avgdl, k, deleted=None):
     """Union top-k with block-max (WAND-style) pruning.
 
     Terms are processed rarest-first (highest idf). Once k candidates
@@ -1461,7 +1482,7 @@ def _score_wand_or(pdf, per_term, idf_map, k1, b, avgdl, k):
                     - np.searchsorted(seen, lo, "left")
                 ) > 0
                 tb = tb[keep_mask | has_cand]
-        tl = _TermList(tb, False)
+        tl = _TermList(tb, False, deleted)
         contrib = w * tl.tfs / (tl.tfs + k1 * (1 - b + b * tl.dls / avgdl))
         for d, c in zip(tl.ids.tolist(), contrib.tolist()):
             acc[d] = acc.get(d, 0.0) + c

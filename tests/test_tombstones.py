@@ -1,0 +1,166 @@
+"""Document deletion (tombstones): every query path must exclude
+deleted docs with scores of the survivors UNCHANGED (stats stay as
+built, Lucene live-docs behavior), and compaction must apply the
+tombstones physically so the index equals a fresh build over the
+remaining corpus."""
+
+import pytest
+
+from pg_cjk_parser_spark.index.build import build_index
+from pg_cjk_parser_spark.index.compact import compact_index
+from pg_cjk_parser_spark.index.tombstones import (
+    clear_tombstones,
+    delete_docs,
+    load_tombstones,
+)
+from pg_cjk_parser_spark.query.topk import (
+    load_stats,
+    rank_local,
+    search,
+    search_local,
+    search_many,
+    search_rank,
+    search_rank_cd,
+)
+
+TEXTS = [
+    "fast table merge big",
+    "fast row table batch",
+    "fast table fast table spark",
+    "merge value fast spark",
+    "fast table merge fast table",
+    "spark merge batch big row",
+    "value key line sort",
+    "fast table spark merge",
+] * 3  # 24 docs
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("tombidx"))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    build_index(
+        spark, docs, index_dir, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    return index_dir, docs
+
+
+QUERIES = [
+    ("fast table", "plain", search),          # conjunctive + phrase chain? plain AND
+    ("'fast' | 'spark' | 'batch'", "tsquery", search),   # flat-OR WAND
+    ("('fast' <-> 'table') | 'batch'", "tsquery", search),  # boolean tree
+]
+
+
+def test_all_paths_exclude_deleted_with_unchanged_scores(spark, built):
+    index_dir, docs = built
+    before = {}
+    for q, mode, fn in QUERIES:
+        before[q] = [
+            (r.docid, r.score)
+            for r in fn(spark, index_dir, q, k=100, mode=mode).collect()
+        ]
+    before_cd = [
+        (r.docid, r.rank)
+        for r in search_rank_cd(
+            spark, index_dir, "fast <-> table", k=100
+        ).collect()
+    ]
+    before_rk = [
+        (r.docid, r.rank)
+        for r in search_rank(
+            spark, index_dir, "'fast' | 'spark'", k=100
+        ).collect()
+    ]
+
+    dead = {0, 2, 5, 9, 23}
+    assert delete_docs(index_dir, dead) == len(dead)
+    try:
+        for q, mode, fn in QUERIES:
+            got = [
+                (r.docid, r.score)
+                for r in fn(spark, index_dir, q, k=100, mode=mode).collect()
+            ]
+            want = [(d, s) for d, s in before[q] if d not in dead]
+            assert got == want, q
+        # serving path agrees
+        got_local = search_local(index_dir, "fast table", k=100)
+        want = [(d, s) for d, s in before["fast table"] if d not in dead]
+        assert [(d, round(s, 9)) for d, s in got_local] == [
+            (d, round(s, 9)) for d, s in want
+        ]
+        # rank paths
+        got_cd = [
+            (r.docid, r.rank)
+            for r in search_rank_cd(
+                spark, index_dir, "fast <-> table", k=100
+            ).collect()
+        ]
+        assert got_cd == [(d, r) for d, r in before_cd if d not in dead]
+        got_rk = [
+            (r.docid, r.rank)
+            for r in search_rank(
+                spark, index_dir, "'fast' | 'spark'", k=100
+            ).collect()
+        ]
+        assert got_rk == [(d, r) for d, r in before_rk if d not in dead]
+        assert rank_local(index_dir, "fast <-> table", k=100) == got_cd
+        # batched path
+        sm = search_many(spark, index_dir, ["fast table"], k=100).collect()
+        assert [(r.docid, r.score) for r in sm] == want
+        # idempotent + nonexistent ids harmless
+        delete_docs(index_dir, [0, 999999])
+        again = [
+            (r.docid, r.score)
+            for r in search(
+                spark, index_dir, "fast table", k=100
+            ).collect()
+        ]
+        assert again == want
+    finally:
+        clear_tombstones(index_dir)
+
+
+def test_compact_applies_tombstones_equals_fresh_build(
+    spark, tmp_path_factory
+):
+    idx_a = str(tmp_path_factory.mktemp("tomb_a"))
+    idx_b = str(tmp_path_factory.mktemp("tomb_b"))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    build_index(
+        spark, docs, idx_a, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    dead = {1, 4, 7, 20}
+    delete_docs(idx_a, dead)
+    compact_index(spark, idx_a)
+    assert load_tombstones(idx_a) is None  # applied and cleared
+
+    remaining = docs.where(~docs.doc_id.isin(list(dead)))
+    build_index(
+        spark, remaining, idx_b, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    sa, sb = load_stats(idx_a), load_stats(idx_b)
+    for key in ("n_docs", "total_tf", "n_postings"):
+        assert sa[key] == sb[key], key
+    assert sa["avgdl"] == pytest.approx(sb["avgdl"])
+
+    for q, mode in (
+        ("fast table", "plain"),
+        ("'fast' | 'spark' | 'batch'", "tsquery"),
+    ):
+        ra = [
+            (r.docid, round(r.score, 9))
+            for r in search(spark, idx_a, q, k=100, mode=mode).collect()
+        ]
+        rb = [
+            (r.docid, round(r.score, 9))
+            for r in search(spark, idx_b, q, k=100, mode=mode).collect()
+        ]
+        assert ra == rb, q
