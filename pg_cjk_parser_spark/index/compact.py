@@ -107,18 +107,23 @@ def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
         )
 
     for pdf in batches:
-        for bucket, salt, term, docids_b, tfs_b, dls_b, pos_b in zip(
+        eps = (
+            pdf["epoch"].tolist()
+            if "epoch" in pdf.columns
+            else [0] * len(pdf)
+        )
+        for bucket, salt, term, docids_b, tfs_b, dls_b, pos_b, ep in zip(
             pdf["bucket"].tolist(), pdf["salt"].tolist(),
             pdf["term"].tolist(), pdf["docids"].tolist(),
             pdf["tfs"].tolist(), pdf["doclens"].tolist(),
-            pdf["positions"].tolist(),
+            pdf["positions"].tolist(), eps,
         ):
             ids = delta_decode(docids_b).view(np.int64)
             n = len(ids)
             tfs_d = decode_varints(tfs_b)
             dls_d = decode_varints(dls_b)
             pos_d = decode_positions(pos_b, n)
-            alive = alive_mask(ids, deleted)
+            alive = alive_mask(ids, deleted, int(ep))
             if alive is not None:
                 # tombstoned postings drop here, permanently
                 ids = ids[alive]
@@ -167,9 +172,16 @@ def compact_index(
     removed = (
         _deleted_stats(postings, deleted) if deleted is not None else None
     )
+    epoch_col = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.input_file_name(), "epoch=(\\d+)", 1),
+            F.lit(""),
+        ).cast("int"),
+        F.lit(0),
+    )
     cells = postings.select(
         "bucket", "salt", "term", "docids", "tfs", "doclens", "positions"
-    ).mapInPandas(
+    ).withColumn("epoch", epoch_col).mapInPandas(
         lambda it: _decode_to_cells(it, deleted=deleted), PACKED_SCHEMA
     )
     blocks = cells.repartition(parts, "bucket", "salt").mapInPandas(
@@ -259,36 +271,61 @@ def compact_index(
 
 
 def _deleted_stats(postings, deleted) -> dict:
-    """Exact stats removed by applying the tombstones: distinct
-    deleted docs actually present, their total tf mass, and their
-    posting count - one column-pruned decode pass emitting ONLY the
-    matched postings (bounded by the tombstone set size)."""
+    """Exact stats removed by applying the tombstones.  The unit of
+    n_docs accounting is a (doc, epoch) VERSION - each epoch manifest
+    counted the doc once, and an upserted doc contributed one n_docs
+    unit per version - so compaction subtracts one unit per fully
+    masked version (a tombstone bound masks a doc's postings
+    uniformly within an epoch).  Emits one row per posting whose
+    docid is tombstoned at the posting's epoch, so the scanned volume
+    is bounded by the tombstone set."""
+
+    dids, upto = deleted
+
     def gen(batches):
         for pdf in batches:
-            out_ids, out_tfs = [], []
-            for docids_b, tfs_b in zip(
-                pdf["docids"].tolist(), pdf["tfs"].tolist()
+            eps = (
+                pdf["epoch"].tolist()
+                if "epoch" in pdf.columns
+                else [0] * len(pdf)
+            )
+            out_i, out_t, out_e = [], [], []
+            for docids_b, tfs_b, ep in zip(
+                pdf["docids"].tolist(), pdf["tfs"].tolist(), eps
             ):
                 ids = delta_decode(docids_b).view(np.int64)
-                alive = alive_mask(ids, deleted)
+                alive = alive_mask(ids, deleted, int(ep))
                 if alive is None:
                     continue
                 hit = ~alive
-                out_ids.append(ids[hit])
-                out_tfs.append(decode_varints(tfs_b)[hit].astype(np.int64))
-            if out_ids:
+                n = int(hit.sum())
+                out_i.append(ids[hit])
+                out_t.append(
+                    decode_varints(tfs_b)[hit].astype(np.int64)
+                )
+                out_e.append(np.full(n, int(ep), np.int64))
+            if out_i:
                 yield pd.DataFrame(
                     {
-                        "docid": np.concatenate(out_ids),
-                        "tf": np.concatenate(out_tfs),
+                        "docid": np.concatenate(out_i),
+                        "epoch": np.concatenate(out_e),
+                        "tf": np.concatenate(out_t),
                     }
                 )
 
+    epoch_col = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.input_file_name(), "epoch=(\\d+)", 1),
+            F.lit(""),
+        ).cast("int"),
+        F.lit(0),
+    )
     row = (
         postings.select("docids", "tfs")
-        .mapInPandas(gen, "docid long, tf long")
+        .withColumn("epoch", epoch_col)
+        .mapInPandas(gen, "docid long, epoch long, tf long")
         .agg(
-            F.countDistinct("docid").alias("nd"),
+            F.countDistinct("docid", "epoch").alias("nd"),
             F.sum("tf").alias("tt"),
             F.count(F.lit(1)).alias("np"),
         )

@@ -281,3 +281,44 @@ def stream_index(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def upsert_index_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    epoch: int,
+    docid_col: str | None = None,
+    **kwargs,
+) -> dict:
+    """UPDATE parity: re-index a batch of documents, replacing any
+    existing versions.  Tombstones the batch's docids for every epoch
+    BELOW ``epoch`` (batch-built base postings count as epoch 0),
+    then appends the new versions as epoch ``epoch`` - queries see
+    exactly one version per doc with no rewrite of existing data;
+    ``compact_index`` later folds the masked versions out physically.
+
+    Mixed inserts and updates in one batch are fine (tombstoning an
+    id with no prior version is harmless); re-delivery is idempotent
+    via the epoch manifest like ``append_index_batch``.
+
+    Bounded costs, stated: the batch's docids collect to the driver
+    for the tombstone write (micro-batch sized); corpus stats count
+    BOTH versions of an updated doc until compaction (Lucene's
+    maxDoc-vs-deletions behavior) - compaction restores exact
+    counts."""
+    from .tombstones import delete_docs
+
+    mpath = _epoch_manifest(index_dir, epoch)
+    if not os.path.exists(mpath):
+        if docid_col is not None:
+            ids = [r[0] for r in batch.select(docid_col).collect()]
+        else:
+            ids = [
+                r[0]
+                for r in batch.selectExpr("xxhash64(url)").collect()
+            ]
+        delete_docs(index_dir, ids, upto_epoch=epoch - 1)
+    return append_index_batch(
+        spark, batch, index_dir, epoch, docid_col=docid_col, **kwargs
+    )

@@ -321,6 +321,41 @@ def _route(index_dir: str, query: str, mode: str):
     return stats, pq, bset, idf_map
 
 
+def _read_blocks_local(ds, paths, terms) -> pd.DataFrame:
+    """pyarrow block read for the serving tier, one frame per shard
+    path with the block epoch parsed from the path (epoch=N dir, 0
+    for batch layout) - the no-Spark twin of _epoch_from_path."""
+    import re as _re
+
+    frames = []
+    for p in paths:
+        m = _re.search(r"epoch=(\d+)", p)
+        tbl = ds.dataset(p).to_table(
+            columns=[
+                "salt", "term", "n", "min_docid", "max_docid", "docids",
+                "tfs", "doclens", "positions", "max_tf", "min_dl",
+            ],
+            filter=ds.field("term").isin(terms),
+        )
+        f = tbl.to_pandas()
+        f["epoch"] = int(m.group(1)) if m else 0
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True)
+
+
+def _epoch_from_path() -> F.Column:
+    """Per-block epoch derived from the file path (epoch=N dir), 0
+    for batch-layout files - uniform across mixed layouts without
+    relying on partition-column discovery."""
+    return F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.input_file_name(), "epoch=(\\d+)", 1),
+            F.lit(""),
+        ).cast("int"),
+        F.lit(0),
+    )
+
+
 def _postings_paths(index_dir: str, bset, stats) -> list[str]:
     return _shard_paths(index_dir, "postings", bset, stats)
 
@@ -360,6 +395,7 @@ def search(
             "salt", "term", "n", "min_docid", "max_docid", "docids",
             "tfs", "doclens", "positions", "max_tf", "min_dl",
         )
+        .withColumn("epoch", _epoch_from_path())
     )
 
     phrases = pq.phrases
@@ -444,6 +480,7 @@ def search_rank_cd(
         .option("basePath", os.path.join(index_dir, "postings"))
         .parquet(*paths)
         .where(F.col("term").isin(pq.all_terms))
+        .withColumn("epoch", _epoch_from_path())
     )
     num_salts = stats["num_salts"]
     deleted = load_tombstones(index_dir)
@@ -640,6 +677,7 @@ def search_rank(
         .option("basePath", os.path.join(index_dir, "postings"))
         .parquet(*paths)
         .where(F.col("term").isin(pq.all_terms))
+        .withColumn("epoch", _epoch_from_path())
     )
     num_salts = stats["num_salts"]
     conj = pq.conjunctive
@@ -947,14 +985,7 @@ def rank_local(
     paths = _shard_paths(index_dir, "postings", bset, stats)
     if not paths:
         return []
-    tbl = ds.dataset([ds.dataset(p) for p in paths]).to_table(
-        columns=[
-            "salt", "term", "n", "min_docid", "max_docid", "docids",
-            "tfs", "doclens", "positions", "max_tf", "min_dl",
-        ],
-        filter=ds.field("term").isin(pq.all_terms),
-    )
-    pdf = tbl.to_pandas()
+    pdf = _read_blocks_local(ds, paths, pq.all_terms)
     if len(pdf) == 0:
         return []
     deleted = load_tombstones(index_dir)
@@ -1096,6 +1127,7 @@ def search_many(
             "salt", "term", "n", "min_docid", "max_docid", "docids",
             "tfs", "doclens", "positions", "max_tf", "min_dl",
         )
+        .withColumn("epoch", _epoch_from_path())
     )
     qspecs = [
         (
@@ -1147,7 +1179,7 @@ class _TermList:
 
     __slots__ = (
         "ids", "tfs", "dls", "blk_ids", "blk_pos", "blk_n",
-        "blk_lo", "blk_hi", "_poscache",
+        "blk_lo", "blk_hi", "blk_ep", "_poscache", "_deleted",
     )
 
     def __init__(self, tb, decode_pos_blobs: bool, deleted=None):
@@ -1169,22 +1201,33 @@ class _TermList:
         else:
             ids = np.empty(0, np.int64)
             starts = ends = np.empty(0, np.int64)
-        blk_ids, blk_pos, blk_n = [], [], []
+        blk_eps = (
+            tb["epoch"].to_numpy().astype(np.int64)
+            if "epoch" in tb.columns
+            else np.zeros(len(tb), np.int64)
+        )
+        blk_ids, blk_pos, blk_n, blk_ep = [], [], [], []
         if decode_pos_blobs:
             for i, (buf_p, n) in enumerate(zip(tb["positions"], ns.tolist())):
                 blk_ids.append(ids[starts[i] : ends[i]])
                 blk_pos.append(buf_p)
                 blk_n.append(n)
+                blk_ep.append(int(blk_eps[i]))
         tfs = decode_varints(b"".join(tb["tfs"])).astype(np.float64)
         dls = decode_varints(b"".join(tb["doclens"])).astype(np.float64)
         srt = np.argsort(ids, kind="stable")
         self.ids = ids[srt]
         self.tfs = tfs[srt]
         self.dls = dls[srt]
-        # tombstones: deleted docs drop out of the SCORING arrays
-        # (they can't match or take top-k slots) while the block
-        # arrays keep their physical layout for position decoding
-        alive = alive_mask(self.ids, deleted)
+        # tombstones: deleted postings (docid tombstoned at an epoch
+        # bound >= the posting's epoch) drop out of the SCORING arrays
+        # - they can't match or take top-k slots - while the block
+        # arrays keep their physical layout for position decoding,
+        # re-checking the tombstone per block there
+        self._deleted = deleted
+        alive = alive_mask(
+            self.ids, deleted, np.repeat(blk_eps, ns)[srt]
+        )
         if alive is not None:
             self.ids = self.ids[alive]
             self.tfs = self.tfs[alive]
@@ -1192,6 +1235,7 @@ class _TermList:
         self.blk_ids = blk_ids
         self.blk_pos = blk_pos
         self.blk_n = blk_n
+        self.blk_ep = blk_ep
         if blk_ids:
             self.blk_lo = np.array([int(x[0]) for x in blk_ids])
             self.blk_hi = np.array([int(x[-1]) for x in blk_ids])
@@ -1235,6 +1279,12 @@ class _TermList:
             j = int(np.searchsorted(bids, docid))
             if j >= bids.size or bids[j] != docid:
                 continue
+            if self._deleted is not None and alive_mask(
+                np.array([docid], np.int64),
+                self._deleted,
+                self.blk_ep[bi],
+            ) is not None:
+                continue  # this block holds a tombstoned version
             vals, offs, cnts = self._decode_block(bi)
             s = int(offs[j])
             return np.cumsum(vals[s : s + int(cnts[j])]).tolist()
@@ -1264,6 +1314,14 @@ class _TermList:
             sel = np.flatnonzero(ok)
             if not sel.size:
                 continue
+            if self._deleted is not None:
+                alive = alive_mask(
+                    bids[sel], self._deleted, self.blk_ep[bi]
+                )
+                if alive is not None:
+                    sel = sel[alive]
+                    if not sel.size:
+                        continue
             vals, offs, cnts = self._decode_block(bi)
             n = cnts[sel]
             starts = offs[sel]
@@ -1316,14 +1374,7 @@ def search_local(
     paths = _shard_paths(index_dir, "postings", bset, stats)
     if not paths:
         return []
-    tbl = ds.dataset([ds.dataset(p) for p in paths]).to_table(
-        columns=[
-            "salt", "term", "n", "min_docid", "max_docid", "docids",
-            "tfs", "doclens", "positions", "max_tf", "min_dl",
-        ],
-        filter=ds.field("term").isin(pq.all_terms),
-    )
-    pdf = tbl.to_pandas()
+    pdf = _read_blocks_local(ds, paths, pq.all_terms)
     if len(pdf) == 0:
         return []
     deleted = load_tombstones(index_dir)

@@ -164,3 +164,119 @@ def test_compact_applies_tombstones_equals_fresh_build(
             for r in search(spark, idx_b, q, k=100, mode=mode).collect()
         ]
         assert ra == rb, q
+
+
+def test_upsert_replaces_document_version(spark, tmp_path):
+    """upsert_index_batch: queries see exactly the NEW version - the
+    old version stops matching (even for terms the new version
+    dropped), phrases/ranks read the new positions, and compaction
+    equals a fresh build of the final corpus state."""
+    from pg_cjk_parser_spark.index.streaming import (
+        append_index_batch,
+        upsert_index_batch,
+    )
+
+    idx = str(tmp_path / "ups")
+    v1 = [
+        (0, "fast table merge"),
+        (1, "spark batch value"),
+        (2, "fast table spark"),
+        (3, "merge key line"),
+    ]
+    append_index_batch(
+        spark,
+        spark.createDataFrame(v1, "doc_id long, text string"),
+        idx, epoch=0, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    # doc1 drops 'spark' and gains 'fast table'; doc2 reorders so the
+    # phrase 'fast <-> table' breaks
+    v2 = {1: "fast table key", 2: "table big fast"}
+    upsert_index_batch(
+        spark,
+        spark.createDataFrame(
+            list(v2.items()), "doc_id long, text string"
+        ),
+        idx, epoch=1, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+
+    def ids(q, mode="tsquery", fn=search):
+        return sorted(
+            r.docid for r in fn(spark, idx, q, k=50, mode=mode).collect()
+        )
+
+    final = {0: "fast table merge", 1: "fast table key",
+             2: "table big fast", 3: "merge key line"}
+
+    # 'spark' existed only in the replaced v1 versions -> no matches
+    assert ids("'spark'") == []
+    # the phrase holds in doc0/doc1 but doc2's reorder broke it
+    assert ids("'fast' <-> 'table'") == [0, 1]
+    assert ids("'fast' & 'table'") == [0, 1, 2]
+    # rank path reads the NEW positions, identical to scanning the
+    # final texts
+    from pg_cjk_parser_spark.kernel.tsrank import ts_rank_cd
+    from pg_cjk_parser_spark.kernel.tsvector import to_tsquery, to_tsvector
+
+    node = to_tsquery("fast <-> table")
+    scan = sorted(
+        (
+            (d, r)
+            for d, t in final.items()
+            if (r := ts_rank_cd(to_tsvector(t), node)) > 0
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    got = [
+        (r.docid, r.rank)
+        for r in search_rank_cd(
+            spark, idx, "fast <-> table", k=50
+        ).collect()
+    ]
+    assert got == scan
+    assert rank_local(idx, "fast <-> table", k=50) == scan
+    # serving BM25 agrees with the Spark path on the upserted index
+    assert [
+        d for d, _ in search_local(idx, "'fast' <-> 'table'", k=50,
+                                   mode="tsquery")
+    ] == [r.docid for r in search(
+        spark, idx, "'fast' <-> 'table'", k=50, mode="tsquery"
+    ).collect()]
+
+    # compaction folds the masked versions out: equals a fresh build
+    # of the final corpus state
+    compact_index(spark, idx)
+    assert load_tombstones(idx) is None
+    fresh = str(tmp_path / "fresh")
+    build_index(
+        spark,
+        spark.createDataFrame(
+            sorted(final.items()), "doc_id long, text string"
+        ),
+        fresh, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    sa, sb = load_stats(idx), load_stats(fresh)
+    for key in ("n_docs", "total_tf", "n_postings"):
+        assert sa[key] == sb[key], key
+    for q in ("'fast' <-> 'table'", "'merg' | 'key'"):
+        ra = [
+            (r.docid, round(r.score, 9))
+            for r in search(spark, idx, q, k=50, mode="tsquery").collect()
+        ]
+        rb = [
+            (r.docid, round(r.score, 9))
+            for r in search(spark, fresh, q, k=50, mode="tsquery").collect()
+        ]
+        assert ra == rb, q
+    # re-delivery of the same upsert epoch is a no-op
+    upsert_index_batch(
+        spark,
+        spark.createDataFrame(
+            list(v2.items()), "doc_id long, text string"
+        ),
+        idx, epoch=1, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    assert ids("'fast' <-> 'table'") == [0, 1]
