@@ -2913,6 +2913,89 @@ ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
 """
 
 
+def _q_bm25_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE parity: docs 0-4 are re-indexed with new text
+    ('vector value vector') via upsert_index_batch, then BM25
+    'vector value' top-20.  Engine semantics the oracle replicates:
+    corpus stats count BOTH versions until compaction (one n_docs
+    unit per (doc, epoch) version, df per posting), but only the
+    LIVE version of each doc scores or matches."""
+    import hashlib
+    import tempfile as _tf
+
+    from pg_cjk_parser_spark.index.build import build_index
+    from pg_cjk_parser_spark.index.streaming import upsert_index_batch
+    from pg_cjk_parser_spark.query.topk import search
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    key = hashlib.md5(f"{sf_dir}|{n}|ups".encode()).hexdigest()[:12]
+    index_dir = os.path.join(_tf.gettempdir(), f"pg_cjk_spark_ups_{key}")
+    build_index(
+        spark, docs, index_dir, docid_col="doc_id",
+        num_buckets=16, num_salts=2, block_size=64,
+        resume=True, fingerprint=f"docs-ups-{key}", n_docs=n,
+    )
+    updated = docs.where(F.col("doc_id") < 5).select(
+        "doc_id", F.lit("vector value vector").alias("text")
+    )
+    upsert_index_batch(
+        spark, updated, index_dir, epoch=1, docid_col="doc_id",
+        num_buckets=16, num_salts=2, block_size=64,
+    )
+    res = search(spark, index_dir, "vector value", k=25).select(
+        F.col("docid").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+_BM25_UPSERTED_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, 0 AS ver, doc_id >= 5 AS live FROM documents
+  UNION ALL
+  SELECT doc_id, 'vector value vector', 1 AS ver, TRUE AS live
+  FROM documents WHERE doc_id < 5
+), tok AS (
+  SELECT c.doc_id, c.ver, c.live,
+    CASE t.term
+      WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri'
+      WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu'
+      WHEN 'customer' THEN 'custom' ELSE t.term END AS term
+  FROM corpus c, unnest(string_split(c.text, ' ')) AS t(term)
+  WHERE t.term <> '' AND t.term NOT IN ('the', 'a')
+), dl AS (
+  SELECT doc_id, ver, any_value(live) AS live, count(*) AS doclen
+  FROM tok GROUP BY doc_id, ver
+), stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n_docs,
+         (SELECT sum(doclen) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM corpus) AS avgdl
+), tf AS (
+  SELECT doc_id, ver, any_value(live) AS live, term, count(*) AS tf
+  FROM tok WHERE term IN ('vector', 'valu')
+  GROUP BY doc_id, ver, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+              * t.tf / (t.tf + 1.2*(0.25 + 0.75*d.doclen/s.avgdl)) )
+           AS score,
+         count(*) AS nterms
+  FROM tf t
+  JOIN df f USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id AND d.ver = t.ver
+  CROSS JOIN stats s
+  WHERE t.live
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE nterms = 2
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
+"""
+
+
 def _q_websearch_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """websearch_to_tsquery('spark merge -batch or "fast table"')
     matched with @@ on the scan path: (spark & merge & !batch) |
@@ -3048,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trgm_pairs": _q_trgm_pairs,
         "term_suggest": _q_term_suggest,
         "bm25_deleted": _q_bm25_deleted,
+        "bm25_upserted": _q_bm25_upserted,
         "websearch_match": _q_websearch_match,
         "ts_rank_cd_topk": _q_ts_rank_cd_topk,
         "ts_rank_topk": _q_ts_rank_topk,
@@ -3112,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         "trgm_pairs": _TRGM_PAIRS_SQL,
         "term_suggest": _TERM_SUGGEST_SQL,
         "bm25_deleted": _BM25_DELETED_SQL,
+        "bm25_upserted": _BM25_UPSERTED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,
         "ts_rank_cd_topk": _TS_RANK_CD_TOPK_SQL,
         "ts_rank_topk": _TS_RANK_TOPK_SQL,

@@ -167,7 +167,7 @@ def compact_index(
 
     from .build import PACKED_SCHEMA, _encode_cells
 
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    postings = _read_postings_mixed(spark, index_dir)
     deleted = load_tombstones(index_dir)
     removed = (
         _deleted_stats(postings, deleted) if deleted is not None else None
@@ -205,7 +205,7 @@ def compact_index(
     tmp_ts = os.path.join(index_dir, "_compact_termstats")
     if removed is None:
         ts = (
-            spark.read.parquet(os.path.join(index_dir, "termstats"))
+            _read_termstats_mixed(spark, index_dir)
             .groupBy("bucket", "term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )
@@ -243,7 +243,7 @@ def compact_index(
     mdir = os.path.join(index_dir, "manifests")
     if any(n.startswith("epoch=") for n in os.listdir(mdir)):
         for name in list(os.listdir(mdir)):
-            if name.startswith("epoch="):
+            if name.startswith("epoch=") or name == "base.json":
                 os.remove(os.path.join(mdir, name))
         _atomic_json(
             os.path.join(mdir, f"epoch={new_epoch}.json"),
@@ -266,6 +266,21 @@ def compact_index(
     stats["epochs"] = [new_epoch]
     stats["avgdl"] = stats["total_tf"] / max(stats["n_docs"], 1)
     stats["compacted_at"] = time.time()
+    # record the consolidated totals as an epoch manifest so later
+    # appends (which rebuild stats from manifests) keep counting the
+    # compacted corpus
+    _atomic_json(
+        os.path.join(mdir, f"epoch={new_epoch}.json"),
+        {
+            "epoch": new_epoch,
+            "status": "complete",
+            "compacted": True,
+            "n_docs": stats["n_docs"],
+            "total_tf": stats["total_tf"],
+            "n_postings": stats["n_postings"],
+            "applied_at": time.time(),
+        },
+    )
     _atomic_json(os.path.join(index_dir, "stats.json"), stats)
     return stats
 
@@ -336,3 +351,58 @@ def _deleted_stats(postings, deleted) -> dict:
         "total_tf": int(row.tt or 0),
         "n_postings": int(row.np or 0),
     }
+
+def _read_postings_mixed(spark: SparkSession, index_dir: str):
+    """Read the whole postings tree across MIXED layouts (batch
+    bucket= dirs at the top level plus appended epoch=/bucket= dirs)
+    as two internally-consistent partition-discovery groups unioned
+    by name - a single whole-tree read would fail with conflicting
+    partition column names."""
+    pdir = os.path.join(index_dir, "postings")
+    top, eps = [], []
+    for name in sorted(os.listdir(pdir)):
+        p = os.path.join(pdir, name)
+        if not os.path.isdir(p):
+            continue
+        (top if name.startswith("bucket=") else eps).append(p)
+    dfs = []
+    if top:
+        dfs.append(
+            spark.read.option("basePath", pdir)
+            .parquet(*top)
+            .withColumn("epoch", F.lit(0))
+        )
+    if eps:
+        dfs.append(spark.read.option("basePath", pdir).parquet(*eps))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def _read_termstats_mixed(spark: SparkSession, index_dir: str):
+    """Termstats across mixed layouts: batch bucket= dirs (bucket is
+    a partition value) plus flat epoch dirs (bucket is a data
+    column), normalized to (bucket, term, df, cf)."""
+    tdir = os.path.join(index_dir, "termstats")
+    top, eps = [], []
+    for name in sorted(os.listdir(tdir)):
+        p = os.path.join(tdir, name)
+        if not os.path.isdir(p):
+            continue
+        (top if name.startswith("bucket=") else eps).append(p)
+    dfs = []
+    if top:
+        dfs.append(
+            spark.read.option("basePath", tdir)
+            .parquet(*top)
+            .select("bucket", "term", "df", "cf")
+        )
+    for p in eps:
+        dfs.append(
+            spark.read.parquet(p).select("bucket", "term", "df", "cf")
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -62,8 +62,32 @@ def append_index_batch(
     b: float = 0.75,
     normalize_zht: bool = False,
 ) -> dict:
-    """Append one micro-batch to the index; idempotent per epoch."""
-    os.makedirs(os.path.join(index_dir, "manifests"), exist_ok=True)
+    """Append one micro-batch to the index; idempotent per epoch.
+
+    Appending onto a BATCH-built index works: its base postings count
+    as epoch 0, and the base corpus totals are captured once into
+    ``manifests/base.json`` so the manifest-derived stats keep
+    counting them."""
+    mdir = os.path.join(index_dir, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    base_manifest = os.path.join(mdir, "base.json")
+    spath = _stats_path(index_dir)
+    if not os.path.exists(base_manifest) and os.path.exists(spath):
+        with open(spath) as f:
+            prev = json.load(f)
+        # only a BATCH-built stats file (no "epochs" key) seeds the
+        # base manifest; streaming/compacted stats already flow
+        # through epoch manifests (and a crashed epoch append must
+        # not be mistaken for a base corpus)
+        if "epochs" not in prev and prev.get("n_docs"):
+            _atomic_json(
+                base_manifest,
+                {
+                    "n_docs": prev["n_docs"],
+                    "total_tf": prev["total_tf"],
+                    "n_postings": prev["n_postings"],
+                },
+            )
     mpath = _epoch_manifest(index_dir, epoch)
     if os.path.exists(mpath):
         # re-delivered batch: already applied; re-derive stats in case
@@ -235,6 +259,13 @@ def _rebuild_stats(
 ) -> dict:
     mdir = os.path.join(index_dir, "manifests")
     epochs, n_docs, total_tf, n_postings = [], 0, 0, 0
+    base = os.path.join(mdir, "base.json")
+    if os.path.exists(base):
+        with open(base) as f:
+            m = json.load(f)
+        n_docs += int(m.get("n_docs", 0))
+        total_tf += int(m.get("total_tf", 0))
+        n_postings += int(m.get("n_postings", 0))
     for name in sorted(os.listdir(mdir)):
         if not (name.startswith("epoch=") and name.endswith(".json")):
             continue

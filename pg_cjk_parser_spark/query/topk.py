@@ -386,9 +386,12 @@ def search(
         "docids binary, tfs binary, doclens binary, positions binary, "
         "max_tf int, min_dl int"
     )
+    # leaf dirs are passed as roots (no basePath): partition-column
+    # discovery would CONFLICT across mixed layouts (batch bucket=
+    # dirs + appended epoch=/bucket= dirs); the partition values are
+    # not needed - the block epoch derives from the file path
     blocks = (
         spark.read.schema(read_schema)
-        .option("basePath", os.path.join(index_dir, "postings"))
         .parquet(*paths)
         .where(F.col("term").isin(pq.all_terms))
         .select(
@@ -475,9 +478,12 @@ def search_rank_cd(
         "docids binary, tfs binary, doclens binary, positions binary, "
         "max_tf int, min_dl int"
     )
+    # leaf dirs are passed as roots (no basePath): partition-column
+    # discovery would CONFLICT across mixed layouts (batch bucket=
+    # dirs + appended epoch=/bucket= dirs); the partition values are
+    # not needed - the block epoch derives from the file path
     blocks = (
         spark.read.schema(read_schema)
-        .option("basePath", os.path.join(index_dir, "postings"))
         .parquet(*paths)
         .where(F.col("term").isin(pq.all_terms))
         .withColumn("epoch", _epoch_from_path())
@@ -672,9 +678,12 @@ def search_rank(
         "docids binary, tfs binary, doclens binary, positions binary, "
         "max_tf int, min_dl int"
     )
+    # leaf dirs are passed as roots (no basePath): partition-column
+    # discovery would CONFLICT across mixed layouts (batch bucket=
+    # dirs + appended epoch=/bucket= dirs); the partition values are
+    # not needed - the block epoch derives from the file path
     blocks = (
         spark.read.schema(read_schema)
-        .option("basePath", os.path.join(index_dir, "postings"))
         .parquet(*paths)
         .where(F.col("term").isin(pq.all_terms))
         .withColumn("epoch", _epoch_from_path())
@@ -1118,9 +1127,12 @@ def search_many(
         "docids binary, tfs binary, doclens binary, positions binary, "
         "max_tf int, min_dl int"
     )
+    # leaf dirs are passed as roots (no basePath): partition-column
+    # discovery would CONFLICT across mixed layouts (batch bucket=
+    # dirs + appended epoch=/bucket= dirs); the partition values are
+    # not needed - the block epoch derives from the file path
     blocks = (
         spark.read.schema(read_schema)
-        .option("basePath", os.path.join(index_dir, "postings"))
         .parquet(*paths)
         .where(F.col("term").isin(union_terms))
         .select(
