@@ -192,6 +192,32 @@ def main() -> None:
         lambda: rank_local(idx_web, "のび太", k=10, cd=True),
     )
 
+    # -- 4c. live-docs overhead: same query with 1% of docs tombstoned
+    from pg_cjk_parser_spark.index.tombstones import (
+        clear_tombstones,
+        delete_docs,
+    )
+
+    # tombstone real docids (ids are xxhash64(url), so sample them
+    # from the query's own candidate set - the filter's hot case)
+    victims = [
+        r.docid
+        for r in search(spark, idx_web, "のび太", k=400).collect()
+    ][::2]
+    delete_docs(idx_web, victims)
+    try:
+        timed_query(
+            "q_cjk_nobita_tombstoned",
+            lambda: search(spark, idx_web, "のび太", k=10).collect(),
+        )
+        extras["tombstone_overhead_ratio"] = round(
+            queries["q_cjk_nobita_tombstoned"]
+            / max(queries["q_cjk_nobita"], 1e-9),
+            2,
+        )
+    finally:
+        clear_tombstones(idx_web)
+
     # -- 5. auxiliary operators -------------------------------------------
     if parts_sel == "web":
         total = round(time.time() - t_all, 3)
