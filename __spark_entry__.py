@@ -1757,6 +1757,7 @@ def _headline_fragments_and_sql(
     maxw: int = 12,
     sw: int = 3,
     phrase: bool = False,
+    ormode: bool = False,
 ) -> str:
     """Recursive-CTE oracle for an N-term AND ts_headline in fragments
     mode with MaxFragments=2 (reference mark_hl_fragments,
@@ -1810,7 +1811,8 @@ def _headline_fragments_and_sql(
         f"list_filter(o{j}, o -> o >= pos AND o <= qq)[-1]"
         for j in range(len(words))
     )
-    nonempty = "\n        AND ".join(
+    joiner = "\n        OR " if ormode else "\n        AND "
+    nonempty = joiner.join(
         f"len(list_filter(o{j}, o -> o >= pos)) > 0"
         for j in range(len(words))
     )
@@ -2078,6 +2080,29 @@ _HEADLINE_PHRASE_SQL = _headline_and_sql(["spark", "merge"], phrase=True)
 _HEADLINE_OPTS_SQL = _headline_and_sql(
     ["spark", "merge"], minw=4, maxw=10, sw=2
 )
+def _q_headline_fragments_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragments mode over a flat-OR query 'spark | vector': covers
+    come from the NULL-skipping fold (wide covers spanning both terms
+    when both are present), then the same fragment split / greedy
+    pick / stretch machinery."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf(
+        "spark | vector", mode="tsquery",
+        min_words=5, max_words=12, max_fragments=2,
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
+
+
+_HEADLINE_FRAGMENTS_OR_SQL = _headline_fragments_and_sql(
+    ["spark", "vector"], ormode=True
+)
+
 _HEADLINE_FRAGMENTS_AND_SQL = _headline_fragments_and_sql(["spark", "merge"])
 _HEADLINE_FRAGMENTS_PHRASE_SQL = _headline_fragments_and_sql(
     ["spark", "merge"], phrase=True
@@ -3140,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_match": _q_prefix_match,
         "ts_headline_or": _q_headline_or,
         "ts_headline_websearch": _q_headline_websearch,
+        "ts_headline_fragments_or": _q_headline_fragments_or,
         "stratified_sample": _q_stratified_sample,
         "top_k_per_group": _q_top_k_per_group,
     }
@@ -3205,6 +3231,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_match": _PREFIX_MATCH_SQL,
         "ts_headline_or": _HEADLINE_OR_SQL,
         "ts_headline_websearch": _HEADLINE_WEBSEARCH_SQL,
+        "ts_headline_fragments_or": _HEADLINE_FRAGMENTS_OR_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "top_k_per_group": _TOP_K_PER_GROUP_SQL,
     }

@@ -577,3 +577,44 @@ def test_headline_websearch_closed_form_matches_kernel():
         else:
             assert i not in got, (i, t)
     assert checked > 1200
+
+
+def test_headline_fragments_or_closed_form_matches_kernel():
+    """Fragments-mode OR oracle (NULL-skipping cover fold feeding the
+    fragment split / greedy pick / stretch pipeline) vs the kernel on
+    randomized corpora incl. one-term-only and wide both-term docs."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(17)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 60, 800),
+        (["value", "the", "a", "key"] * 4 + ["spark"], 120, 400),
+        (["value", "the", "a", "key"] * 4 + ["vector"], 120, 400),
+        (["spark", "vector", "the", "a"], 90, 600),
+        (["a", "the", "big", "key", "spark", "vector"] * 2
+         + ["row"] * 5, 140, 600),
+    ]
+    texts = []
+    i = 0
+    for pool, maxn, reps in pools:
+        for _ in range(reps):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._HEADLINE_FRAGMENTS_OR_SQL).fetchall())
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(
+            t, "spark | vector", mode="tsquery",
+            min_words=5, max_words=12, max_fragments=2,
+        )
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 1000
