@@ -49,7 +49,7 @@ from ..kernel.tsvector import (
     query_terms_all,
     to_tsquery,
 )
-from ..index.codec import decode_positions, decode_varints
+from ..index.codec import decode_varints
 from ..index.tombstones import alive_mask, load_tombstones
 
 
