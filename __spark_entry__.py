@@ -1581,8 +1581,17 @@ def _headline_and_sql(
     window-match recheck is vacuous for a flat OR (any emitted
     window contains an operand occurrence)."""
     a_, b_, mw = minw - 1, maxw - 1, minw
+
+    def pred(w: str, var: str) -> str:
+        # a trailing '*' marks a PREFIX operand ('b*' ~ tsquery 'b:*'):
+        # it matches any word starting with the prefix, the
+        # dictionary-expansion-free oracle statement of Prefix nodes
+        if w.endswith("*"):
+            return f"{var} LIKE '{w[:-1]}%'"
+        return f"{var} = '{w}'"
+
     occ_defs = ",\n    ".join(
-        f"list_filter(generate_series(1, m), i -> ws[i] = '{w}') AS o{j}"
+        f"list_filter(generate_series(1, m), i -> {pred(w, 'ws[i]')}) AS o{j}"
         for j, w in enumerate(words)
     )
     occ_cols = ", ".join(f"o{j}" for j in range(len(words)))
@@ -1598,9 +1607,9 @@ def _headline_and_sql(
         f"len(list_filter(o{j}, o -> o >= pos)) > 0"
         for j in range(len(words))
     )
-    item = " OR ".join(f"ws[{{j}}] = '{w}'" for w in words)
+    item = " OR ".join(pred(w, "ws[{j}]") for w in words)
     item_j = "(" + item.format(j="j") + ")"
-    wrap = " OR ".join(f"w = '{w}'" for w in words)
+    wrap = " OR ".join(pred(w, "w") for w in words)
     if phrase:
         adj = " AND ".join(
             f"ws[j + {t}] = '{w}'" for t, w in enumerate(words)
@@ -2071,6 +2080,25 @@ def _q_headline_websearch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEADLINE_WEBSEARCH_SQL = _headline_and_sql(
     ["spark", "merge", "vector"], ormode=True, phrase_len=2
 )
+
+def _q_headline_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_headline over a prefix query 'b:* & merge': the b:* operand
+    highlights every matching word (batch, big), with covers spanning
+    the operand pair."""
+    from pg_cjk_parser_spark.spark.udfs import make_headline_udf
+
+    hl = make_headline_udf(
+        "b:* & merge", mode="tsquery", min_words=5, max_words=12
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hl(F.col("text")).alias("snippet"))
+        .where(F.col("snippet").contains("<b>"))
+        .orderBy("doc_id")
+    )
+
+
+_HEADLINE_PREFIX_SQL = _headline_and_sql(["b*", "merge"])
 
 _HEADLINE_OR_SQL = _headline_and_sql(["spark", "vector"], ormode=True)
 
@@ -3166,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_headline_or": _q_headline_or,
         "ts_headline_websearch": _q_headline_websearch,
         "ts_headline_fragments_or": _q_headline_fragments_or,
+        "ts_headline_prefix": _q_headline_prefix,
         "stratified_sample": _q_stratified_sample,
         "top_k_per_group": _q_top_k_per_group,
     }
@@ -3232,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_headline_or": _HEADLINE_OR_SQL,
         "ts_headline_websearch": _HEADLINE_WEBSEARCH_SQL,
         "ts_headline_fragments_or": _HEADLINE_FRAGMENTS_OR_SQL,
+        "ts_headline_prefix": _HEADLINE_PREFIX_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "top_k_per_group": _TOP_K_PER_GROUP_SQL,
     }

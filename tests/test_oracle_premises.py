@@ -618,3 +618,42 @@ def test_headline_fragments_or_closed_form_matches_kernel():
         else:
             assert i not in got, (i, t)
     assert checked > 1000
+
+
+def test_headline_prefix_closed_form_matches_kernel():
+    """Prefix-operand headline oracle ('b:* & merge'): the b:*
+    occurrence list is the union of all b-words, verified against the
+    kernel on randomized corpora with both b-words present, one, or
+    none."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    con = duckdb.connect()
+    rng = random.Random(19)
+    pools = [
+        (entry_mod.DRIVER_VOCAB, 60, 900),
+        (["batch", "big", "merge", "the", "row"], 100, 700),
+        (["big", "merge", "value", "a"] * 2 + ["row"] * 3, 120, 500),
+        (["batch", "value", "the"] * 3 + ["merge"], 120, 400),
+    ]
+    texts = []
+    i = 0
+    for pool, maxn, reps in pools:
+        for _ in range(reps):
+            n = rng.randint(1, maxn)
+            texts.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+            i += 1
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = dict(con.execute(entry_mod._HEADLINE_PREFIX_SQL).fetchall())
+    con.close()
+    checked = 0
+    for i, t in texts:
+        h = headline(
+            t, "b:* & merge", mode="tsquery", min_words=5, max_words=12
+        )
+        if "<b>" in h:
+            checked += 1
+            assert got.get(i) == h, (i, t, got.get(i), h)
+        else:
+            assert i not in got, (i, t)
+    assert checked > 1200
