@@ -147,6 +147,12 @@ the same 200k-doc webcorpus: duplicate_spans ~41k docs/s (distinct
 8-word spans shared across docs; one scan, window over span hash),
 repetition_signals ~23k docs/s (dup/top n-gram fractions for n=2,3 in
 one tagged scan), hash_split ~570k docs/s (narrow projection).
+Round-3 continuation added ranking lines (q_rank_cd_nobita: index-path
+cover-density top-10, ~0.4-0.6 s at 200k docs after the vectorized
+cover folds - was 1.7 s when first added; ops_ts_rank_cd_scan ~32-36k
+docs/s scan-path rank; q_local_rank_cd ~0.1-0.3 s serving-tier) and a
+live-docs line (q_cjk_nobita_tombstoned with half the query's
+candidates deleted: overhead is VM-noise-level, ratio ~0.8-1.2x).
 Like-for-like numbers (build docs/s, per-query medians) all improved
 or held; compare those, not the suite total.
 
