@@ -406,3 +406,126 @@ def _read_termstats_mixed(spark: SparkSession, index_dir: str):
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def merge_epochs(
+    spark: SparkSession,
+    index_dir: str,
+    epochs: list[int],
+    block_size: int | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Selective compaction (the tiered-merge analog of Lucene's
+    segment merging): fold a SUBSET of epochs into one, leaving the
+    rest untouched - at corpus scale a full ``compact_index`` rewrite
+    is an event, while streaming ingestion continuously produces
+    small epochs that should fold cheaply into their neighbors.
+
+    Tombstones interact exactly as with segment merges: postings
+    masked within the merged epochs are dropped during the merge (the
+    merged copies carry the TARGET epoch, which would otherwise
+    escape an epoch-bounded tombstone), per-(doc, epoch)-version
+    stats adjust for what was dropped, and the tombstone files REMAIN
+    - they may still mask unmerged epochs, and re-masking dropped
+    postings is a no-op."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    have = set(stats.get("epochs") or [])
+    epochs = sorted(set(epochs))
+    missing = [e for e in epochs if e not in have]
+    if missing:
+        raise ValueError(f"unknown epochs {missing}; index has {sorted(have)}")
+    if len(epochs) < 2:
+        raise ValueError("merge_epochs needs at least two epochs")
+    block_size = block_size or stats["block_size"]
+    parts = num_partitions or min(
+        stats["num_buckets"] * stats["num_salts"],
+        spark.sparkContext.defaultParallelism * 4,
+    )
+    target = epochs[-1]
+    pdir = os.path.join(index_dir, "postings")
+    tdir = os.path.join(index_dir, "termstats")
+
+    from .build import PACKED_SCHEMA, _encode_cells
+
+    sel_paths = [os.path.join(pdir, f"epoch={e}") for e in epochs]
+    postings = spark.read.option("basePath", pdir).parquet(*sel_paths)
+    deleted = load_tombstones(index_dir)
+    removed = (
+        _deleted_stats(postings, deleted) if deleted is not None else None
+    )
+    epoch_col = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.input_file_name(), "epoch=(\\d+)", 1),
+            F.lit(""),
+        ).cast("int"),
+        F.lit(0),
+    )
+    cells = postings.select(
+        "bucket", "salt", "term", "docids", "tfs", "doclens", "positions"
+    ).withColumn("epoch", epoch_col).mapInPandas(
+        lambda it: _decode_to_cells(it, deleted=deleted), PACKED_SCHEMA
+    )
+    blocks = cells.repartition(parts, "bucket", "salt").mapInPandas(
+        lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA
+    )
+    tmp_postings = os.path.join(index_dir, "_merge_postings")
+    shutil.rmtree(tmp_postings, ignore_errors=True)
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+        tmp_postings
+    )
+
+    # merged termstats derive from the new block metadata (flat
+    # layout, bucket as a data column - same shape epoch appends use)
+    tmp_ts = os.path.join(index_dir, "_merge_termstats")
+    shutil.rmtree(tmp_ts, ignore_errors=True)
+    (
+        spark.read.parquet(tmp_postings)
+        .select("bucket", "term", "n", "sum_tf")
+        .groupBy("bucket", "term")
+        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+        .repartition(stats["num_buckets"], "bucket")
+        .write.mode("overwrite")
+        .parquet(tmp_ts)
+    )
+
+    # swap: drop the merged epochs' dirs, land the target
+    for e in epochs:
+        shutil.rmtree(os.path.join(pdir, f"epoch={e}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(tdir, f"epoch={e}"), ignore_errors=True)
+    os.replace(tmp_postings, os.path.join(pdir, f"epoch={target}"))
+    os.replace(tmp_ts, os.path.join(tdir, f"epoch={target}"))
+
+    # manifests: the merged manifest carries the summed totals minus
+    # what the tombstones removed
+    mdir = os.path.join(index_dir, "manifests")
+    n_docs = total_tf = n_postings = 0
+    for e in epochs:
+        mp = os.path.join(mdir, f"epoch={e}.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m = json.load(f)
+            n_docs += int(m.get("n_docs", 0))
+            total_tf += int(m.get("total_tf", 0))
+            n_postings += int(m.get("n_postings", 0))
+            os.remove(mp)
+    if removed is not None:
+        n_docs -= removed["n_docs"]
+        total_tf -= removed["total_tf"]
+        n_postings -= removed["n_postings"]
+    _atomic_json(
+        os.path.join(mdir, f"epoch={target}.json"),
+        {
+            "epoch": target,
+            "status": "complete",
+            "merged_from": epochs,
+            "n_docs": n_docs,
+            "total_tf": total_tf,
+            "n_postings": n_postings,
+            "applied_at": time.time(),
+        },
+    )
+    return _rebuild_stats(
+        index_dir, stats["num_buckets"], stats["num_salts"], block_size,
+        stats["k1"], stats["b"], stats.get("normalize_zht", False),
+    )

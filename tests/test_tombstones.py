@@ -280,3 +280,108 @@ def test_upsert_replaces_document_version(spark, tmp_path):
         num_buckets=4, num_salts=2, block_size=4,
     )
     assert ids("'fast' <-> 'table'") == [0, 1]
+
+
+def test_merge_epochs_selective_compaction(spark, tmp_path):
+    """merge_epochs folds a subset of epochs into one: query results
+    are unchanged, stats stay exact, unmerged epochs stay untouched,
+    and tombstones crossing the merge boundary behave like segment
+    merges (masked versions drop; the files remain valid for
+    unmerged epochs)."""
+    from pg_cjk_parser_spark.index.compact import merge_epochs
+    from pg_cjk_parser_spark.index.streaming import (
+        append_index_batch,
+        upsert_index_batch,
+    )
+
+    idx = str(tmp_path / "merge")
+    batches = {
+        0: [(0, "fast table merge"), (1, "spark batch value")],
+        1: [(2, "fast table spark"), (3, "merge key line")],
+        2: [(4, "fast value row"), (5, "table big batch")],
+    }
+    for e, rows in batches.items():
+        append_index_batch(
+            spark,
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            idx, epoch=e, docid_col="doc_id",
+            num_buckets=4, num_salts=2, block_size=4,
+        )
+    # upsert doc1 at epoch 3 (tombstone upto=2 crosses the merge set)
+    upsert_index_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, "fast table key")], "doc_id long, text string"
+        ),
+        idx, epoch=3, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+
+    def snap():
+        out = {}
+        for q, mode in (
+            ("fast table", "plain"),
+            ("'fast' | 'batch' | 'key'", "tsquery"),
+            ("'fast' <-> 'table'", "tsquery"),
+        ):
+            out[q] = [
+                (r.docid, round(r.score, 9))
+                for r in search(
+                    spark, idx, q, k=50, mode=mode
+                ).collect()
+            ]
+        return out
+
+    before_docs = {
+        q: {d for d, _ in rows} for q, rows in snap().items()
+    }
+    st_before = load_stats(idx)
+    st = merge_epochs(spark, idx, [0, 1])
+    assert sorted(st["epochs"]) == [1, 2, 3]
+    # same matching doc SET (ranks may shift: the merged portion's
+    # stats refresh changes idf)...
+    assert {
+        q: {d for d, _ in rows} for q, rows in snap().items()
+    } == before_docs
+    # ...and scores equal to the EQUIVALENT index where the merged
+    # epochs never contained the dead version (merge refreshes the
+    # merged portion's stats, like a segment merge)
+    ref = str(tmp_path / "ref")
+    for e, rows in (
+        (1, [(0, "fast table merge"), (2, "fast table spark"),
+             (3, "merge key line")]),
+        (2, batches[2]),
+        (3, [(1, "fast table key")]),
+    ):
+        append_index_batch(
+            spark,
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            ref, epoch=e, docid_col="doc_id",
+            num_buckets=4, num_salts=2, block_size=4,
+        )
+    def snap_of(d):
+        out = {}
+        for q, mode in (
+            ("fast table", "plain"),
+            ("'fast' | 'batch' | 'key'", "tsquery"),
+            ("'fast' <-> 'table'", "tsquery"),
+        ):
+            out[q] = [
+                (r.docid, round(r.score, 9))
+                for r in search(spark, d, q, k=50, mode=mode).collect()
+            ]
+        return out
+    assert snap() == snap_of(ref)
+    # stats: doc1's masked epoch-0 version fell out of the counts
+    assert st["n_docs"] == st_before["n_docs"] - 1
+    assert load_tombstones(idx) is not None  # files remain
+    # a full compact afterwards keeps the same results
+    merged_snap = snap()
+    compact_index(spark, idx)
+    assert snap() == merged_snap
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least two"):
+        merge_epochs(spark, idx, [3])
+    with _pytest.raises(ValueError, match="unknown epochs"):
+        merge_epochs(spark, idx, [97, 98])
