@@ -529,3 +529,39 @@ def merge_epochs(
         index_dir, stats["num_buckets"], stats["num_salts"], block_size,
         stats["k1"], stats["b"], stats.get("normalize_zht", False),
     )
+
+
+def maintain_index(
+    spark: SparkSession,
+    index_dir: str,
+    max_epochs: int = 8,
+    merge_factor: int = 4,
+) -> dict:
+    """Maintenance policy (Lucene's merge policy analog): while the
+    index holds more than ``max_epochs`` epochs, fold the
+    ``merge_factor`` SMALLEST (by manifest doc count) into one with
+    :func:`merge_epochs`.  Run it after streaming bursts - the
+    per-epoch fixed costs queries pay (per-epoch shard listing, block
+    tails per term) stay bounded without ever rewriting the large
+    epochs.  Safe with tombstones (merge applies them to the merged
+    subset); idempotent when nothing exceeds the bound."""
+    stats = None
+    while True:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            cur = json.load(f)
+        epochs = sorted(cur.get("epochs") or [])
+        if len(epochs) <= max_epochs:
+            return stats or cur
+        mdir = os.path.join(index_dir, "manifests")
+        sizes = {}
+        for e in epochs:
+            mp = os.path.join(mdir, f"epoch={e}.json")
+            try:
+                with open(mp) as f:
+                    sizes[e] = int(json.load(f).get("n_docs", 0))
+            except OSError:
+                sizes[e] = 0
+        pick = sorted(epochs, key=lambda e: (sizes[e], e))[
+            : max(2, merge_factor)
+        ]
+        stats = merge_epochs(spark, index_dir, pick)

@@ -385,3 +385,34 @@ def test_merge_epochs_selective_compaction(spark, tmp_path):
         merge_epochs(spark, idx, [3])
     with _pytest.raises(ValueError, match="unknown epochs"):
         merge_epochs(spark, idx, [97, 98])
+
+
+def test_maintain_index_policy(spark, tmp_path):
+    """maintain_index folds the smallest epochs until the bound holds,
+    with identical query results (no tombstones -> stats unchanged)."""
+    from pg_cjk_parser_spark.index.compact import maintain_index
+    from pg_cjk_parser_spark.index.streaming import append_index_batch
+
+    idx = str(tmp_path / "maint")
+    for e in range(6):
+        rows = [(10 * e + i, f"fast table doc{e}") for i in range(e + 1)]
+        append_index_batch(
+            spark,
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            idx, epoch=e, docid_col="doc_id",
+            num_buckets=4, num_salts=2, block_size=4,
+        )
+    before = [
+        (r.docid, round(r.score, 9))
+        for r in search(spark, idx, "fast table", k=50).collect()
+    ]
+    st = maintain_index(spark, idx, max_epochs=3, merge_factor=3)
+    assert len(st["epochs"]) <= 3
+    after = [
+        (r.docid, round(r.score, 9))
+        for r in search(spark, idx, "fast table", k=50).collect()
+    ]
+    assert after == before
+    # idempotent when within bounds
+    st2 = maintain_index(spark, idx, max_epochs=3, merge_factor=3)
+    assert st2["epochs"] == st["epochs"]
