@@ -720,3 +720,25 @@ def test_rank_over_streaming_epoch_index(spark, tmp_path):
     b = search_rank_cd(spark, bdir, q, k=20, mode="tsquery").collect()
     assert [(r.docid, r.rank) for r in a] == [(r.docid, r.rank) for r in b]
     assert a
+
+
+def test_prefix_query_in_batched_search(spark, built):
+    """search_many routes prefix queries through the same dictionary
+    expansion - batched results equal per-query search."""
+    from pg_cjk_parser_spark.query.topk import search, search_many
+
+    index_dir, _, _ = built
+    batch = search_many(
+        spark, index_dir, ["dora:*", "のび太"], k=10, mode="tsquery"
+    ).collect()
+    per = {
+        q: [
+            (r.docid, round(r.score, 9))
+            for r in search(spark, index_dir, q, k=10, mode="tsquery").collect()
+        ]
+        for q in ("dora:*", "のび太")
+    }
+    got = {}
+    for r in batch:
+        got.setdefault(r.query, []).append((r.docid, round(r.score, 9)))
+    assert got == {q: v for q, v in per.items() if v}
