@@ -416,3 +416,104 @@ def test_maintain_index_policy(spark, tmp_path):
     # idempotent when within bounds
     st2 = maintain_index(spark, idx, max_epochs=3, merge_factor=3)
     assert st2["epochs"] == st["epochs"]
+
+
+def test_randomized_mutations_vs_brute_force(spark, tmp_path):
+    """Randomized CRUD differential: random corpus, random upsert
+    batch, random deletions, random queries - the index must agree
+    with matching + scoring the final live corpus directly (BM25
+    scored with the index's own frozen stats; brute side replicates
+    them), across conjunctive / OR / phrase shapes."""
+    import random
+
+    from pg_cjk_parser_spark.index.streaming import (
+        append_index_batch,
+        upsert_index_batch,
+    )
+    from pg_cjk_parser_spark.kernel.tsvector import (
+        to_tsquery,
+        to_tsvector,
+        ts_match,
+    )
+    from pg_cjk_parser_spark.query.topk import idf, load_stats
+
+    rng = random.Random(23)
+    vocab = "fast table merge spark value big batch row key line".split()
+
+    def text():
+        return " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(3, 18))
+        )
+
+    idx = str(tmp_path / "fuzz")
+    v1 = [(i, text()) for i in range(60)]
+    append_index_batch(
+        spark, spark.createDataFrame(v1, "doc_id long, text string"),
+        idx, epoch=0, docid_col="doc_id",
+        num_buckets=8, num_salts=2, block_size=8,
+    )
+    ups = {i: text() for i in rng.sample(range(60), 15)}
+    upsert_index_batch(
+        spark,
+        spark.createDataFrame(list(ups.items()), "doc_id long, text string"),
+        idx, epoch=1, docid_col="doc_id",
+        num_buckets=8, num_salts=2, block_size=8,
+    )
+    dead = set(rng.sample(range(60), 10))
+    delete_docs(idx, dead)
+
+    live = {
+        i: ups.get(i, t) for i, t in v1 if i not in dead
+    }
+    stats = load_stats(idx)
+    k1, b, avgdl, n_docs = (
+        stats["k1"], stats["b"], stats["avgdl"], stats["n_docs"],
+    )
+    # df per the index's termstats (both versions count until compact),
+    # over STEMMED lexemes like the engine
+    from pg_cjk_parser_spark.kernel.tsrank import cnt_length
+    from pg_cjk_parser_spark.kernel.tsvector import query_terms
+
+    df: dict[str, int] = {}
+    for _, t in list(v1) + list(ups.items()):
+        for term in to_tsvector(t):
+            df[term] = df.get(term, 0) + 1
+
+    def brute(q):
+        node = to_tsquery(q)
+        out = []
+        for i, t in live.items():
+            v = to_tsvector(t)
+            if not ts_match(v, node):
+                continue
+            dl = cnt_length(v)
+            s = 0.0
+            for term in sorted(query_terms(node)):
+                tf = len(v.get(term, ()))
+                if tf:
+                    s += idf(n_docs, df.get(term, 0)) * tf / (
+                        tf + k1 * (1 - b + b * dl / avgdl)
+                    )
+            out.append((i, round(s, 9)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out
+
+    shapes = []
+    for _ in range(12):
+        a, c, d = rng.sample(vocab, 3)
+        shapes += [
+            f"'{a}' & '{c}'",
+            f"'{a}' | '{c}' | '{d}'",
+            f"'{a}' <-> '{c}'",
+            f"('{a}' <-> '{c}') | '{d}'",
+        ]
+    checked = 0
+    for q in shapes:
+        got = [
+            (r.docid, round(r.score, 9))
+            for r in search(spark, idx, q, k=100, mode="tsquery").collect()
+        ]
+        want = brute(q)
+        assert got == want, q
+        checked += bool(want)
+    assert checked >= 20
