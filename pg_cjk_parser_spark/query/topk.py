@@ -1023,6 +1023,129 @@ def rank_local(
     ]
 
 
+def search_many_rank(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    mode: str = "tsquery",
+    method: int = 0,
+    cd: bool = True,
+) -> DataFrame:
+    """Batched rank workload: every query's ``ORDER BY
+    ts_rank_cd/ts_rank LIMIT k`` answered in ONE Spark job -
+    ``(query, rank, docid, score)`` per-query identical to
+    :func:`search_rank_cd` / :func:`search_rank` (tests assert it).
+    Same unioned-routing strategy as :func:`search_many`; the same
+    per-query shape/method restrictions apply and invalid queries
+    raise up front."""
+    routed = []
+    seen: set[str] = set()
+    for q in queries:
+        if q in seen:
+            continue
+        seen.add(q)
+        r = _route(index_dir, q, mode)
+        if r is None:
+            continue
+        _stats, pq, _bs, _idf = r
+        if cd:
+            if method & ~(4 | 32):
+                raise ValueError(
+                    "index-path ts_rank_cd supports normalization "
+                    "bits 4|32 only"
+                )
+            if not pq.conjunctive:
+                raise ValueError(
+                    f"query {q!r}: index-path ts_rank_cd supports "
+                    "conjunctive queries only"
+                )
+        else:
+            if method & ~(1 | 2 | 32):
+                raise ValueError(
+                    "index-path ts_rank supports normalization bits "
+                    "1|2|32 only"
+                )
+            if not pq.conjunctive and not _is_flat_or(pq.tree):
+                raise ValueError(
+                    f"query {q!r}: index-path ts_rank supports "
+                    "conjunctive or flat-OR queries only"
+                )
+        routed.append((q, r))
+    empty_schema = "query string, rank int, docid long, score double"
+    if not routed:
+        return spark.createDataFrame([], empty_schema)
+    stats = routed[0][1][0]
+    num_salts = stats["num_salts"]
+    union_terms = sorted(
+        {t for _, (_, pq, _, _) in routed for t in pq.all_terms}
+    )
+    union_bset = sorted({bk for _, (_, _, bs, _) in routed for bk in bs})
+    paths = _postings_paths(index_dir, union_bset, stats)
+    if not paths:
+        return spark.createDataFrame([], empty_schema)
+    read_schema = (
+        "salt int, term string, n int, min_docid long, max_docid long, "
+        "docids binary, tfs binary, doclens binary, positions binary, "
+        "max_tf int, min_dl int"
+    )
+    blocks = (
+        spark.read.schema(read_schema)
+        .parquet(*paths)
+        .where(F.col("term").isin(union_terms))
+        .withColumn("epoch", _epoch_from_path())
+    )
+    qspecs = [
+        (q, list(pq.all_terms), pq.conjunctive, pq.phrases,
+         len(pq.terms), pq.tree)
+        for q, (_, pq, _, _) in routed
+    ]
+    deleted = load_tombstones(index_dir)
+
+    def rank_partition(batches):
+        frames = [f for f in batches if len(f)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        outs = []
+        for q, all_t, conj, phrases, n_terms, tree in qspecs:
+            sub = pdf[pdf["term"].isin(all_t)]
+            if not len(sub):
+                continue
+            g = sub.reset_index(drop=True)
+            out = (
+                _rank_cd_local(g, tree, n_terms, k, method, deleted)
+                if cd
+                else _rank_ts_local(
+                    g, tree, conj, phrases, n_terms, k, method, deleted
+                )
+            )
+            if out is not None and len(out):
+                out.insert(0, "query", q)
+                outs.append(out)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    ranked = blocks.repartition(num_salts, "salt").mapInPandas(
+        rank_partition, "query string, docid long, rank double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query").orderBy(
+        F.desc("rank"), F.asc("docid")
+    )
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query",
+            F.col("rk").alias("rank"),
+            "docid",
+            F.col("rank").alias("score"),
+        )
+    )
+
+
 def _rank_cd_local(pdf, tree, n_terms, k, method, deleted=None):
     """Per-salt-partition candidate intersection + exact kernel
     cover-density ranking from decoded positions."""

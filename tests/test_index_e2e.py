@@ -742,3 +742,40 @@ def test_prefix_query_in_batched_search(spark, built):
     for r in batch:
         got.setdefault(r.query, []).append((r.docid, round(r.score, 9)))
     assert got == {q: v for q, v in per.items() if v}
+
+
+def test_search_many_rank_matches_per_query(spark, built):
+    from pg_cjk_parser_spark.query.topk import (
+        search_many_rank,
+        search_rank,
+        search_rank_cd,
+    )
+
+    index_dir, _, _ = built
+    qs = ["のび太", "doraemnon & nobita"]
+    batch = search_many_rank(
+        spark, index_dir, qs, k=10, mode="tsquery", cd=True
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.query, []).append((r.docid, r.score))
+    for q in qs:
+        per = [
+            (r.docid, r.rank)
+            for r in search_rank_cd(
+                spark, index_dir, q, k=10, mode="tsquery"
+            ).collect()
+        ]
+        assert got.get(q, []) == per, q
+    # or-path variant
+    batch2 = search_many_rank(
+        spark, index_dir, ["doraemnon | nobita"], k=10,
+        mode="tsquery", cd=False,
+    ).collect()
+    per2 = [
+        (r.docid, r.rank)
+        for r in search_rank(
+            spark, index_dir, "doraemnon | nobita", k=10, mode="tsquery"
+        ).collect()
+    ]
+    assert [(r.docid, r.score) for r in batch2] == per2
