@@ -3049,6 +3049,37 @@ ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20
 """
 
 
+def _q_ts_rank_cd_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank path x tombstones: cover-density top-20 on the index
+    where docs 0-9 are deleted (same tombstoned index as
+    bm25_deleted).  ts_rank_cd uses no corpus statistics, so the
+    oracle is the exact cover CTE minus the deleted ids."""
+    import hashlib
+    import tempfile as _tf
+
+    from pg_cjk_parser_spark.index.build import build_index
+    from pg_cjk_parser_spark.index.tombstones import delete_docs
+    from pg_cjk_parser_spark.query.topk import search_rank_cd
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    key = hashlib.md5(f"{sf_dir}|{n}|del".encode()).hexdigest()[:12]
+    index_dir = os.path.join(_tf.gettempdir(), f"pg_cjk_spark_tomb_{key}")
+    build_index(
+        spark, docs, index_dir, docid_col="doc_id",
+        num_buckets=16, num_salts=2, block_size=64,
+        resume=True, fingerprint=f"docs-del-{key}", n_docs=n,
+    )
+    delete_docs(index_dir, range(10))
+    res = search_rank_cd(
+        spark, index_dir, "spark & merge", k=25, mode="tsquery"
+    ).select(
+        F.col("docid").alias("doc_id"),
+        F.round("rank", 6).alias("rank"),
+    )
+    return res.orderBy(F.desc("rank"), F.asc("doc_id")).limit(20)
+
+
 def _q_websearch_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """websearch_to_tsquery('spark merge -batch or "fast table"')
     matched with @@ on the scan path: (spark & merge & !batch) |
@@ -3084,6 +3115,9 @@ _TS_RANK_OR_SQL = _ts_rank_or_sql(["merge", "spark"])
 _TS_RANK_CD_SQL = _ts_rank_cd_sql(["spark", "merge"])
 _TS_RANK_CD_NORM_SQL = _ts_rank_cd_sql(["spark", "merge"], extdist=True)
 _TS_RANK_CD_TOPK_SQL = _ts_rank_cd_sql(["spark", "merge"], topk=20)
+_TS_RANK_CD_DELETED_SQL = _ts_rank_cd_sql(
+    ["spark", "merge"], topk=20
+).replace("WHERE wdoc > 0", "WHERE wdoc > 0 AND doc_id >= 10")
 _TS_RANK_TOPK_SQL = _ts_rank_or_sql(["merge", "spark"], topk=20)
 _TS_RANK_WEIGHTED_SQL = _ts_rank_weighted_sql(["merge", "spark"])
 
@@ -3187,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_upserted": _q_bm25_upserted,
         "websearch_match": _q_websearch_match,
         "ts_rank_cd_topk": _q_ts_rank_cd_topk,
+        "ts_rank_cd_deleted": _q_ts_rank_cd_deleted,
         "ts_rank_topk": _q_ts_rank_topk,
         "ts_rank_and_topk": _q_ts_rank_and_topk,
         "bm25_prefix_topk": _q_bm25_prefix_topk,
@@ -3254,6 +3289,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_upserted": _BM25_UPSERTED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,
         "ts_rank_cd_topk": _TS_RANK_CD_TOPK_SQL,
+        "ts_rank_cd_deleted": _TS_RANK_CD_DELETED_SQL,
         "ts_rank_topk": _TS_RANK_TOPK_SQL,
         "ts_rank_and_topk": _TS_RANK_AND_TOPK_SQL,
         "bm25_prefix_topk": _BM25_PREFIX_SQL,
