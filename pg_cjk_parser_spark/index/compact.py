@@ -22,7 +22,14 @@ from pyspark.sql import SparkSession, functions as F
 from .build import BLOCK_SCHEMA
 from .codec import decode_positions, decode_varints, delta_decode
 from .streaming import _atomic_json, _rebuild_stats
-from .tombstones import alive_mask, clear_tombstones, load_tombstones
+from .tombstones import (
+    alive_mask,
+    clear_tombstones,
+    epoch_from_file_path,
+    epochs_of,
+    list_tombstone_files,
+    load_tombstones,
+)
 
 _POSTING_SCHEMA = (
     "bucket int, salt int, term string, docid long, tf int, doclen int, "
@@ -30,37 +37,53 @@ _POSTING_SCHEMA = (
 )
 
 
-def _decode_blocks(batches):
+def _decode_blocks(batches, deleted=None):
     """Decode posting blocks back to one row per posting.  Column-wise
     zip iteration + np.repeat for the per-block constants; pandas
     iterrows (row-at-a-time Series construction) measured ~10x slower
-    on the same loop."""
+    on the same loop.  Tombstoned (docid, epoch) versions are dropped
+    so the export is the LIVE corpus."""
     from .build import _enc_pos
 
     for pdf in batches:
-        ids_l, tfs_l, dls_l, pos_l, ns = [], [], [], [], []
-        for docids_b, tfs_b, dls_b, pos_b in zip(
+        ids_l, tfs_l, dls_l, pos_l, ns, kept = [], [], [], [], [], []
+        eps = epochs_of(pdf)
+        for ri, (docids_b, tfs_b, dls_b, pos_b, ep) in enumerate(zip(
             pdf["docids"].tolist(), pdf["tfs"].tolist(),
-            pdf["doclens"].tolist(), pdf["positions"].tolist(),
-        ):
+            pdf["doclens"].tolist(), pdf["positions"].tolist(), eps,
+        )):
             ids = delta_decode(docids_b).view(np.int64)
+            tfs_d = decode_varints(tfs_b).astype(np.int64)
+            dls_d = decode_varints(dls_b).astype(np.int64)
+            pos_d = decode_positions(pos_b, len(ids))
+            alive = alive_mask(ids, deleted, int(ep))
+            if alive is not None:
+                ids = ids[alive]
+                tfs_d = tfs_d[alive]
+                dls_d = dls_d[alive]
+                pos_d = [p for p, a in zip(pos_d, alive.tolist()) if a]
+                if not len(ids):
+                    continue
             ids_l.append(ids)
-            tfs_l.append(decode_varints(tfs_b).astype(np.int64))
-            dls_l.append(decode_varints(dls_b).astype(np.int64))
-            pos_l.extend(
-                _enc_pos(ps) for ps in decode_positions(pos_b, len(ids))
-            )
+            tfs_l.append(tfs_d)
+            dls_l.append(dls_d)
+            pos_l.extend(_enc_pos(ps) for ps in pos_d)
             ns.append(len(ids))
+            kept.append(ri)
         if not ns:
             continue
         reps = np.asarray(ns, dtype=np.int64)
         yield pd.DataFrame(
             {
                 "bucket": np.repeat(
-                    pdf["bucket"].to_numpy(np.int32), reps
+                    pdf["bucket"].to_numpy(np.int32)[kept], reps
                 ),
-                "salt": np.repeat(pdf["salt"].to_numpy(np.int32), reps),
-                "term": np.repeat(pdf["term"].to_numpy(object), reps),
+                "salt": np.repeat(
+                    pdf["salt"].to_numpy(np.int32)[kept], reps
+                ),
+                "term": np.repeat(
+                    pdf["term"].to_numpy(object)[kept], reps
+                ),
                 "docid": np.concatenate(ids_l),
                 "tf": np.concatenate(tfs_l),
                 "doclen": np.concatenate(dls_l),
@@ -74,10 +97,19 @@ def decode_postings(spark: SparkSession, index_dir: str):
     (bucket, salt, term, docid, tf, doclen, positions:binary) - the
     inverse of the build; useful for re-sharding into a different
     layout or feeding postings to downstream pipelines."""
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    return postings.select(
-        "bucket", "salt", "term", "docids", "tfs", "doclens", "positions"
-    ).mapInPandas(_decode_blocks, _POSTING_SCHEMA)
+    postings = _read_postings_mixed(spark, index_dir)
+    deleted = load_tombstones(index_dir)
+    return (
+        postings.select(
+            "bucket", "salt", "term", "docids", "tfs", "doclens",
+            "positions",
+        )
+        .withColumn("epoch", epoch_from_file_path())
+        .mapInPandas(
+            lambda it: _decode_blocks(it, deleted=deleted),
+            _POSTING_SCHEMA,
+        )
+    )
 
 
 def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
@@ -107,11 +139,7 @@ def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
         )
 
     for pdf in batches:
-        eps = (
-            pdf["epoch"].tolist()
-            if "epoch" in pdf.columns
-            else [0] * len(pdf)
-        )
+        eps = epochs_of(pdf)
         for bucket, salt, term, docids_b, tfs_b, dls_b, pos_b, ep in zip(
             pdf["bucket"].tolist(), pdf["salt"].tolist(),
             pdf["term"].tolist(), pdf["docids"].tolist(),
@@ -168,17 +196,34 @@ def compact_index(
     from .build import PACKED_SCHEMA, _encode_cells
 
     postings = _read_postings_mixed(spark, index_dir)
-    deleted = load_tombstones(index_dir)
-    removed = (
-        _deleted_stats(postings, deleted) if deleted is not None else None
-    )
-    epoch_col = F.coalesce(
-        F.nullif(
-            F.regexp_extract(F.input_file_name(), "epoch=(\\d+)", 1),
-            F.lit(""),
-        ).cast("int"),
-        F.lit(0),
-    )
+    # SNAPSHOT the tombstone files: deletes arriving during the (long)
+    # compaction are neither applied nor cleared - they stay masking
+    # their targets and fold out next time
+    tomb_files = list_tombstone_files(index_dir)
+    pending_path = os.path.join(index_dir, "_compact_pending.json")
+    if os.path.exists(pending_path):
+        # crash recovery: a prior compaction swapped the data but died
+        # before the stats/manifest update; its journaled removal
+        # counts are still the truth (recomputing over the already-
+        # compacted postings would find zero)
+        with open(pending_path) as f:
+            pj = json.load(f)
+        tomb_files = pj["tomb_files"]
+        removed = pj["removed"]
+        deleted = load_tombstones(index_dir, tomb_files)
+    else:
+        deleted = load_tombstones(index_dir, tomb_files)
+        removed = (
+            _deleted_stats(postings, deleted)
+            if deleted is not None
+            else None
+        )
+        if removed is not None:
+            _atomic_json(
+                pending_path,
+                {"tomb_files": tomb_files, "removed": removed},
+            )
+    epoch_col = epoch_from_file_path()
     cells = postings.select(
         "bucket", "salt", "term", "docids", "tfs", "doclens", "positions"
     ).withColumn("epoch", epoch_col).mapInPandas(
@@ -237,7 +282,7 @@ def compact_index(
         stats["n_docs"] -= removed["n_docs"]
         stats["total_tf"] -= removed["total_tf"]
         stats["n_postings"] -= removed["n_postings"]
-        clear_tombstones(index_dir)
+        clear_tombstones(index_dir, tomb_files)
 
     # consolidate epoch manifests into one
     mdir = os.path.join(index_dir, "manifests")
@@ -257,10 +302,13 @@ def compact_index(
                 "applied_at": time.time(),
             },
         )
-        return _rebuild_stats(
+        out = _rebuild_stats(
             index_dir, stats["num_buckets"], stats["num_salts"], block_size,
             stats["k1"], stats["b"], stats.get("normalize_zht", False),
         )
+        if os.path.exists(pending_path):
+            os.remove(pending_path)
+        return out
     # compaction rewrote the layout under epoch=<new_epoch> even for a
     # batch-built index: record it so query routing derives scan paths
     stats["epochs"] = [new_epoch]
@@ -282,6 +330,8 @@ def compact_index(
         },
     )
     _atomic_json(os.path.join(index_dir, "stats.json"), stats)
+    if os.path.exists(pending_path):
+        os.remove(pending_path)
     return stats
 
 
@@ -299,11 +349,7 @@ def _deleted_stats(postings, deleted) -> dict:
 
     def gen(batches):
         for pdf in batches:
-            eps = (
-                pdf["epoch"].tolist()
-                if "epoch" in pdf.columns
-                else [0] * len(pdf)
-            )
+            eps = epochs_of(pdf)
             out_i, out_t, out_e = [], [], []
             for docids_b, tfs_b, ep in zip(
                 pdf["docids"].tolist(), pdf["tfs"].tolist(), eps
@@ -328,13 +374,7 @@ def _deleted_stats(postings, deleted) -> dict:
                     }
                 )
 
-    epoch_col = F.coalesce(
-        F.nullif(
-            F.regexp_extract(F.input_file_name(), "epoch=(\\d+)", 1),
-            F.lit(""),
-        ).cast("int"),
-        F.lit(0),
-    )
+    epoch_col = epoch_from_file_path()
     row = (
         postings.select("docids", "tfs")
         .withColumn("epoch", epoch_col)
@@ -454,13 +494,7 @@ def merge_epochs(
     removed = (
         _deleted_stats(postings, deleted) if deleted is not None else None
     )
-    epoch_col = F.coalesce(
-        F.nullif(
-            F.regexp_extract(F.input_file_name(), "epoch=(\\d+)", 1),
-            F.lit(""),
-        ).cast("int"),
-        F.lit(0),
-    )
+    epoch_col = epoch_from_file_path()
     cells = postings.select(
         "bucket", "salt", "term", "docids", "tfs", "doclens", "positions"
     ).withColumn("epoch", epoch_col).mapInPandas(
@@ -489,10 +523,19 @@ def merge_epochs(
         .parquet(tmp_ts)
     )
 
-    # swap: drop the merged epochs' dirs, land the target
+    # swap, non-destructively: move the merged epochs' dirs ASIDE
+    # first, land the target, and only delete the originals after the
+    # manifests are updated - a crash mid-way leaves every byte on
+    # disk under _old_merge_* instead of losing epochs
+    aside = []
     for e in epochs:
-        shutil.rmtree(os.path.join(pdir, f"epoch={e}"), ignore_errors=True)
-        shutil.rmtree(os.path.join(tdir, f"epoch={e}"), ignore_errors=True)
+        for base in (pdir, tdir):
+            live = os.path.join(base, f"epoch={e}")
+            if os.path.exists(live):
+                old_p = os.path.join(base, f"_old_merge_epoch={e}")
+                shutil.rmtree(old_p, ignore_errors=True)
+                os.replace(live, old_p)
+                aside.append(old_p)
     os.replace(tmp_postings, os.path.join(pdir, f"epoch={target}"))
     os.replace(tmp_ts, os.path.join(tdir, f"epoch={target}"))
 
@@ -525,10 +568,13 @@ def merge_epochs(
             "applied_at": time.time(),
         },
     )
-    return _rebuild_stats(
+    out = _rebuild_stats(
         index_dir, stats["num_buckets"], stats["num_salts"], block_size,
         stats["k1"], stats["b"], stats.get("normalize_zht", False),
     )
+    for old_p in aside:
+        shutil.rmtree(old_p, ignore_errors=True)
+    return out
 
 
 def maintain_index(

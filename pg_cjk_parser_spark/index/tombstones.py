@@ -5,7 +5,8 @@ parity on an append-only index).
 ``delete_docs`` appends a (docid, upto_epoch) list under
 ``<index>/tombstones/``; no index data is rewritten.  A tombstone
 masks the doc's postings in every epoch <= ``upto_epoch`` (a plain
-DELETE uses an unbounded upto), so an UPDATE is
+DELETE bounds at the current max epoch, so later re-inserts stay
+visible), so an UPDATE is
 ``delete_docs(ids, upto_epoch=e-1)`` followed by appending the new
 versions as epoch ``e`` - the old version disappears, the new one
 serves (``upsert_index_batch`` in index/streaming.py packages
@@ -40,20 +41,45 @@ def _tomb_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones")
 
 
+def current_max_epoch(index_dir: str) -> int:
+    """The largest epoch the index holds right now (0 for a
+    batch-built index)."""
+    import json
+
+    spath = os.path.join(index_dir, "stats.json")
+    try:
+        with open(spath) as f:
+            eps = json.load(f).get("epochs") or []
+        return max(eps) if eps else 0
+    except OSError:
+        return 0
+
+
 def delete_docs(
     index_dir: str, docids, upto_epoch: int | None = None
 ) -> int:
     """Mark documents deleted in every epoch <= ``upto_epoch``
-    (default: all epochs - a plain DELETE).  Accepts any iterable of
-    ints; append-only and idempotent - re-deleting an id, or deleting
-    one that never existed, is harmless."""
+    (default: the index's CURRENT max epoch - a plain DELETE "as of
+    now", so a later re-insert of the same docid in a NEWER epoch is
+    visible again, matching PG DELETE-then-INSERT).  Pass
+    ``NO_EPOCH_LIMIT`` explicitly for a delete that also swallows
+    future versions.  Accepts any iterable of ints; append-only and
+    idempotent - re-deleting an id, or deleting one that never
+    existed, is harmless (though a tombstone for an id that was
+    indexed with NO postings - empty/stopword-only text - cannot be
+    told apart from a nonexistent id, so such a doc keeps counting in
+    the corpus stats after compaction; Lucene shares the ambiguity)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     ids = np.unique(np.asarray(list(docids), dtype=np.int64))
     if not ids.size:
         return 0
-    upto = NO_EPOCH_LIMIT if upto_epoch is None else int(upto_epoch)
+    upto = (
+        current_max_epoch(index_dir)
+        if upto_epoch is None
+        else int(upto_epoch)
+    )
     d = _tomb_dir(index_dir)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"del-{uuid.uuid4().hex}.parquet")
@@ -73,17 +99,33 @@ def delete_docs(
     return int(ids.size)
 
 
-def load_tombstones(index_dir: str):
+def list_tombstone_files(index_dir: str) -> list[str]:
+    """Current tombstone file names (snapshot them BEFORE a long
+    compaction so concurrently-arriving deletes are neither applied
+    nor cleared)."""
+    d = _tomb_dir(index_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        n for n in os.listdir(d) if n.endswith(".parquet")
+    )
+
+
+def load_tombstones(index_dir: str, files: list[str] | None = None):
     """``(docids, upto)`` - sorted unique docids with each id's MAX
-    epoch bound - or None when nothing is deleted."""
+    epoch bound - or None when nothing is deleted.  ``files`` limits
+    the read to a snapshot from :func:`list_tombstone_files`."""
     import pyarrow.parquet as pq
 
     d = _tomb_dir(index_dir)
     if not os.path.isdir(d):
         return None
     ids_l, upto_l = [], []
-    for name in sorted(os.listdir(d)):
-        if name.endswith(".parquet"):
+    names = files if files is not None else sorted(os.listdir(d))
+    for name in names:
+        if name.endswith(".parquet") and os.path.exists(
+            os.path.join(d, name)
+        ):
             t = pq.read_table(os.path.join(d, name))
             ids_l.append(t["docid"].to_numpy().astype(np.int64))
             if "upto" in t.column_names:
@@ -105,11 +147,29 @@ def load_tombstones(index_dir: str):
     return ids[last], upto[last]
 
 
-def clear_tombstones(index_dir: str) -> None:
-    """Remove the tombstone files (after compaction applied them)."""
-    import shutil
+def clear_tombstones(
+    index_dir: str, files: list[str] | None = None
+) -> None:
+    """Remove tombstone files after compaction applied them - only
+    the given snapshot when ``files`` is passed, so deletes that
+    arrived DURING the compaction survive to mask (and later drop)
+    their targets."""
+    d = _tomb_dir(index_dir)
+    if files is None:
+        import shutil
 
-    shutil.rmtree(_tomb_dir(index_dir), ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
+        return
+    for name in files:
+        try:
+            os.remove(os.path.join(d, name))
+        except OSError:
+            pass
+    try:
+        if not os.listdir(d):
+            os.rmdir(d)
+    except OSError:
+        pass
 
 
 def alive_mask(
@@ -133,3 +193,26 @@ def alive_mask(
         epochs = 0
     hit &= upto[jc] >= epochs
     return None if not hit.any() else ~hit
+
+
+def epoch_from_file_path():
+    """Spark Column: a block's epoch parsed from its file path
+    (epoch=N dir, 0 for batch-layout files) - the single home of the
+    layout convention; query and compaction readers share it."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.input_file_name(), "epoch=(\\d+)", 1),
+            F.lit(""),
+        ).cast("int"),
+        F.lit(0),
+    )
+
+
+def epochs_of(pdf):
+    """Per-row epoch list for a pandas block frame (0 when the
+    column is absent - batch layout)."""
+    if "epoch" in pdf.columns:
+        return pdf["epoch"].tolist()
+    return [0] * len(pdf)

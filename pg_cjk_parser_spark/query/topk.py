@@ -50,7 +50,11 @@ from ..kernel.tsvector import (
     to_tsquery,
 )
 from ..index.codec import decode_varints
-from ..index.tombstones import alive_mask, load_tombstones
+from ..index.tombstones import (
+    alive_mask,
+    epoch_from_file_path,
+    load_tombstones,
+)
 
 
 def load_stats(index_dir: str) -> dict:
@@ -344,16 +348,9 @@ def _read_blocks_local(ds, paths, terms) -> pd.DataFrame:
 
 
 def _epoch_from_path() -> F.Column:
-    """Per-block epoch derived from the file path (epoch=N dir), 0
-    for batch-layout files - uniform across mixed layouts without
-    relying on partition-column discovery."""
-    return F.coalesce(
-        F.nullif(
-            F.regexp_extract(F.input_file_name(), "epoch=(\\d+)", 1),
-            F.lit(""),
-        ).cast("int"),
-        F.lit(0),
-    )
+    """Per-block epoch derived from the file path - shared layout
+    convention (index/tombstones.epoch_from_file_path)."""
+    return epoch_from_file_path()
 
 
 def _postings_paths(index_dir: str, bset, stats) -> list[str]:

@@ -517,3 +517,65 @@ def test_randomized_mutations_vs_brute_force(spark, tmp_path):
         assert got == want, q
         checked += bool(want)
     assert checked >= 20
+
+
+def test_reinsert_after_plain_delete_is_visible(spark, tmp_path):
+    """PG DELETE-then-INSERT parity: a plain delete bounds at the
+    current max epoch, so re-indexing the docid in a newer epoch
+    makes it visible again (and compaction keeps only the new
+    version)."""
+    from pg_cjk_parser_spark.index.streaming import append_index_batch
+
+    idx = str(tmp_path / "reins")
+    append_index_batch(
+        spark,
+        spark.createDataFrame(
+            [(7, "fast table"), (8, "merge value")],
+            "doc_id long, text string",
+        ),
+        idx, epoch=0, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    delete_docs(idx, [7])
+    assert [r.docid for r in search(spark, idx, "fast table", k=10).collect()] == []
+    append_index_batch(
+        spark,
+        spark.createDataFrame([(7, "fast table big")], "doc_id long, text string"),
+        idx, epoch=1, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    assert [r.docid for r in search(spark, idx, "fast table", k=10).collect()] == [7]
+    compact_index(spark, idx)
+    assert [r.docid for r in search(spark, idx, "fast table", k=10).collect()] == [7]
+    assert load_stats(idx)["n_docs"] == 2
+
+
+def test_decode_postings_exports_live_corpus(spark, tmp_path):
+    """decode_postings must read mixed layouts and export only LIVE
+    versions (deleted docs absent, upserted docs once, new text)."""
+    from pg_cjk_parser_spark.index.compact import decode_postings
+    from pg_cjk_parser_spark.index.streaming import upsert_index_batch
+
+    idx = str(tmp_path / "exp")
+    docs = spark.createDataFrame(
+        [(0, "fast table"), (1, "merge value"), (2, "spark big")],
+        "doc_id long, text string",
+    )
+    build_index(
+        spark, docs, idx, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    upsert_index_batch(
+        spark,
+        spark.createDataFrame([(1, "key line")], "doc_id long, text string"),
+        idx, epoch=1, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    delete_docs(idx, [2])
+    rows = decode_postings(spark, idx).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.docid, set()).add(r.term)
+    assert 2 not in by_doc                       # deleted absent
+    assert by_doc[1] == {"key", "line"}          # only the new version
+    assert by_doc[0] == {"fast", "tabl"}
