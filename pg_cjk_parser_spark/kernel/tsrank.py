@@ -348,7 +348,8 @@ def ts_rank_cd(
     items = _docrep(v, _operands(node))
     if not items:
         return 0.0
-    invws = [1.0 / w for w in weights]
+    # PG accepts weight 0.0 (C: 1.0f/0.0f = inf -> zero Cpos share)
+    invws = [1.0 / w if w > 0 else float("inf") for w in weights]
     wdoc = 0.0
     sum_dist = 0.0
     prev_ext = 0.0

@@ -4,10 +4,10 @@ Query lifecycle (scatter-gather):
 
 1. Tokenize the query string with the SAME kernel (driver side) ->
    phrase/AND tree; collect positive terms.
-2. Compute each term's bucket with Spark's own ``xxhash64`` (a
-   row-count-|q| job) so bucket routing is bit-identical with the
-   build; read only those ``bucket=`` partitions (partition pruning)
-   with a pushed-down ``term IN (...)`` filter.
+2. Compute each term's bucket driver-side with a bit-identical
+   pure-Python xxhash64 (no Spark job); read only those ``bucket=``
+   partitions (partition pruning) with a pushed-down
+   ``term IN (...)`` filter.
 3. Load idf per term from the (pruned) termstats shards.
 4. Repartition the matching posting blocks by ``salt``: every term's
    shard-s list covers the same docid subset (salt is a hash of
@@ -66,7 +66,7 @@ def idf(n_docs: int, df: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
-def term_buckets(spark: SparkSession, terms: list[str], num_buckets: int) -> dict[str, int]:
+def term_buckets(terms: list[str], num_buckets: int) -> dict[str, int]:
     """Bucket per term, driver-side (bit-identical with Spark's
     pmod(xxhash64(term), B) used at build; no Spark job)."""
     from ..index.xxh64 import pmod, spark_xxhash64_str
@@ -83,6 +83,17 @@ def _shard_paths(index_dir: str, subdir: str, bset, stats) -> list[str]:
     O(|q| buckets x epochs)."""
     pdir = os.path.join(index_dir, subdir)
     epochs = stats.get("epochs")
+    if epochs is None and os.path.isdir(pdir):
+        # stats predate (or never learned about) epoch appends: trust
+        # the directory over the stats so foreign-appended epochs are
+        # not silently dropped
+        found = sorted(
+            int(n.split("=", 1)[1])
+            for n in os.listdir(pdir)
+            if n.startswith("epoch=")
+            and n.split("=", 1)[1].isdigit()
+        )
+        epochs = found or None
     paths = []
     for b in bset:
         p = os.path.join(pdir, f"bucket={b}")
@@ -144,10 +155,11 @@ def expand_prefix(
     bset = list(range(stats["num_buckets"]))
     paths = _shard_paths(index_dir, "termstats", bset, stats)
     flt = ds.field("term") >= prefix
-    if ord(prefix[-1]) < 0x10FFFF:
-        flt = flt & (
-            ds.field("term") < prefix[:-1] + chr(ord(prefix[-1]) + 1)
-        )
+    nxt = ord(prefix[-1]) + 1
+    if nxt == 0xD800:  # skip the surrogate block (unencodable)
+        nxt = 0xE000
+    if nxt <= 0x10FFFF:
+        flt = flt & (ds.field("term") < prefix[:-1] + chr(nxt))
     out: set[str] = set()
     for p in paths:
         tbl = ds.dataset(p).to_table(columns=["term"], filter=flt)
@@ -316,7 +328,7 @@ def _route(index_dir: str, query: str, mode: str):
     )
     if not pq.terms:
         return None
-    buckets = term_buckets(None, pq.all_terms, stats["num_buckets"])
+    buckets = term_buckets(pq.all_terms, stats["num_buckets"])
     bset = sorted(set(buckets.values()))
     df_map = _read_termstats(index_dir, bset, pq.all_terms, stats)
     if not df_map or (pq.conjunctive and any(t not in df_map for t in pq.terms)):
@@ -509,6 +521,11 @@ def search_rank_cd(
 
 _KEYOFF = 1 << 15  # keeps pos - chain_offset positive inside 16 bits
 
+# sentinel: a bulk ranker detected (candidate, position) key
+# collisions - distinct lexemes clamped to the same position - and
+# the caller must re-rank those docs through the generic kernel path
+_COLLIDED = object()
+
 
 def _rank_cd_phrase_bulk(lists, cand, items, k, method):
     """Vectorized cover-density ranking for a pure phrase-chain query
@@ -533,6 +550,9 @@ def _rank_cd_phrase_bulk(lists, cand, items, k, method):
     for t in {t for t, _ in offsets}:
         cidx, pos = lists[t].positions_bulk(cand)
         keybases[t] = (cidx << 16) + pos + _KEYOFF
+    allk = np.concatenate(list(keybases.values()))
+    if np.unique(allk).size != allk.size:
+        return _COLLIDED  # clamped-position collision: exact path
     starts = None
     for t, off in offsets:
         kb = keybases[t] - off
@@ -541,7 +561,7 @@ def _rank_cd_phrase_bulk(lists, cand, items, k, method):
         )
         if not starts.size:
             return None
-    merged = np.unique(np.concatenate(list(keybases.values())))
+    merged = np.sort(allk)
     cnt = np.searchsorted(merged, starts + width, "right") - np.searchsorted(
         merged, starts, "left"
     )
@@ -567,11 +587,13 @@ def _rank_cd_and2_bulk(lists, cand, ta, tb, k, method):
     lab = np.concatenate(
         [np.zeros(ia.size, np.int8), np.ones(ib.size, np.int8)]
     )
-    srt = np.argsort(keys)  # positions are distinct -> keys unique
+    srt = np.argsort(keys)
     keys = keys[srt]
     lab = lab[srt]
     if keys.size < 2:
         return None
+    if np.any(keys[1:] == keys[:-1]):
+        return _COLLIDED  # clamped-position collision: exact path
     sel = np.flatnonzero(
         ((keys[1:] >> 16) == (keys[:-1] >> 16)) & (lab[1:] != lab[:-1])
     )
@@ -754,9 +776,11 @@ def _rank_and2_positions_bulk(lists, cand, terms):
     the kernel's pair order (term-1 positions outer, term-0 inner)
     preserved by segment arithmetic.  Only the final per-doc
     1-(1-res)(1-curw) fold stays a Python loop (a handful of
-    multiplies per doc) so the bits match kernel ts_rank.  Falls back
-    to the generic path when any per-doc position list exceeds
-    MAXNUMPOS (the kernel caps at 256; positions_bulk does not)."""
+    multiplies per doc) so the bits match kernel ts_rank.  Position
+    lists clip at
+    MAXNUMPOS (a defensive cap: index-built postings can never
+    exceed it - the builder stores tf = len(to_tsvector positions),
+    which to_tsvector caps at 256)."""
     (ia, pa) = lists[terms[0]].positions_bulk(cand)
     (ib, pb) = lists[terms[1]].positions_bulk(cand)
     n = cand.size
@@ -1036,6 +1060,14 @@ def search_many_rank(
     Same unioned-routing strategy as :func:`search_many`; the same
     per-query shape/method restrictions apply and invalid queries
     raise up front."""
+    if cd and method & ~(4 | 32):
+        raise ValueError(
+            "index-path ts_rank_cd supports normalization bits 4|32 only"
+        )
+    if not cd and method & ~(1 | 2 | 32):
+        raise ValueError(
+            "index-path ts_rank supports normalization bits 1|2|32 only"
+        )
     routed = []
     seen: set[str] = set()
     for q in queries:
@@ -1047,22 +1079,12 @@ def search_many_rank(
             continue
         _stats, pq, _bs, _idf = r
         if cd:
-            if method & ~(4 | 32):
-                raise ValueError(
-                    "index-path ts_rank_cd supports normalization "
-                    "bits 4|32 only"
-                )
             if not pq.conjunctive:
                 raise ValueError(
                     f"query {q!r}: index-path ts_rank_cd supports "
                     "conjunctive queries only"
                 )
         else:
-            if method & ~(1 | 2 | 32):
-                raise ValueError(
-                    "index-path ts_rank supports normalization bits "
-                    "1|2|32 only"
-                )
             if not pq.conjunctive and not _is_flat_or(pq.tree):
                 raise ValueError(
                     f"query {q!r}: index-path ts_rank supports "
@@ -1169,8 +1191,10 @@ def _rank_cd_local(pdf, tree, n_terms, k, method, deleted=None):
     if cand is None or cand.size == 0:
         return None
     if isinstance(tree, Phrase):
-        return _rank_cd_phrase_bulk(lists, cand, tree.items, k, method)
-    if (
+        out = _rank_cd_phrase_bulk(lists, cand, tree.items, k, method)
+        if out is not _COLLIDED:
+            return out
+    elif (
         isinstance(tree, And)
         and len(tree.children) == 2
         and all(
@@ -1179,7 +1203,7 @@ def _rank_cd_local(pdf, tree, n_terms, k, method, deleted=None):
         )
         and tree.children[0].items[0][0] != tree.children[1].items[0][0]
     ):
-        return _rank_cd_and2_bulk(
+        out = _rank_cd_and2_bulk(
             lists,
             cand,
             tree.children[0].items[0][0],
@@ -1187,6 +1211,18 @@ def _rank_cd_local(pdf, tree, n_terms, k, method, deleted=None):
             k,
             method,
         )
+        if out is not _COLLIDED:
+            return out
+    return _rank_cd_generic(lists, cand, tree, k, method)
+
+
+def _rank_cd_generic(lists, cand, tree, k, method):
+    """Per-candidate kernel ranking - the reference path for
+    arbitrary trees, and the fallback the bulk paths take when
+    position-clamp collisions (distinct lexemes sharing MAXENTRYPOS
+    in >16383-token docs) break their unique-key assumptions."""
+    from ..kernel.tsrank import ts_rank_cd
+
     out_ids: list[int] = []
     out_ranks: list[float] = []
     for d in cand.tolist():

@@ -779,3 +779,42 @@ def test_search_many_rank_matches_per_query(spark, built):
         ).collect()
     ]
     assert [(r.docid, r.score) for r in batch2] == per2
+
+
+def test_rank_cd_clamped_position_collision_falls_back(spark, tmp_path):
+    """Docs longer than MAXENTRYPOS clamp tail positions to 16383, so
+    distinct lexemes can share a position - the vectorized rank paths
+    must detect the key collision and fall back to the exact kernel
+    path instead of emitting infinite ranks."""
+    import math
+
+    from pg_cjk_parser_spark.kernel.tsrank import ts_rank_cd
+    from pg_cjk_parser_spark.kernel.tsvector import to_tsquery, to_tsvector
+    from pg_cjk_parser_spark.query.topk import search_rank_cd
+
+    long_text = ("filler " * 16390) + "doraemnon nobita"
+    texts = [(0, long_text), (1, "doraemnon row nobita")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    idx = str(tmp_path / "clamp")
+    build_index(
+        spark, docs, idx, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    for q in ("doraemnon & nobita", "doraemnon <-> nobita"):
+        node = to_tsquery(q)
+        scan = sorted(
+            (
+                (i, r)
+                for i, t in texts
+                if (r := ts_rank_cd(to_tsvector(t), node)) > 0
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        got = [
+            (r.docid, r.rank)
+            for r in search_rank_cd(
+                spark, idx, q, k=10, mode="tsquery"
+            ).collect()
+        ]
+        assert got == scan, q
+        assert all(math.isfinite(r) for _, r in got)
