@@ -365,6 +365,30 @@ def _epoch_from_path() -> F.Column:
     return epoch_from_file_path()
 
 
+_BLOCK_READ_SCHEMA = (
+    "salt int, term string, n int, min_docid long, max_docid long, "
+    "docids binary, tfs binary, doclens binary, positions binary, "
+    "max_tf int, min_dl int"
+)
+
+
+def _read_blocks(spark: SparkSession, paths: list[str], terms) -> DataFrame:
+    """The one shared postings-block read every query path uses.
+
+    The explicit schema (the block columns the scorers need) skips
+    per-query parquet footer inference and doubles as column pruning;
+    leaf dirs are passed as ROOTS (no basePath) because partition-
+    column discovery would conflict across mixed layouts (batch
+    bucket= dirs + appended epoch=/bucket= dirs) - partition values
+    are not needed, the block epoch derives from the file path."""
+    return (
+        spark.read.schema(_BLOCK_READ_SCHEMA)
+        .parquet(*paths)
+        .where(F.col("term").isin(list(terms)))
+        .withColumn("epoch", _epoch_from_path())
+    )
+
+
 def _postings_paths(index_dir: str, bset, stats) -> list[str]:
     return _shard_paths(index_dir, "postings", bset, stats)
 
@@ -386,29 +410,7 @@ def search(
     paths = _postings_paths(index_dir, bset, stats)
     if not paths:
         return spark.createDataFrame([], "docid long, score double")
-    # explicit schema (the block columns the scorer needs): skips the
-    # per-query parquet footer schema inference AND doubles as column
-    # pruning; partition columns (bucket/epoch) are path-encoded and
-    # not needed downstream
-    read_schema = (
-        "salt int, term string, n int, min_docid long, max_docid long, "
-        "docids binary, tfs binary, doclens binary, positions binary, "
-        "max_tf int, min_dl int"
-    )
-    # leaf dirs are passed as roots (no basePath): partition-column
-    # discovery would CONFLICT across mixed layouts (batch bucket=
-    # dirs + appended epoch=/bucket= dirs); the partition values are
-    # not needed - the block epoch derives from the file path
-    blocks = (
-        spark.read.schema(read_schema)
-        .parquet(*paths)
-        .where(F.col("term").isin(pq.all_terms))
-        .select(
-            "salt", "term", "n", "min_docid", "max_docid", "docids",
-            "tfs", "doclens", "positions", "max_tf", "min_dl",
-        )
-        .withColumn("epoch", _epoch_from_path())
-    )
+    blocks = _read_blocks(spark, paths, pq.all_terms)
 
     phrases = pq.phrases
     conj = pq.conjunctive
@@ -482,21 +484,7 @@ def search_rank_cd(
     paths = _postings_paths(index_dir, bset, stats)
     if not paths:
         return spark.createDataFrame([], "docid long, rank double")
-    read_schema = (
-        "salt int, term string, n int, min_docid long, max_docid long, "
-        "docids binary, tfs binary, doclens binary, positions binary, "
-        "max_tf int, min_dl int"
-    )
-    # leaf dirs are passed as roots (no basePath): partition-column
-    # discovery would CONFLICT across mixed layouts (batch bucket=
-    # dirs + appended epoch=/bucket= dirs); the partition values are
-    # not needed - the block epoch derives from the file path
-    blocks = (
-        spark.read.schema(read_schema)
-        .parquet(*paths)
-        .where(F.col("term").isin(pq.all_terms))
-        .withColumn("epoch", _epoch_from_path())
-    )
+    blocks = _read_blocks(spark, paths, pq.all_terms)
     num_salts = stats["num_salts"]
     deleted = load_tombstones(index_dir)
 
@@ -692,21 +680,7 @@ def search_rank(
     paths = _postings_paths(index_dir, bset, stats)
     if not paths:
         return spark.createDataFrame([], "docid long, rank double")
-    read_schema = (
-        "salt int, term string, n int, min_docid long, max_docid long, "
-        "docids binary, tfs binary, doclens binary, positions binary, "
-        "max_tf int, min_dl int"
-    )
-    # leaf dirs are passed as roots (no basePath): partition-column
-    # discovery would CONFLICT across mixed layouts (batch bucket=
-    # dirs + appended epoch=/bucket= dirs); the partition values are
-    # not needed - the block epoch derives from the file path
-    blocks = (
-        spark.read.schema(read_schema)
-        .parquet(*paths)
-        .where(F.col("term").isin(pq.all_terms))
-        .withColumn("epoch", _epoch_from_path())
-    )
+    blocks = _read_blocks(spark, paths, pq.all_terms)
     num_salts = stats["num_salts"]
     conj = pq.conjunctive
     phrases = pq.phrases
@@ -1103,17 +1077,7 @@ def search_many_rank(
     paths = _postings_paths(index_dir, union_bset, stats)
     if not paths:
         return spark.createDataFrame([], empty_schema)
-    read_schema = (
-        "salt int, term string, n int, min_docid long, max_docid long, "
-        "docids binary, tfs binary, doclens binary, positions binary, "
-        "max_tf int, min_dl int"
-    )
-    blocks = (
-        spark.read.schema(read_schema)
-        .parquet(*paths)
-        .where(F.col("term").isin(union_terms))
-        .withColumn("epoch", _epoch_from_path())
-    )
+    blocks = _read_blocks(spark, paths, union_terms)
     qspecs = [
         (q, list(pq.all_terms), pq.conjunctive, pq.phrases,
          len(pq.terms), pq.tree)
@@ -1278,25 +1242,7 @@ def search_many(
     paths = _postings_paths(index_dir, union_bset, stats)
     if not paths:
         return spark.createDataFrame([], empty_schema)
-    read_schema = (
-        "salt int, term string, n int, min_docid long, max_docid long, "
-        "docids binary, tfs binary, doclens binary, positions binary, "
-        "max_tf int, min_dl int"
-    )
-    # leaf dirs are passed as roots (no basePath): partition-column
-    # discovery would CONFLICT across mixed layouts (batch bucket=
-    # dirs + appended epoch=/bucket= dirs); the partition values are
-    # not needed - the block epoch derives from the file path
-    blocks = (
-        spark.read.schema(read_schema)
-        .parquet(*paths)
-        .where(F.col("term").isin(union_terms))
-        .select(
-            "salt", "term", "n", "min_docid", "max_docid", "docids",
-            "tfs", "doclens", "positions", "max_tf", "min_dl",
-        )
-        .withColumn("epoch", _epoch_from_path())
-    )
+    blocks = _read_blocks(spark, paths, union_terms)
     qspecs = [
         (
             q, list(pq.all_terms), idf_map, pq.conjunctive, pq.phrases,
