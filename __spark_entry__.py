@@ -2851,7 +2851,7 @@ WITH t AS (
 SELECT id_a, id_b,
   round(inter / CAST(na + nb - inter AS DOUBLE), 6) AS sim
 FROM p
-WHERE round(inter / CAST(na + nb - inter AS DOUBLE), 6) >= 0.87
+WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.87
 ORDER BY id_a, id_b
 """
 

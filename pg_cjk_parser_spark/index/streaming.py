@@ -48,6 +48,50 @@ def _epoch_manifest(index_dir: str, epoch: int) -> str:
     return os.path.join(index_dir, "manifests", f"epoch={epoch}.json")
 
 
+def _resolve_layout(
+    index_dir: str,
+    num_buckets,
+    num_salts,
+    block_size,
+    k1,
+    b,
+    normalize_zht,
+):
+    """Resolve layout parameters against an existing index's
+    stats.json: omitted values INHERIT, explicit values must MATCH -
+    appending with a different bucket/salt count would write postings
+    that query routing can never find (terms hash to different
+    buckets), and a normalize_zht flip would change query-side
+    normalization for the whole index.  Fail loudly instead."""
+    stats = None
+    try:
+        with open(_stats_path(index_dir)) as f:
+            stats = json.load(f)
+    except OSError:
+        pass
+    resolved = {}
+    for name, val, default in (
+        ("num_buckets", num_buckets, DEFAULT_BUCKETS),
+        ("num_salts", num_salts, DEFAULT_SALTS),
+        ("block_size", block_size, DEFAULT_BLOCK),
+        ("k1", k1, 1.2),
+        ("b", b, 0.75),
+        ("normalize_zht", normalize_zht, False),
+    ):
+        have = stats.get(name) if stats else None
+        if val is None:
+            resolved[name] = have if have is not None else default
+        elif have is not None and val != have:
+            raise ValueError(
+                f"append/upsert {name}={val!r} conflicts with the "
+                f"existing index's {name}={have!r} (stats.json); "
+                "omit the parameter to inherit it"
+            )
+        else:
+            resolved[name] = val
+    return resolved
+
+
 def append_index_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -55,12 +99,12 @@ def append_index_batch(
     epoch: int,
     docid_col: str | None = None,
     text_col: str = "text",
-    num_buckets: int = DEFAULT_BUCKETS,
-    num_salts: int = DEFAULT_SALTS,
-    block_size: int = DEFAULT_BLOCK,
-    k1: float = 1.2,
-    b: float = 0.75,
-    normalize_zht: bool = False,
+    num_buckets: int | None = None,
+    num_salts: int | None = None,
+    block_size: int | None = None,
+    k1: float | None = None,
+    b: float | None = None,
+    normalize_zht: bool | None = None,
 ) -> dict:
     """Append one micro-batch to the index; idempotent per epoch.
 
@@ -68,6 +112,16 @@ def append_index_batch(
     as epoch 0, and the base corpus totals are captured once into
     ``manifests/base.json`` so the manifest-derived stats keep
     counting them."""
+    lay = _resolve_layout(
+        index_dir, num_buckets, num_salts, block_size, k1, b,
+        normalize_zht,
+    )
+    num_buckets = lay["num_buckets"]
+    num_salts = lay["num_salts"]
+    block_size = lay["block_size"]
+    k1 = lay["k1"]
+    b = lay["b"]
+    normalize_zht = lay["normalize_zht"]
     mdir = os.path.join(index_dir, "manifests")
     os.makedirs(mdir, exist_ok=True)
     base_manifest = os.path.join(mdir, "base.json")
@@ -340,15 +394,23 @@ def upsert_index_batch(
     counts."""
     from .tombstones import delete_docs
 
+    if epoch <= 0:
+        raise ValueError(
+            "upsert_index_batch needs epoch >= 1: batch-built base "
+            "postings count as epoch 0, so an epoch-0 upsert could "
+            "never mask the versions it replaces (streaming sinks "
+            "should use batchId + 1)"
+        )
     mpath = _epoch_manifest(index_dir, epoch)
     if not os.path.exists(mpath):
-        if docid_col is not None:
-            ids = [r[0] for r in batch.select(docid_col).collect()]
-        else:
-            ids = [
-                r[0]
-                for r in batch.selectExpr("xxhash64(url)").collect()
-            ]
+        # the SAME docid derivation the indexing path uses (incl. its
+        # cast to long), so tombstoned ids always equal indexed ids
+        ids = [
+            r[0]
+            for r in _with_docid(batch, docid_col)
+            .select("docid")
+            .collect()
+        ]
         delete_docs(index_dir, ids, upto_epoch=epoch - 1)
     return append_index_batch(
         spark, batch, index_dir, epoch, docid_col=docid_col, **kwargs

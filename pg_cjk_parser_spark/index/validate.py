@@ -41,6 +41,7 @@ def validate_index(index_dir: str, deep: bool = False, sample_blocks: int = 50) 
     # --- manifests -------------------------------------------------------
     mdir = os.path.join(index_dir, "manifests")
     bucket_ms, epoch_ms = [], []
+    base_m = None
     if os.path.isdir(mdir):
         for name in sorted(os.listdir(mdir)):
             if not name.endswith(".json"):
@@ -51,7 +52,14 @@ def validate_index(index_dir: str, deep: bool = False, sample_blocks: int = 50) 
             except Exception as ex:
                 fail(f"manifest {name} unreadable: {ex}")
                 continue
-            (epoch_ms if name.startswith("epoch=") else bucket_ms).append(m)
+            if name == "base.json":
+                # batch-built corpus totals captured on first append
+                # (streaming.py): part of the stats sum, not a bucket
+                base_m = m
+            elif name.startswith("epoch="):
+                epoch_ms.append(m)
+            else:
+                bucket_ms.append(m)
     else:
         fail("manifests dir missing")
 
@@ -64,15 +72,27 @@ def validate_index(index_dir: str, deep: bool = False, sample_blocks: int = 50) 
             fail(f"stats.epochs {stats.get('epochs')} != manifests {have}")
         for key in ("n_docs", "total_tf", "n_postings"):
             s = sum(int(m.get(key, 0)) for m in epoch_ms)
+            if base_m is not None:
+                s += int(base_m.get(key, 0))
             if int(stats.get(key, -1)) != s:
-                fail(f"stats.{key}={stats.get(key)} != sum(epochs)={s}")
+                fail(
+                    f"stats.{key}={stats.get(key)} != "
+                    f"base+sum(epochs)={s}"
+                )
         report["checks"]["epochs"] = len(epoch_ms)
     if bucket_ms:
         fp = stats.get("fingerprint")
         bad = [
-            m["bucket"]
+            m.get("bucket")
             for m in bucket_ms
-            if m.get("status") != "complete" or m.get("fingerprint") != fp
+            if m.get("status") != "complete"
+            or (
+                m.get("fingerprint") != fp
+                # base capture: epoch appends set the stats
+                # fingerprint to 'streaming' while the batch-built
+                # bucket manifests keep the original build fingerprint
+                and not (base_m is not None and fp == "streaming")
+            )
         ]
         if bad:
             fail(f"stale/incomplete bucket manifests: {bad[:10]}")

@@ -490,7 +490,7 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                     prev_f = cur_f
                     cur_f = nxt_f
             elif g == "w":
-                if q - p >= 2046:  # PG: over-long tokens aren't indexed
+                if q - p >= 2047:  # PG MAXSTRLEN: lexemes >= 2047 bytes aren't indexed
                     p = q
                     continue
                 pos += 1
@@ -504,7 +504,7 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                 if lex:
                     out.append((lex, pos if pos < MAXENTRYPOS else MAXENTRYPOS))
             elif g == "u":
-                if q - p >= 2046:
+                if q - p >= 2047:
                     p = q
                     continue
                 pos += 1
@@ -527,7 +527,7 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                     if tt == SPACE_T:
                         continue
                     pos += 1
-                    if ln >= 2046:  # pure-ASCII spans: utf8 len == ln
+                    if ln >= 2047:  # pure-ASCII spans: utf8 len == ln
                         pos -= 1
                         continue
                     out.append(
@@ -544,7 +544,7 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                 text = s[p:q]
                 if q - p >= 512 and len(
                     text.encode("utf-8", "surrogatepass")
-                ) >= 2046:
+                ) >= 2047:
                     p = q
                     continue
                 pos += 1
@@ -572,7 +572,7 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                     text = tok.text(s)
                     if tok.length >= 512 and len(
                         text.encode("utf-8", "surrogatepass")
-                    ) >= 2046:
+                    ) >= 2047:
                         pos -= 1  # PG skips over-long tokens (no position)
                     elif tt == ASCIIWORD:
                         lex = cache.get(text)

@@ -24,7 +24,8 @@ from .stopwords import ENGLISH_STOPWORDS
 
 MAXENTRYPOS = (1 << 14) - 1   # 16383
 MAXNUMPOS = 256
-MAXSTRLEN = 2046              # bytes; longer tokens are not indexed
+MAXSTRLEN = (1 << 11) - 1     # 2047; PG parsetext skips lexemes >= this
+#                               (so tokens up to 2046 bytes index)
 
 
 def lexize(text: str, ttype: int) -> list[str] | None:
@@ -569,13 +570,17 @@ def _phrase_match(v: dict[str, list[int]], ph: Phrase) -> bool:
         # plain existence: matches even a stripped (position-less)
         # tsvector, PG semantics (phrases below never do)
         return True
+    # build each item's position set ONCE, not per candidate base
+    # (the lazy phrase-recheck path calls this per doc)
+    possets = {}
+    for t, _ in ph.items:
+        if t not in possets:
+            ps = v.get(t)
+            if not ps:
+                return False
+            possets[t] = set(ps)
     for p in v[first_t]:
         base = p - first_off
-        if all(base + off in _posset(v, t) for t, off in ph.items):
+        if all(base + off in possets[t] for t, off in ph.items):
             return True
     return False
-
-
-def _posset(v, t):
-    ps = v.get(t)
-    return set(ps) if ps else ()

@@ -84,17 +84,20 @@ def trgm_similar_pairs(
     )
     a = t.alias("a")
     b = t.alias("b")
-    sim = trgm_similarity(F.col("a.t"), F.col("b.t"))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
+    raw = trgm_similarity(F.col("a.t"), F.col("b.t"))
+    out = raw if round_digits is None else F.round(raw, round_digits)
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            sim.alias("sim"),
+            raw.alias("_raw"),
+            out.alias("sim"),
         )
-        .where(F.col("sim") >= threshold)
+        # the % threshold applies to the UNROUNDED similarity
+        # (pg_trgm semantics); rounding is presentation only
+        .where(F.col("_raw") >= threshold)
+        .drop("_raw")
         .orderBy("id_a", "id_b")
     )
 
@@ -114,7 +117,7 @@ def suggest_terms(
     trigram similarity, then document frequency, then term
     (pg_trgm's similarity ordering with a Levenshtein guard).
     Returns (term, df, sim)."""
-    import os
+    import pyarrow.dataset as ds
 
     from ..query.topk import _shard_paths, load_stats
 
@@ -122,13 +125,23 @@ def suggest_terms(
     paths = _shard_paths(
         index_dir, "termstats", list(range(stats["num_buckets"])), stats
     )
-    dic = (
-        spark.read.option(
-            "basePath", os.path.join(index_dir, "termstats")
+    # per-path pyarrow reads, no basePath: bucket-dir shards and flat
+    # epoch dirs carry different physical schemas/partition levels
+    # (same reason as topk._read_termstats), and an empty index has
+    # no shards at all
+    agg: dict[str, int] = {}
+    for p in paths:
+        t = ds.dataset(p).to_table(columns=["term", "df"])
+        for term, d in zip(
+            t["term"].to_pylist(), t["df"].to_pylist()
+        ):
+            agg[term] = agg.get(term, 0) + int(d)
+    if not agg:
+        return spark.createDataFrame(
+            [], "term string, df long, sim double"
         )
-        .parquet(*paths)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
+    dic = spark.createDataFrame(
+        list(agg.items()), "term string, df long"
     )
     sim = trgm_similarity(
         trgm_col(F.col("term"), sep), trgm_col(F.lit(word), sep)

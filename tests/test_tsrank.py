@@ -421,3 +421,15 @@ def test_ts_rewrite():
     assert eq(ts_rewrite(to_tsquery("vv & !xx"), to_tsquery("xx"),
                          to_tsquery("zz")),
               to_tsquery("vv & !zz"))
+
+
+def test_maxstrlen_boundary():
+    """PG parsetext drops lexemes >= MAXSTRLEN (2047 bytes): a
+    2046-byte token indexes and consumes a position, a 2047-byte one
+    does neither."""
+    ok = "a" * 2046
+    toolong = "a" * 2047
+    v = to_tsvector(f"{ok} fast")
+    assert ok in v and v["fast"] == [2]
+    v2 = to_tsvector(f"{toolong} fast")
+    assert toolong not in v2 and v2["fast"] == [1]
