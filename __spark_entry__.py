@@ -791,9 +791,10 @@ def _contamination_sql() -> str:
 WITH probe(gram) AS (VALUES {vals}),
 dg AS (
   SELECT DISTINCT d.doc_id, array_to_string(
-           list_slice(string_split(d.text, ' '), i.i, i.i + 2), ' ') AS gram
+           list_slice(string_split_regex(d.text, '\\s+'), i.i, i.i + 2),
+           ' ') AS gram
   FROM documents d, (SELECT unnest(generate_series(1, 4000)) AS i) i
-  WHERE i.i <= len(string_split(d.text, ' ')) - 2
+  WHERE i.i <= len(string_split_regex(d.text, '\\s+')) - 2
 )
 SELECT dg.doc_id, count(*) AS n_hits
 FROM dg JOIN probe USING (gram)
@@ -1265,7 +1266,7 @@ ORDER BY id_a, id_b
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_cjk_parser_spark.ops.textstats import lang_id
 
-    return lang_id(_docs(spark, sf_dir)).orderBy("id")
+    return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 # The full script-distribution decision tree of ops/textstats.lang_of,
@@ -1283,18 +1284,19 @@ WITH c AS (
     length(regexp_replace(text, '[^A-Za-z\x{C0}-\x{24F}]', '', 'g')) AS lat
   FROM documents
 )
-SELECT doc_id AS id,
+SELECT doc_id,
   CASE WHEN hangul+kana+han+cyr+grk+lat = 0 THEN 'unknown'
        WHEN kana >= greatest(3.0, 0.05*(hangul+kana+han+cyr+grk+lat)) THEN 'ja'
        WHEN (hangul+han+kana) >= 0.3*(hangul+kana+han+cyr+grk+lat)
-         THEN CASE WHEN hangul >= han THEN 'ko' ELSE 'zh' END
+         THEN CASE WHEN hangul > 0 AND hangul >= han THEN 'ko'
+                   WHEN han > 0 THEN 'zh' ELSE 'ja' END
        WHEN hangul >= kana AND hangul >= han AND hangul >= cyr AND hangul >= grk AND hangul >= lat THEN 'hangul'
        WHEN kana >= han AND kana >= cyr AND kana >= grk AND kana >= lat THEN 'kana'
        WHEN han >= cyr AND han >= grk AND han >= lat THEN 'han'
        WHEN cyr >= grk AND cyr >= lat THEN 'ru'
        WHEN grk >= lat THEN 'el'
        ELSE 'en' END AS lang_pred
-FROM c ORDER BY id
+FROM c ORDER BY doc_id
 """
 
 

@@ -38,6 +38,7 @@ from ..kernel.fsm import (
 from ..kernel.tokenizer import tokenize
 from ..kernel.tsvector import (
     And,
+    Not,
     Or,
     Phrase,
     Prefix,
@@ -74,11 +75,13 @@ class _Word:
     repeated: bool = False
 
 
-def _positive_operands(tree) -> list[tuple[str, bool]]:
-    """Sorted positive (operand_text, is_prefix) pairs.  Negated
-    operands are deliberately excluded (documented divergence: old-PG
-    hlCover lets a negated operand's occurrences extend covers; here
-    they only participate via the window-match recheck)."""
+def _query_operands(tree) -> list[tuple[str, bool]]:
+    """Sorted (operand_text, is_prefix) pairs over ALL operands -
+    including negated ones, like PG's hlfinditem item marking: a
+    negated term's occurrences get items too, so hlCover's
+    per-operand scans see them and the TS_execute window recheck can
+    REJECT windows that contain them (a 'foo & !bar' cover must not
+    hold a bar)."""
     out: set[tuple[str, bool]] = set()
 
     def walk(n):
@@ -91,7 +94,8 @@ def _positive_operands(tree) -> list[tuple[str, bool]]:
         elif isinstance(n, (And, Or)):
             for c in n.children:
                 walk(c)
-        # Not: skipped
+        elif isinstance(n, Not):
+            walk(n.child)
 
     walk(tree)
     return sorted(out)
@@ -409,6 +413,19 @@ def _next_fragment(words, startpos, endpos, max_words):
     return startpos, endpos, curlen, poslen
 
 
+def parse_headline_query(query: str, mode: str = "plain"):
+    """Parse a headline query once (driver side) for reuse across
+    many documents: returns the (tree, operands) pair ``headline``
+    otherwise rebuilds per call."""
+    if mode == "tsquery":
+        tree = to_tsquery(query)
+    elif mode == "websearch":
+        tree = websearch_to_tsquery(query)
+    else:
+        tree = plainto_tsquery(query)
+    return tree, _query_operands(tree)
+
+
 def headline(
     text: str,
     query: str,
@@ -422,6 +439,7 @@ def headline(
     stop_sel: str = "</b>",
     fragment_delimiter: str = " ... ",
     highlight_all: bool = False,
+    parsed=None,
 ) -> str:
     if not highlight_all:
         if min_words >= max_words:
@@ -432,13 +450,9 @@ def headline(
             raise ValueError("ShortWord should be >= 0")
         if max_fragments < 0:
             raise ValueError("MaxFragments should be >= 0")
-    if mode == "tsquery":
-        tree = to_tsquery(query)
-    elif mode == "websearch":
-        tree = websearch_to_tsquery(query)
-    else:
-        tree = plainto_tsquery(query)
-    terms = _positive_operands(tree)
+    if parsed is None:
+        parsed = parse_headline_query(query, mode)
+    tree, terms = parsed
     words = _build_words(text, terms)
     if max_fragments == 0:
         _mark_hl_words(

@@ -44,24 +44,30 @@ def lang_of(text: str) -> str:
         return "ja"
     cjk = counts["hangul"] + counts["han"] + counts["kana"]
     if cjk >= 0.3 * total:
-        if counts["hangul"] >= counts["han"]:
+        # tie-break toward a script actually present: a 1-2 char
+        # kana-only string must not fall through 0 >= 0 into 'ko'
+        if counts["hangul"] > 0 and counts["hangul"] >= counts["han"]:
             return "ko"
-        return "zh"
+        if counts["han"] > 0:
+            return "zh"
+        return "ja"
     best = max(counts, key=counts.get)
     return {"latin": "en", "cyrillic": "ru", "greek": "el"}.get(best, best)
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    id_type = docs.schema[id_col].dataType.simpleString()
+
     def gen(batches):
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "lang_pred": [lang_of(t) for t in pdf[text_col].tolist()],
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(gen, "id long, lang_pred string")
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} {id_type}, lang_pred string")
 
 
 # BPE-ish token pattern shared with the DuckDB oracle: letter runs,
@@ -101,7 +107,11 @@ def quality_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.round(
             (
                 F.length(text_col)
-                - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+                # (?U): Unicode-aware \w, else every CJK char counts
+                # as punctuation and the ratio is ~1.0 for zh/ja text
+                - F.length(
+                    F.regexp_replace(text_col, r"(?U)[^\w\s]", "")
+                )
             ).cast("double")
             / F.length(text_col),
             4,
@@ -209,13 +219,32 @@ def unigram_logprob_score(
     cf2 = term_freqs.withColumn(
         "total", F.sum("cf").over(Window.partitionBy()).cast("double")
     )
+    # LEFT join so out-of-vocabulary tokens (possible only with a
+    # user-supplied term_freqs snapshot) count as maximally rare -
+    # cf floor 0.5 - instead of silently dropping: an inner join
+    # scored a 90%-OOV garbled doc on its 10% common tokens (looking
+    # fluent, the opposite of the filter's intent) and omitted
+    # fully-OOV docs entirely.  The self-derived default path has no
+    # OOV, so its numbers are unchanged.
+    total_lit = cf2.select(F.first("total")).limit(1)
     return (
         lex_of(docs)
-        .join(F.broadcast(cf2), "term")
+        .join(F.broadcast(cf2), "term", "left")
+        .crossJoin(
+            F.broadcast(total_lit.toDF("corpus_total"))
+        )
         .groupBy(id_col)
         .agg(
             F.round(
-                F.avg(-F.log(F.col("cf") / F.col("total"))), round_digits
+                F.avg(
+                    -F.log(
+                        F.coalesce(F.col("cf").cast("double"), F.lit(0.5))
+                        / F.coalesce(
+                            F.col("total"), F.col("corpus_total")
+                        )
+                    )
+                ),
+                round_digits,
             ).alias("nll")
         )
         .orderBy(id_col)
@@ -260,7 +289,7 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return docs.select(
         F.col(id_col).alias(id_col), expr.alias("split")
-    ).orderBy(id_col)
+    )
 
 
 def word_ngrams_col(t, n: int):
@@ -305,7 +334,11 @@ def contamination_overlap(
     probe = spark.createDataFrame(
         [(g,) for g in sorted(grams)], "gram string"
     )
-    t = F.split(F.col(text_col), " ")
+    # whitespace-RUN split to mirror the probe side's .split():
+    # a passage crossing a newline in the corpus must still match
+    t = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda w: w != F.lit("")
+    )
     doc_grams = docs.select(
         F.col(id_col).alias(id_col),
         F.explode(word_ngrams_col(t, n)).alias("gram"),
@@ -420,15 +453,12 @@ def stratified_sample(
     )
     cut = None
     for name, f in fractions.items():
-        c = F.when(F.col(strata_col) == name, F.lit(int(round(f * 100))))
-        cut = c if cut is None else cut.when(
-            F.col(strata_col) == name, F.lit(int(round(f * 100)))
-        )
-    cut = (cut if cut is not None else F.lit(0)).otherwise(F.lit(0))
-    return (
-        docs.where(bucket < cut)
-        .select(F.col(id_col).alias(id_col), F.col(strata_col))
-        .orderBy(id_col)
+        lit = F.lit(int(round(f * 100)))
+        cond = F.col(strata_col) == name
+        cut = F.when(cond, lit) if cut is None else cut.when(cond, lit)
+    cut = F.lit(0) if cut is None else cut.otherwise(F.lit(0))
+    return docs.where(bucket < cut).select(
+        F.col(id_col).alias(id_col), F.col(strata_col)
     )
 
 

@@ -243,13 +243,19 @@ def make_ts_match_udf(query: str, websearch: bool = False):
 
 
 def make_headline_udf(query: str, **opts):
-    """ts_headline over a text column for a fixed query string."""
-    from ..functions.headline import headline
+    """ts_headline over a text column for a fixed query string; the
+    query parses ONCE on the driver (like the rank/match factories),
+    not per document inside the Arrow batches."""
+    from ..functions.headline import headline, parse_headline_query
+
+    parsed = parse_headline_query(query, opts.get("mode", "plain"))
 
     @pandas_udf(StringType())
     def headline_udf(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda t: headline(t, query, **opts) if t is not None else None
+            lambda t: headline(t, query, parsed=parsed, **opts)
+            if t is not None
+            else None
         )
 
     return headline_udf

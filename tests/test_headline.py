@@ -103,3 +103,20 @@ def test_headline_prefix_operand():
     # prefix with no match in the doc -> no highlight
     h2 = headline(t, "zz:*", mode="tsquery", min_words=5, max_words=12)
     assert "<b>" not in h2
+
+
+def test_headline_negated_operand_rejects_covers():
+    """PG hlfinditem marks negated operands' words too, so the
+    window recheck rejects covers containing them; the no-cover
+    fallback window still highlights item words (PG behavior)."""
+    from pg_cjk_parser_spark.functions.headline import headline
+
+    # cover [foo..?] would contain bar -> rejected; lone-foo window
+    # (no bar inside) is accepted
+    h = headline("foo baz word bar", "foo & !bar", mode="tsquery",
+                 min_words=2, max_words=3)
+    assert h.startswith("<b>foo</b>") and "<b>bar</b>" not in h
+    # no valid cover at all -> fallback window, items still marked
+    h2 = headline("foo bar baz word line", "foo & !bar", mode="tsquery",
+                  min_words=3, max_words=8)
+    assert "<b>foo</b>" in h2

@@ -289,18 +289,20 @@ def test_stratified_sample_deterministic_and_stable(spark):
     rows = [(i, f"s{i % 3}") for i in range(3000)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
     frac = {"s0": 1.0, "s1": 0.3, "s2": 0.0}
-    a = stratified_sample(df, frac).collect()
-    b = stratified_sample(df.repartition(13), frac).collect()
-    assert a == b  # partitioning-independent
+    a = sorted(map(tuple, stratified_sample(df, frac).collect()))
+    b = sorted(
+        map(tuple, stratified_sample(df.repartition(13), frac).collect())
+    )
+    assert a == b  # partitioning-independent (rows; order is free)
     by = {}
-    for r in a:
-        by.setdefault(r.source, set()).add(r.doc_id)
+    for i, src in a:
+        by.setdefault(src, set()).add(i)
     assert len(by["s0"]) == 1000          # fraction 1.0 keeps all
     assert "s2" not in by                  # fraction 0.0 drops all
     assert 200 < len(by["s1"]) < 400       # ~30 of 100 hash buckets
     # sample of a subset == subset of the sample (incremental safety)
     sub = stratified_sample(df.where("doc_id < 1000"), frac).collect()
-    kept = {(r.doc_id, r.source) for r in a if r.doc_id < 1000}
+    kept = {(i, s) for i, s in a if i < 1000}
     assert {(r.doc_id, r.source) for r in sub} == kept
     import pytest as _pytest
 
