@@ -197,8 +197,16 @@ def compact_index(
 
     postings = _read_postings_mixed(spark, index_dir)
     # SNAPSHOT the tombstone files: deletes arriving during the (long)
-    # compaction are neither applied nor cleared - they stay masking
-    # their targets and fold out next time
+    # compaction are neither applied nor cleared.  A DEFAULT delete
+    # (upto = current max epoch, which equals the consolidated epoch
+    # the survivors are rewritten under) keeps masking its targets
+    # and folds out next compaction.  An EXPLICIT upto below the
+    # current max cannot survive the swap faithfully: compaction
+    # collapses every version into the consolidated epoch, so a
+    # below-max bound can no longer tell the versions it targeted
+    # from the ones it spared - such deletes must not race a
+    # compaction (issue them before, or after with a fresh default
+    # bound); see delete_docs
     tomb_files = list_tombstone_files(index_dir)
     pending_path = os.path.join(index_dir, "_compact_pending.json")
     if os.path.exists(pending_path):

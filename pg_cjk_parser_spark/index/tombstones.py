@@ -68,7 +68,14 @@ def delete_docs(
     existed, is harmless (though a tombstone for an id that was
     indexed with NO postings - empty/stopword-only text - cannot be
     told apart from a nonexistent id, so such a doc keeps counting in
-    the corpus stats after compaction; Lucene shares the ambiguity)."""
+    the corpus stats after compaction; Lucene shares the ambiguity).
+
+    Concurrency: the default bound is safe to issue while a
+    compaction runs (it equals the consolidated epoch the survivors
+    are rewritten under, so it keeps masking).  An EXPLICIT
+    ``upto_epoch`` below the current max must NOT race a compaction -
+    the swap collapses per-epoch identity, after which a below-max
+    bound silently stops masking its targets."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 

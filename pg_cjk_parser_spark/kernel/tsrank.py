@@ -217,32 +217,46 @@ def _word_distance(d: int) -> float:
     return 1.0 / (1.005 + 0.05 * math.exp(d / 1.5 - 2))
 
 
-def _rank_and(weights, v, terms) -> float:
+def _rank_and(weights, v, operands) -> float:
+    """tsrank.c ``calc_rank_and`` over (text, is_prefix) operands.
+
+    A prefix operand walks every matched entry (find_wordentry's
+    multi-entry return): each entry's positions pair against the
+    LAST-SET position list of every earlier item - pos[k] is
+    overwritten per entry in C, so an earlier prefix item's slot ends
+    up holding its final matched entry; that quirk is mirrored, not
+    corrected.  Entries with no stored positions are skipped (this
+    module's documented stripped-vector deviation from POSNULL)."""
     res = -1.0
-    found = [v.get(t) for t in terms]
-    for i in range(len(terms)):
-        post = found[i]
-        if not post:
-            continue
-        for k in range(i):
-            ct = found[k]
-            if not ct:
+    pos: list[list[int] | None] = [None] * len(operands)
+    for i, (op, pre) in enumerate(operands):
+        for t in _matching_lexemes(v, op, pre):
+            post = v[t]
+            if not post:
                 continue
-            for xl in post:
-                pl = wep_pos(xl)
-                for xp in ct:
-                    pp = wep_pos(xp)
-                    dist = abs(pl - pp)
-                    if dist:
-                        curw = math.sqrt(
-                            (weights[wep_weight(xl)] * weights[wep_weight(xp)])
-                            * _word_distance(dist)
-                        )
-                        res = (
-                            curw
-                            if res < 0
-                            else 1.0 - (1.0 - res) * (1.0 - curw)
-                        )
+            pos[i] = post
+            for k in range(i):
+                ct = pos[k]
+                if not ct:
+                    continue
+                for xl in post:
+                    pl = wep_pos(xl)
+                    for xp in ct:
+                        pp = wep_pos(xp)
+                        dist = abs(pl - pp)
+                        if dist:
+                            curw = math.sqrt(
+                                (
+                                    weights[wep_weight(xl)]
+                                    * weights[wep_weight(xp)]
+                                )
+                                * _word_distance(dist)
+                            )
+                            res = (
+                                curw
+                                if res < 0
+                                else 1.0 - (1.0 - res) * (1.0 - curw)
+                            )
     return res
 
 
@@ -262,13 +276,7 @@ def ts_rank(
         isinstance(node, Phrase) and len(node.items) > 1
     )
     if and_path and len(ops) >= 2:
-        if any(pre for _, pre in ops):
-            raise NotImplementedError(
-                "ts_rank and-path (top-level AND/phrase) with prefix "
-                "operands is not implemented; or-path, @@ match, BM25 "
-                "and ts_rank_cd all support prefixes"
-            )
-        res = _rank_and(weights, v, [t for t, _ in ops])
+        res = _rank_and(weights, v, ops)
     else:
         res = _rank_or(weights, v, ops)
     if res < 0:

@@ -117,6 +117,7 @@ def suggest_terms(
     trigram similarity, then document frequency, then term
     (pg_trgm's similarity ordering with a Levenshtein guard).
     Returns (term, df, sim)."""
+    import pyarrow.compute as pc
     import pyarrow.dataset as ds
 
     from ..query.topk import _shard_paths, load_stats
@@ -128,10 +129,18 @@ def suggest_terms(
     # per-path pyarrow reads, no basePath: bucket-dir shards and flat
     # epoch dirs carry different physical schemas/partition levels
     # (same reason as topk._read_termstats), and an empty index has
-    # no shards at all
+    # no shards at all.  A Levenshtein edit changes the codepoint
+    # length by at most 1 per edit, so the length band
+    # |len(term) - len(word)| <= max_dist is a sound prefilter -
+    # pushed into the scan so the driver only ever materializes the
+    # band, not the whole web-scale dictionary
+    tlen = pc.utf8_length(ds.field("term"))
+    band = (tlen >= len(word) - max_dist) & (
+        tlen <= len(word) + max_dist
+    )
     agg: dict[str, int] = {}
     for p in paths:
-        t = ds.dataset(p).to_table(columns=["term", "df"])
+        t = ds.dataset(p).to_table(columns=["term", "df"], filter=band)
         for term, d in zip(
             t["term"].to_pylist(), t["df"].to_pylist()
         ):

@@ -209,6 +209,12 @@ class ParsedQuery:
     all_terms: list[str]        # incl. negated (fetched from the index)
     phrases: list[list[tuple[str, int]]]  # conjunctive phrase chains
     conjunctive: bool
+    # PRE-expansion operand groups for calc_rank_or parity: one entry
+    # per unique query item (a prefix counts as ONE item whose group
+    # is its dictionary expansion; an exact term is a singleton),
+    # sorted by operand text - tsrank.c divides the or-path rank by
+    # the ITEM count, not the expanded-lexeme count
+    or_groups: list[list[str]] | None = None
 
 
 def _reduces_to_complement(node) -> bool:
@@ -249,7 +255,16 @@ def _expand_prefix_nodes(node, expand):
     if isinstance(node, And):
         return And([_expand_prefix_nodes(c, expand) for c in node.children])
     if isinstance(node, Or):
-        return Or([_expand_prefix_nodes(c, expand) for c in node.children])
+        # splice nested Ors flat (Or is associative): 'a | b:*' stays
+        # a flat OR after expansion, keeping it WAND/rank routable
+        kids = []
+        for c in node.children:
+            ec = _expand_prefix_nodes(c, expand)
+            if isinstance(ec, Or):
+                kids.extend(ec.children)
+            else:
+                kids.append(ec)
+        return Or(kids)
     if isinstance(node, Not):
         return Not(_expand_prefix_nodes(node.child, expand))
     return node
@@ -265,10 +280,40 @@ def _contains_prefix(node) -> bool:
     return False
 
 
+def _or_groups_of(pre_tree, expansions: dict[str, list[str]]):
+    """calc_rank_or item groups from the PRE-expansion tree: unique
+    operand texts in sorted order (PG SortAndUniqItems compares the
+    operand string only, so 'b' and 'b:*' in one query dedupe to one
+    item - the prefix reading wins here, matching find_wordentry's
+    wider entry walk), each mapped to the indexed lexemes it matches
+    (its dictionary expansion for a prefix, itself for an exact
+    term).  An empty prefix expansion still counts as an item (PG
+    divides by it; it just contributes 0)."""
+    from ..kernel.tsrank import _operands
+
+    ops = _operands(pre_tree)
+    prefix_texts = {t for t, pre in ops if pre}
+    groups = []
+    for text in sorted({t for t, _ in ops}):
+        if text in prefix_texts:
+            groups.append(list(expansions.get(text, [])))
+        else:
+            groups.append([text])
+    return groups
+
+
 def parse_query(query: str, mode: str = "plain", expand=None) -> ParsedQuery:
     tree = to_tsquery(query) if mode == "tsquery" else plainto_tsquery(query)
+    pre_tree = tree
+    expansions: dict[str, list[str]] = {}
     if tree is not None and expand is not None:
-        tree = _expand_prefix_nodes(tree, expand)
+
+        def expand_memo(p):
+            if p not in expansions:
+                expansions[p] = list(expand(p))
+            return expansions[p]
+
+        tree = _expand_prefix_nodes(tree, expand_memo)
     if tree is not None and _contains_prefix(tree):
         raise ValueError(
             "prefix queries (:*) on the index path require a dictionary "
@@ -307,7 +352,10 @@ def parse_query(query: str, mode: str = "plain", expand=None) -> ParsedQuery:
             "purely negative queries require a full corpus scan and are "
             "not supported by the index path"
         )
-    return ParsedQuery(tree, terms, all_terms, phrases, conjunctive)
+    return ParsedQuery(
+        tree, terms, all_terms, phrases, conjunctive,
+        _or_groups_of(pre_tree, expansions),
+    )
 
 
 def _route(index_dir: str, query: str, mode: str):
@@ -337,23 +385,46 @@ def _route(index_dir: str, query: str, mode: str):
     return stats, pq, bset, idf_map
 
 
-def _read_blocks_local(ds, paths, terms) -> pd.DataFrame:
-    """pyarrow block read for the serving tier, one frame per shard
-    path with the block epoch parsed from the path (epoch=N dir, 0
-    for batch layout) - the no-Spark twin of _epoch_from_path."""
+_LOCAL_BLOCK_COLUMNS = [
+    "salt", "term", "n", "min_docid", "max_docid", "docids",
+    "tfs", "doclens", "positions", "max_tf", "min_dl",
+]
+
+
+def _read_blocks_local(
+    ds, paths, terms, with_epoch: bool = True
+) -> pd.DataFrame:
+    """pyarrow block read for the serving tier.
+
+    When per-block epochs are not needed (no tombstones loaded, or a
+    batch-only layout where every block is epoch 0 - see
+    ``_needs_epoch``) all shard paths read as ONE file-list dataset:
+    no per-path epoch parse, one threaded scan instead of a
+    sequential per-shard loop.  Epoch-relevant reads fall back to one
+    frame per shard path with the block epoch parsed from the path
+    (epoch=N dir, 0 for batch dirs) - the no-Spark twin of
+    _epoch_from_path."""
     import re as _re
 
+    flt = ds.field("term").isin(terms)
+    if not with_epoch:
+        files = [
+            os.path.join(p, n)
+            for p in paths
+            for n in sorted(os.listdir(p))
+            if n.endswith(".parquet")
+        ]
+        return (
+            ds.dataset(files)
+            .to_table(columns=_LOCAL_BLOCK_COLUMNS, filter=flt)
+            .to_pandas()
+        )
     frames = []
     for p in paths:
         m = _re.search(r"epoch=(\d+)", p)
-        tbl = ds.dataset(p).to_table(
-            columns=[
-                "salt", "term", "n", "min_docid", "max_docid", "docids",
-                "tfs", "doclens", "positions", "max_tf", "min_dl",
-            ],
-            filter=ds.field("term").isin(terms),
-        )
-        f = tbl.to_pandas()
+        f = ds.dataset(p).to_table(
+            columns=_LOCAL_BLOCK_COLUMNS, filter=flt
+        ).to_pandas()
         f["epoch"] = int(m.group(1)) if m else 0
         frames.append(f)
     return pd.concat(frames, ignore_index=True)
@@ -372,7 +443,9 @@ _BLOCK_READ_SCHEMA = (
 )
 
 
-def _read_blocks(spark: SparkSession, paths: list[str], terms) -> DataFrame:
+def _read_blocks(
+    spark: SparkSession, paths: list[str], terms, with_epoch: bool = True
+) -> DataFrame:
     """The one shared postings-block read every query path uses.
 
     The explicit schema (the block columns the scorers need) skips
@@ -380,13 +453,25 @@ def _read_blocks(spark: SparkSession, paths: list[str], terms) -> DataFrame:
     leaf dirs are passed as ROOTS (no basePath) because partition-
     column discovery would conflict across mixed layouts (batch
     bucket= dirs + appended epoch=/bucket= dirs) - partition values
-    are not needed, the block epoch derives from the file path."""
-    return (
+    are not needed, the block epoch derives from the file path.
+
+    The epoch column only exists to bound tombstones per posting, so
+    callers pass ``with_epoch=False`` when no tombstones are loaded
+    or the layout is batch-only (every block epoch 0) - the regexp
+    over input_file_name is pure overhead then."""
+    df = (
         spark.read.schema(_BLOCK_READ_SCHEMA)
         .parquet(*paths)
         .where(F.col("term").isin(list(terms)))
-        .withColumn("epoch", _epoch_from_path())
     )
+    return df.withColumn("epoch", _epoch_from_path()) if with_epoch else df
+
+
+def _needs_epoch(stats, deleted) -> bool:
+    """Per-posting epochs matter only when tombstones exist AND the
+    index actually holds multiple epochs (else every block is epoch 0
+    and the scalar default bounds correctly)."""
+    return deleted is not None and bool(stats.get("epochs"))
 
 
 def _postings_paths(index_dir: str, bset, stats) -> list[str]:
@@ -410,14 +495,16 @@ def search(
     paths = _postings_paths(index_dir, bset, stats)
     if not paths:
         return spark.createDataFrame([], "docid long, score double")
-    blocks = _read_blocks(spark, paths, pq.all_terms)
+    deleted = load_tombstones(index_dir)
+    blocks = _read_blocks(
+        spark, paths, pq.all_terms, _needs_epoch(stats, deleted)
+    )
 
     phrases = pq.phrases
     conj = pq.conjunctive
     tree = pq.tree
     need_pos = bool(phrases)
     num_salts = stats["num_salts"]
-    deleted = load_tombstones(index_dir)
 
     def score_partition(batches):
         frames = [f for f in batches if len(f)]
@@ -484,9 +571,11 @@ def search_rank_cd(
     paths = _postings_paths(index_dir, bset, stats)
     if not paths:
         return spark.createDataFrame([], "docid long, rank double")
-    blocks = _read_blocks(spark, paths, pq.all_terms)
-    num_salts = stats["num_salts"]
     deleted = load_tombstones(index_dir)
+    blocks = _read_blocks(
+        spark, paths, pq.all_terms, _needs_epoch(stats, deleted)
+    )
+    num_salts = stats["num_salts"]
 
     def rank_partition(batches):
         frames = [f for f in batches if len(f)]
@@ -680,12 +769,15 @@ def search_rank(
     paths = _postings_paths(index_dir, bset, stats)
     if not paths:
         return spark.createDataFrame([], "docid long, rank double")
-    blocks = _read_blocks(spark, paths, pq.all_terms)
+    deleted = load_tombstones(index_dir)
+    blocks = _read_blocks(
+        spark, paths, pq.all_terms, _needs_epoch(stats, deleted)
+    )
     num_salts = stats["num_salts"]
     conj = pq.conjunctive
     phrases = pq.phrases
     n_terms = len(pq.terms)
-    deleted = load_tombstones(index_dir)
+    or_groups = pq.or_groups
 
     def rank_partition(batches):
         frames = [f for f in batches if len(f)]
@@ -693,7 +785,8 @@ def search_rank(
             return
         pdf = pd.concat(frames, ignore_index=True)
         out = _rank_ts_local(
-            pdf, tree, conj, phrases, n_terms, k, method, deleted
+            pdf, tree, conj, phrases, n_terms, k, method, deleted,
+            or_groups,
         )
         if out is not None:
             yield out
@@ -812,9 +905,18 @@ def _phrase_start_docs(lists, cand, items):
     return np.unique(starts >> 16)
 
 
-def _rank_ts_local(pdf, tree, conj, phrases, n_terms, k, method, deleted=None):
+def _rank_ts_local(
+    pdf, tree, conj, phrases, n_terms, k, method, deleted=None,
+    or_groups=None,
+):
     """Per-salt-partition ts_rank: candidates from the @@ match set,
-    ranks bit-identical to kernel ts_rank."""
+    ranks bit-identical to kernel ts_rank.
+
+    ``or_groups`` carries the PRE-expansion calc_rank_or items (one
+    group per query item, a prefix's group being its dictionary
+    expansion) so the or-path divides by the ITEM count - without it
+    a prefix query's rank would shrink by its expansion size vs the
+    scan path."""
     from ..kernel.tsrank import _operand_lexemes
 
     terms = _operand_lexemes(tree)
@@ -860,22 +962,29 @@ def _rank_ts_local(pdf, tree, conj, phrases, n_terms, k, method, deleted=None):
     nq = len(terms)
     if not and_path:
         # vectorized or-path: contribution is a pure function of the
-        # capped tf; accumulate per doc in sorted-term order (the
-        # kernel's SortAndUniqItems iteration)
+        # capped tf; accumulate per doc in item order (the kernel's
+        # SortAndUniqItems iteration, each prefix item summing over
+        # its matched dictionary entries) and divide by the ITEM
+        # count - a lexeme repeated across items contributes once
+        # per item, exactly like repeated find_wordentry hits
+        groups = (
+            or_groups if or_groups is not None else [[t] for t in terms]
+        )
         ranks = np.zeros(cand.size, np.float64)
-        for t in terms:
-            tl = lists.get(t)
-            if tl is None:
-                continue
-            sel = np.isin(tl.ids, cand, assume_unique=True)
-            n_eff = np.minimum(
-                tl.tfs[sel].astype(np.int64), _MAXNUMPOS
-            )
-            idxs = np.searchsorted(cand, tl.ids[sel])
-            ranks[idxs] = ranks[idxs] + np.asarray(
-                _RANK_OR_CONTRIB, np.float64
-            )[n_eff]
-        ranks = ranks / float(nq)
+        for group in groups:
+            for t in group:
+                tl = lists.get(t)
+                if tl is None:
+                    continue
+                sel = np.isin(tl.ids, cand, assume_unique=True)
+                n_eff = np.minimum(
+                    tl.tfs[sel].astype(np.int64), _MAXNUMPOS
+                )
+                idxs = np.searchsorted(cand, tl.ids[sel])
+                ranks[idxs] = ranks[idxs] + np.asarray(
+                    _RANK_OR_CONTRIB, np.float64
+                )[n_eff]
+        ranks = ranks / float(len(groups))
     elif nq == 2:
         ranks = _rank_and2_positions_bulk(lists, cand, terms)
     else:
@@ -989,10 +1098,12 @@ def rank_local(
     paths = _shard_paths(index_dir, "postings", bset, stats)
     if not paths:
         return []
-    pdf = _read_blocks_local(ds, paths, pq.all_terms)
+    deleted = load_tombstones(index_dir)
+    pdf = _read_blocks_local(
+        ds, paths, pq.all_terms, _needs_epoch(stats, deleted)
+    )
     if len(pdf) == 0:
         return []
-    deleted = load_tombstones(index_dir)
     frames = []
     for _, grp in pdf.groupby("salt", sort=False):
         g = grp.reset_index(drop=True)
@@ -1001,7 +1112,7 @@ def rank_local(
             if cd
             else _rank_ts_local(
                 g, pq.tree, pq.conjunctive, pq.phrases,
-                len(pq.terms), k, method, deleted,
+                len(pq.terms), k, method, deleted, pq.or_groups,
             )
         )
         if out is not None:
@@ -1077,13 +1188,15 @@ def search_many_rank(
     paths = _postings_paths(index_dir, union_bset, stats)
     if not paths:
         return spark.createDataFrame([], empty_schema)
-    blocks = _read_blocks(spark, paths, union_terms)
+    deleted = load_tombstones(index_dir)
+    blocks = _read_blocks(
+        spark, paths, union_terms, _needs_epoch(stats, deleted)
+    )
     qspecs = [
         (q, list(pq.all_terms), pq.conjunctive, pq.phrases,
-         len(pq.terms), pq.tree)
+         len(pq.terms), pq.tree, pq.or_groups)
         for q, (_, pq, _, _) in routed
     ]
-    deleted = load_tombstones(index_dir)
 
     def rank_partition(batches):
         frames = [f for f in batches if len(f)]
@@ -1091,7 +1204,7 @@ def search_many_rank(
             return
         pdf = pd.concat(frames, ignore_index=True)
         outs = []
-        for q, all_t, conj, phrases, n_terms, tree in qspecs:
+        for q, all_t, conj, phrases, n_terms, tree, ogs in qspecs:
             sub = pdf[pdf["term"].isin(all_t)]
             if not len(sub):
                 continue
@@ -1100,7 +1213,8 @@ def search_many_rank(
                 _rank_cd_local(g, tree, n_terms, k, method, deleted)
                 if cd
                 else _rank_ts_local(
-                    g, tree, conj, phrases, n_terms, k, method, deleted
+                    g, tree, conj, phrases, n_terms, k, method, deleted,
+                    ogs,
                 )
             )
             if out is not None and len(out):
@@ -1242,7 +1356,10 @@ def search_many(
     paths = _postings_paths(index_dir, union_bset, stats)
     if not paths:
         return spark.createDataFrame([], empty_schema)
-    blocks = _read_blocks(spark, paths, union_terms)
+    deleted = load_tombstones(index_dir)
+    blocks = _read_blocks(
+        spark, paths, union_terms, _needs_epoch(stats, deleted)
+    )
     qspecs = [
         (
             q, list(pq.all_terms), idf_map, pq.conjunctive, pq.phrases,
@@ -1250,7 +1367,6 @@ def search_many(
         )
         for q, (_, pq, _, idf_map) in routed
     ]
-    deleted = load_tombstones(index_dir)
 
     def score_partition(batches):
         frames = [f for f in batches if len(f)]
@@ -1337,15 +1453,18 @@ class _TermList:
         # bound >= the posting's epoch) drop out of the SCORING arrays
         # - they can't match or take top-k slots - while the block
         # arrays keep their physical layout for position decoding,
-        # re-checking the tombstone per block there
+        # re-checking the tombstone per block there.  The per-posting
+        # epoch expansion only happens when tombstones exist - it is
+        # pure overhead on the (common) tombstone-free query.
         self._deleted = deleted
-        alive = alive_mask(
-            self.ids, deleted, np.repeat(blk_eps, ns)[srt]
-        )
-        if alive is not None:
-            self.ids = self.ids[alive]
-            self.tfs = self.tfs[alive]
-            self.dls = self.dls[alive]
+        if deleted is not None:
+            alive = alive_mask(
+                self.ids, deleted, np.repeat(blk_eps, ns)[srt]
+            )
+            if alive is not None:
+                self.ids = self.ids[alive]
+                self.tfs = self.tfs[alive]
+                self.dls = self.dls[alive]
         self.blk_ids = blk_ids
         self.blk_pos = blk_pos
         self.blk_n = blk_n
@@ -1488,10 +1607,12 @@ def search_local(
     paths = _shard_paths(index_dir, "postings", bset, stats)
     if not paths:
         return []
-    pdf = _read_blocks_local(ds, paths, pq.all_terms)
+    deleted = load_tombstones(index_dir)
+    pdf = _read_blocks_local(
+        ds, paths, pq.all_terms, _needs_epoch(stats, deleted)
+    )
     if len(pdf) == 0:
         return []
-    deleted = load_tombstones(index_dir)
     frames = []
     for _, grp in pdf.groupby("salt", sort=False):
         out = _score_local(

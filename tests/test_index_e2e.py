@@ -630,11 +630,39 @@ def test_prefix_queries_index_path(spark, built):
     assert [(r.docid, round(r.score, 9)) for r in got[:10]] == [
         (d, round(s, 9)) for d, s in loc[:10]
     ]
-    # rank or-path over the expansion
+    # rank or-path over the expansion: VALUES must equal scan-path
+    # kernel ts_rank, which counts the prefix as ONE calc_rank_or
+    # item (dividing by the expansion size instead was a real bug)
+    from pg_cjk_parser_spark.kernel.tsrank import ts_rank
+
     ranked = search_rank(
         spark, index_dir, "dora:*", k=5, mode="tsquery"
     ).collect()
-    assert ranked and all(r.rank > 0 for r in ranked)
+    kern = sorted(
+        (
+            (d, ts_rank(to_tsvector(t), node))
+            for d, t in pdocs
+            if d in expected_docs
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert [(r.docid, r.rank) for r in ranked] == kern
+    # mixed exact|prefix OR: the exact term is ALSO inside the
+    # expansion, so its entry contributes once per item (twice) and
+    # the divisor is the 2 pre-expansion items
+    node_mixed = to_tsquery("doraemnon | dora:*")
+    ranked_m = search_rank(
+        spark, index_dir, "doraemnon | dora:*", k=5, mode="tsquery"
+    ).collect()
+    kern_m = sorted(
+        (
+            (d, ts_rank(to_tsvector(t), node_mixed))
+            for d, t in pdocs
+            if ts_match(to_tsvector(t), node_mixed)
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert [(r.docid, r.rank) for r in ranked_m] == kern_m
     # no-match prefix under OR must not kill the other branch
     both = search(
         spark, index_dir, "zzzznope:* | doraemnon", k=10, mode="tsquery"

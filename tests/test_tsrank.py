@@ -288,8 +288,21 @@ def test_prefix_parse_match_and_rank():
     assert ts_rank_cd(
         to_tsvector("big table"), to_tsquery("b:* & table")
     ) == 0.1
-    with pytest.raises(NotImplementedError):
-        ts_rank(v, to_tsquery("b:* & table"))
+    # and-path with a prefix operand (calc_rank_and via
+    # find_wordentry's multi-entry walk): entries iterate in sorted
+    # order and each OVERWRITES the item's position slot, so 'b:*'
+    # over ('batch','big') leaves 'big' [1,3] as the slot 'tabl' [4]
+    # pairs against - the C quirk, mirrored
+    import math as _m
+
+    def _wd(d):
+        return 1.0 / (1.005 + 0.05 * _m.exp(d / 1.5 - 2))
+
+    c3 = _m.sqrt((0.1 * 0.1) * _wd(3))  # |4-1|
+    c1 = _m.sqrt((0.1 * 0.1) * _wd(1))  # |4-3|
+    assert ts_rank(v, to_tsquery("b:* & table")) == (
+        1.0 - (1.0 - c3) * (1.0 - c1)
+    )
     with pytest.raises(ValueError, match="phrase"):
         to_tsquery("のび太:*")  # multi-lexeme operand cannot be a prefix
 
