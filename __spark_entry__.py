@@ -10,11 +10,48 @@ driver's parquet tables so DuckDB can verify them at sf0.01.
 
 from __future__ import annotations
 
+import functools
 import os
+import sys
 import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# location-independence, driver side: importing this module by file
+# path (or from a foreign cwd) must still resolve pg_cjk_parser_spark
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Location-independence, worker side: UDF closures pickle
+    pg_cjk_parser_spark functions BY REFERENCE, so executors must be
+    able to import the package.  A driver whose cwd is the repo root
+    gets that for free (cwd is on the worker path); any other cwd
+    does not - ship the package zip once per SparkContext
+    (sc.addPyFile = the runtime twin of the spark-submit --py-files
+    deployment the e2e test exercises)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pg_cjk_pkg_shipped", False):
+        return
+    from scripts.make_pyfiles import main as _make_zip
+
+    sc.addPyFile(_make_zip(quiet=True))
+    sc._pg_cjk_pkg_shipped = True
+
+
+def _shipped(fn):
+    """Wrap a queries() callable so its first use ships the package."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 # the driver's correctness gate compares queries() vs oracle_sql() at
@@ -52,6 +89,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from pg_cjk_parser_spark.query.topk import search_many
     from pg_cjk_parser_spark.spark.corpus import synth_corpus
 
+    _ship_package(spark)
     index_dir = os.path.join(tempfile.gettempdir(), "pg_cjk_spark_entry_index")
     corpus = synth_corpus(spark, 500, seed=42, num_partitions=4)
     build_index(
@@ -3170,6 +3208,13 @@ WHERE rank <= 3 ORDER BY source, rank
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        k: _shipped(fn)
+        for k, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,

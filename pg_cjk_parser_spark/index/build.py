@@ -190,6 +190,27 @@ def _pack_cell(terms_b, docids, tfs, dls, poss) -> bytes:
     )
 
 
+def _pack_cell_pre(terms_b, docids, tfs, dls, plens, pos_blob) -> bytes:
+    """:func:`_pack_cell` for a cell whose positions were already
+    varint-encoded in the flush-wide vectorized pass: takes the
+    per-posting byte lengths and the cell's slice of the shared
+    position stream instead of per-posting blobs.  Same wire format."""
+    import struct
+
+    return b"".join(
+        (
+            struct.pack("<q", len(terms_b)),
+            np.array(docids, np.int64).tobytes(),
+            np.array(tfs, np.int32).tobytes(),
+            np.array(dls, np.int32).tobytes(),
+            np.ascontiguousarray(plens, np.int32).tobytes(),
+            np.fromiter(map(len, terms_b), np.int32, len(terms_b)).tobytes(),
+            b"".join(terms_b),
+            pos_blob,
+        )
+    )
+
+
 def _unpack_cell(buf: bytes):
     n = int(np.frombuffer(buf, np.int64, 1)[0])
     o = 8
@@ -220,8 +241,20 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
 
     bucket/salt use the pure-Python spark-xxhash64 port
     (bit-identical to F.xxhash64; tests/test_xxh64.py), so packed and
-    staged builds address the same shards."""
+    staged builds address the same shards.
+
+    Positions are NOT varint-encoded per posting in the doc loop: each
+    cell accumulates a flat ``[npos, p1, p2, ...]`` int stream, and
+    flush time delta-encodes + LEB128-encodes EVERY cell's stream in
+    one vectorized pass (codec.encode_varints_offsets), slicing the
+    shared byte buffer back into per-cell blobs by offset - same wire
+    format (byte-identical; differentially tested), one NumPy call per
+    ~flush_at postings instead of one Python encoder call per posting.
+    Measured best-of-7 interleaved on 22k mixed ASCII/CJK docs: the
+    post-tokenize loop drops 9% (0.675 -> 0.613 s); the tokenizer
+    still dominates the map phase, so end-to-end map gain is ~2-3%."""
     from ..kernel.tokenizer import lexemes
+    from .codec import encode_varints_offsets
     from .xxh64 import pmod, spark_xxhash64_long, spark_xxhash64_str
 
     norm = None
@@ -233,24 +266,69 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
     docids: list[list] = [[] for _ in range(ncells)]
     tfs: list[list] = [[] for _ in range(ncells)]
     dls: list[list] = [[] for _ in range(ncells)]
-    poss: list[list] = [[] for _ in range(ncells)]
+    posv: list[list] = [[] for _ in range(ncells)]
     bucket_cache: dict[str, int] = {}
     count = 0
 
     def flush():
+        live = [c for c in range(ncells) if terms[c]]
+        if not live:
+            return pd.DataFrame(
+                {
+                    "bucket": np.array([], np.int32),
+                    "salt": np.array([], np.int32),
+                    "payload": [],
+                }
+            )
+        # one delta+varint pass over every live cell's position stream
+        tf_cat = np.concatenate(
+            [np.asarray(tfs[c], np.int64) for c in live]
+        )
+        vals = np.concatenate(
+            [np.asarray(posv[c], np.int64) for c in live]
+        )
+        seg = tf_cat + 1  # values per posting: npos + positions
+        ends_v = np.cumsum(seg)
+        starts_v = ends_v - seg
+        pos_mask = np.ones(vals.size, bool)
+        pos_mask[starts_v] = False
+        pos_idx = np.flatnonzero(pos_mask)
+        pos_vals = vals[pos_idx]
+        d = np.diff(pos_vals, prepend=np.int64(0))
+        first = np.concatenate(
+            ([0], np.cumsum(tf_cat[:-1]))
+        )  # each posting's first position: absolute, not a delta
+        d[first] = pos_vals[first]
+        enc = vals.copy()
+        enc[pos_idx] = d
+        buf, ends_b = encode_varints_offsets(enc.astype(np.uint64))
+        blob_all = buf.tobytes()
+        post_ends = ends_b[ends_v - 1]
+        plens = np.diff(post_ends, prepend=np.int64(0))
+        cell_counts = np.asarray([len(tfs[c]) for c in live], np.int64)
+        cell_post_ends = np.cumsum(cell_counts)
+        cell_b_ends = post_ends[cell_post_ends - 1]
+        cell_b_starts = np.concatenate(([0], cell_b_ends[:-1]))
+
         rb, rs, rp = [], [], []
-        for c in range(ncells):
-            tl = terms[c]
-            if not tl:
-                continue
-            rp.append(_pack_cell(tl, docids[c], tfs[c], dls[c], poss[c]))
+        pe = 0
+        for i, c in enumerate(live):
+            n = int(cell_counts[i])
+            rp.append(
+                _pack_cell_pre(
+                    terms[c], docids[c], tfs[c], dls[c],
+                    plens[pe : pe + n],
+                    blob_all[int(cell_b_starts[i]) : int(cell_b_ends[i])],
+                )
+            )
             rb.append(c // num_salts)
             rs.append(c % num_salts)
+            pe += n
             terms[c] = []
             docids[c] = []
             tfs[c] = []
             dls[c] = []
-            poss[c] = []
+            posv[c] = []
         return pd.DataFrame(
             {
                 "bucket": np.array(rb, np.int32),
@@ -286,7 +364,9 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
                 docids[c].append(docid)
                 tfs[c].append(len(ps))
                 dls[c].append(dl)
-                poss[c].append(_enc_pos(ps))
+                pv = posv[c]
+                pv.append(len(ps))
+                pv.extend(ps)
                 count += 1
         if count >= flush_at:
             df = flush()

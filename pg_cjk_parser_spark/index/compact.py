@@ -400,12 +400,47 @@ def _deleted_stats(postings, deleted) -> dict:
         "n_postings": int(row.np or 0),
     }
 
+def _split_epoch_layouts(paths: list[str]):
+    """Partition epoch dirs into NESTED (epoch=/bucket= subdirs) and
+    FLAT (files directly in the epoch dir, bucket as a data column -
+    the small-epoch streaming layout)."""
+    nested, flat = [], []
+    for p in paths:
+        names = os.listdir(p)
+        if any(n.startswith("bucket=") for n in names):
+            nested.append(p)
+        elif any(n.endswith(".parquet") for n in names):
+            flat.append(p)
+    return nested, flat
+
+
+def _read_epoch_postings(spark: SparkSession, pdir: str, eps: list[str]):
+    """Union postings across epoch dirs of BOTH layouts.  Nested dirs
+    read as one partition-discovery group (epoch/bucket partition
+    columns); each flat dir reads standalone (bucket is already a
+    data column, the epoch is not needed as a column here - every
+    consumer derives per-block epochs from input_file_name, which
+    still carries the epoch=N path component)."""
+    nested, flat = _split_epoch_layouts(eps)
+    dfs = []
+    if nested:
+        dfs.append(spark.read.option("basePath", pdir).parquet(*nested))
+    for p in flat:
+        dfs.append(spark.read.parquet(p))
+    if not dfs:
+        return None
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
 def _read_postings_mixed(spark: SparkSession, index_dir: str):
     """Read the whole postings tree across MIXED layouts (batch
-    bucket= dirs at the top level plus appended epoch=/bucket= dirs)
-    as two internally-consistent partition-discovery groups unioned
-    by name - a single whole-tree read would fail with conflicting
-    partition column names."""
+    bucket= dirs at the top level, appended epoch=/bucket= dirs,
+    flat small-epoch dirs) as internally-consistent partition-
+    discovery groups unioned by name - a single whole-tree read
+    would fail with conflicting partition column names."""
     pdir = os.path.join(index_dir, "postings")
     top, eps = [], []
     for name in sorted(os.listdir(pdir)):
@@ -420,8 +455,9 @@ def _read_postings_mixed(spark: SparkSession, index_dir: str):
             .parquet(*top)
             .withColumn("epoch", F.lit(0))
         )
-    if eps:
-        dfs.append(spark.read.option("basePath", pdir).parquet(*eps))
+    epochs_df = _read_epoch_postings(spark, pdir, eps)
+    if epochs_df is not None:
+        dfs.append(epochs_df)
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
@@ -496,8 +532,16 @@ def merge_epochs(
 
     from .build import PACKED_SCHEMA, _encode_cells
 
-    sel_paths = [os.path.join(pdir, f"epoch={e}") for e in epochs]
-    postings = spark.read.option("basePath", pdir).parquet(*sel_paths)
+    sel_paths = [
+        p
+        for p in (os.path.join(pdir, f"epoch={e}") for e in epochs)
+        if os.path.isdir(p)
+    ]
+    postings = _read_epoch_postings(spark, pdir, sel_paths)
+    if postings is None:
+        raise ValueError(
+            f"epochs {epochs} hold no postings data under {pdir}"
+        )
     deleted = load_tombstones(index_dir)
     removed = (
         _deleted_stats(postings, deleted) if deleted is not None else None

@@ -158,15 +158,24 @@ def append_index_batch(
         )
 
     # Small epochs are dominated by per-job fixed costs (scheduling,
-    # listing, schema inference), so the append runs exactly TWO Spark
-    # jobs: the postings write (with the source doc count folded in as
-    # an observed metric - counted from the source, not the postings,
-    # because docs with empty/stop-word-only text produce no postings
-    # yet must count toward N for idf/avgdl parity with a batch
-    # rebuild) and the termstats write (with the epoch's corpus totals
-    # observed from the same aggregation instead of a third
-    # read-back-and-collect job).
-    from pyspark import StorageLevel
+    # listing, commit renames), so they run exactly ONE Spark job: the
+    # postings land FLAT in the epoch dir (a single file, bucket as a
+    # data column - the dynamic bucket=N partition commit, ~2 rename
+    # rounds per dir, was the measured per-epoch floor) and the
+    # per-epoch termstats derive DRIVER-SIDE from that one file's
+    # block metadata via a column-pruned pyarrow read (n/sum_tf only -
+    # the fat binary columns never leave disk).  The source doc count
+    # folds in as an observed metric - counted from the source, not
+    # the postings, because docs with empty/stop-word-only text
+    # produce no postings yet must count toward N for idf/avgdl
+    # parity with a batch rebuild.
+    #
+    # Large epochs keep the two-job layout: (bucket, salt)-partitioned
+    # reducers (memory bounded by the salt count - the documented
+    # skew/scale lever), nested epoch=/bucket= dirs so query-time
+    # bucket pruning stays directory-level, and a Spark termstats
+    # aggregation over the persisted blocks.  The size estimate is
+    # Catalyst's plan statistic - no extra job.
     from pyspark.sql import Observation
 
     obs_docs = Observation(f"epoch{epoch}-docs")
@@ -177,26 +186,7 @@ def append_index_batch(
     # chunk, the shuffle moves cells (not postings), and the reducer
     # lexsorts + block-encodes in numpy.  The row-per-posting epoch
     # path this replaces measured ~2x slower end-to-end.
-    #
-    # Reduce partitioning adapts to the epoch size: commit cost scales
-    # with output-file count (two rename rounds per file), so a SMALL
-    # epoch groups each bucket's salts into one task (file count drops
-    # to the bucket-dir floor), while a LARGE epoch keeps the
-    # (bucket, salt) split so reducer memory stays bounded by the salt
-    # count (the documented skew/scale lever).  The size estimate is
-    # Catalyst's plan statistic - no extra job.
     small = _estimated_small(batch)
-    if small:
-        # grouping whole buckets keeps the file count at the
-        # bucket-dir floor; a quarter of the buckets per task keeps
-        # task-launch overhead low while the per-task data stays tiny
-        parts, keys = max(1, num_buckets // 4), ["bucket"]
-    else:
-        parts = min(
-            num_buckets * num_salts,
-            spark.sparkContext.defaultParallelism * 2,
-        )
-        keys = ["bucket", "salt"]
     sel = (
         _with_docid(batch, docid_col)
         .select("docid", F.col(text_col).alias("text"))
@@ -208,55 +198,89 @@ def append_index_batch(
         ),
         PACKED_SCHEMA,
     )
-    blocks = (
-        cells.repartition(parts, *keys)
-        .mapInPandas(lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA)
-        .withColumn("epoch", F.lit(epoch))
-        # kept for the termstats derivation below: re-reading data that
-        # was written milliseconds ago is pure fixed cost here and a
-        # read-after-write round trip on real object storage
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    (
-        blocks.write.mode("append")
-        # v2 commit (task output moves straight to the destination, one
-        # rename round instead of two): safe here because epoch
-        # atomicity comes from the manifest-last protocol - a crashed
-        # epoch's partial files are swept by the rmtree above on retry
-        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .partitionBy("epoch", "bucket")
-        .parquet(os.path.join(index_dir, "postings"))
-    )
-    n_batch_docs = int(obs_docs.get["n_docs"])
     edir = os.path.join(index_dir, "postings", f"epoch={epoch}")
-    total_tf = n_postings = 0
-    if _bucket_dirs(edir):
-        obs_tot = Observation(f"epoch{epoch}-totals")
-        (
-            blocks.select("bucket", "term", "n", "sum_tf")
-            .groupBy("bucket", "term")
-            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-            # FLAT per-epoch termstats: one plain directory with bucket
-            # as a data column instead of 64 dynamic bucket=N dirs -
-            # the dynamic-partition commit (two rename rounds per dir)
-            # was the measured floor of the epoch fixed cost.  Small
-            # epochs collapse to a single file; large ones keep one
-            # file per bucket (bucket-clustered row groups, so the
-            # query-time term/bucket filters still prune).
-            .repartition(1 if small else num_buckets, "bucket")
-            .observe(
-                obs_tot,
-                F.sum("cf").alias("total_tf"),
-                F.sum("df").alias("n_postings"),
+    if small:
+        # encode with a handful of parallel reducers, then funnel the
+        # (tiny) encoded blocks into one output file; the extra
+        # funnel shuffle moves kilobytes and replaces a 64-file
+        # commit with a single rename
+        blocks = (
+            cells.repartition(max(1, num_buckets // 4), "bucket")
+            .mapInPandas(
+                lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA
             )
-            .write.mode("append")
-            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-            .parquet(os.path.join(index_dir, "termstats", f"epoch={epoch}"))
+            .repartition(1)
         )
-        g = obs_tot.get
-        total_tf = int(g["total_tf"] or 0)
-        n_postings = int(g["n_postings"] or 0)
-    blocks.unpersist()
+        (
+            blocks.write.mode("overwrite")
+            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .parquet(edir)
+        )
+        n_batch_docs = int(obs_docs.get["n_docs"])
+        total_tf, n_postings = _write_termstats_local(index_dir, epoch)
+    else:
+        from pyspark import StorageLevel
+
+        blocks = (
+            cells.repartition(
+                min(
+                    num_buckets * num_salts,
+                    spark.sparkContext.defaultParallelism * 2,
+                ),
+                "bucket",
+                "salt",
+            )
+            .mapInPandas(
+                lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA
+            )
+            .withColumn("epoch", F.lit(epoch))
+            # kept for the termstats derivation below: re-reading data
+            # that was written milliseconds ago is pure fixed cost
+            # here and a read-after-write round trip on real object
+            # storage
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        (
+            blocks.write.mode("append")
+            # v2 commit (task output moves straight to the destination,
+            # one rename round instead of two): safe here because epoch
+            # atomicity comes from the manifest-last protocol - a
+            # crashed epoch's partial files are swept by the rmtree
+            # above on retry
+            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .partitionBy("epoch", "bucket")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+        n_batch_docs = int(obs_docs.get["n_docs"])
+        total_tf = n_postings = 0
+        if _bucket_dirs(edir):
+            obs_tot = Observation(f"epoch{epoch}-totals")
+            (
+                blocks.select("bucket", "term", "n", "sum_tf")
+                .groupBy("bucket", "term")
+                .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+                # FLAT per-epoch termstats: one plain directory with
+                # bucket as a data column, one file per bucket
+                # (bucket-clustered row groups, so the query-time
+                # term/bucket filters still prune)
+                .repartition(num_buckets, "bucket")
+                .observe(
+                    obs_tot,
+                    F.sum("cf").alias("total_tf"),
+                    F.sum("df").alias("n_postings"),
+                )
+                .write.mode("append")
+                .option(
+                    "mapreduce.fileoutputcommitter.algorithm.version", "2"
+                )
+                .parquet(
+                    os.path.join(index_dir, "termstats", f"epoch={epoch}")
+                )
+            )
+            g = obs_tot.get
+            total_tf = int(g["total_tf"] or 0)
+            n_postings = int(g["n_postings"] or 0)
+        blocks.unpersist()
 
     # exactly-once accounting: the epoch's deltas live in its manifest
     # (written atomically, LAST); global stats are *derived* by summing
@@ -276,6 +300,53 @@ def append_index_batch(
     return _rebuild_stats(
         index_dir, num_buckets, num_salts, block_size, k1, b, normalize_zht
     )
+
+
+def _write_termstats_local(index_dir: str, epoch: int):
+    """Derive and write a SMALL epoch's termstats on the driver from
+    the freshly-written flat postings file's block metadata - a
+    column-pruned pyarrow read (bucket/term/n/sum_tf; the fat binary
+    posting columns never leave disk) over one small file, replacing
+    a whole second Spark job whose fixed cost dominated the per-epoch
+    floor.  Returns (total_tf, n_postings) for the manifest."""
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    edir = os.path.join(index_dir, "postings", f"epoch={epoch}")
+    try:
+        files = [
+            os.path.join(edir, n)
+            for n in sorted(os.listdir(edir))
+            if n.endswith(".parquet")
+        ]
+    except FileNotFoundError:
+        return 0, 0
+    if not files:
+        return 0, 0
+    tbl = pds.dataset(files).to_table(
+        columns=["bucket", "term", "n", "sum_tf"]
+    )
+    if tbl.num_rows == 0:
+        return 0, 0
+    pdf = (
+        tbl.to_pandas()
+        .groupby(["bucket", "term"], as_index=False)
+        .agg(df=("n", "sum"), cf=("sum_tf", "sum"))
+        .sort_values(["bucket", "term"], kind="stable")
+    )
+    tdir = os.path.join(index_dir, "termstats", f"epoch={epoch}")
+    os.makedirs(tdir, exist_ok=True)
+    out = os.path.join(tdir, "part-00000.parquet")
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.Table.from_pandas(
+            pdf[["bucket", "term", "df", "cf"]], preserve_index=False
+        ),
+        tmp,
+    )
+    os.replace(tmp, out)
+    return int(pdf["cf"].sum()), int(pdf["df"].sum())
 
 
 _SMALL_EPOCH_BYTES = 256 << 20

@@ -109,15 +109,19 @@ def _shard_paths(index_dir: str, subdir: str, bset, stats) -> list[str]:
                 found = True
         if (
             not found
-            and subdir == "termstats"
             and os.path.isdir(ebase)
             and not any(
                 n.startswith("bucket=") for n in os.listdir(ebase)
             )
         ):
-            # flat per-epoch termstats (streaming appends): one plain
-            # directory, bucket carried as a data column; term/bucket
-            # filters prune at the row-group level instead of by dir
+            # flat per-epoch shard (streaming appends write termstats
+            # this way always, and SMALL postings epochs too): one
+            # plain directory, bucket carried as a data column;
+            # term/bucket filters prune at the row-group level
+            # instead of by dir.  Directory-level bucket pruning is
+            # deliberately traded away here - a small epoch is one
+            # small file, and maintain_index folds it into the
+            # nested layout
             paths.append(ebase)
     if not paths and os.path.isdir(pdir):
         # layout not derivable from stats (e.g. legacy index): scoped
@@ -303,7 +307,17 @@ def _or_groups_of(pre_tree, expansions: dict[str, list[str]]):
 
 
 def parse_query(query: str, mode: str = "plain", expand=None) -> ParsedQuery:
-    tree = to_tsquery(query) if mode == "tsquery" else plainto_tsquery(query)
+    """``mode``: 'plain' (plainto_tsquery), 'tsquery' (to_tsquery),
+    or 'websearch' (websearch_to_tsquery) - the three PG query
+    constructors users pair with a GIN index."""
+    if mode == "tsquery":
+        tree = to_tsquery(query)
+    elif mode == "websearch":
+        from ..kernel.tsvector import websearch_to_tsquery
+
+        tree = websearch_to_tsquery(query)
+    else:
+        tree = plainto_tsquery(query)
     pre_tree = tree
     expansions: dict[str, list[str]] = {}
     if tree is not None and expand is not None:

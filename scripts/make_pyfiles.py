@@ -6,7 +6,7 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> str:
+def main(quiet: bool = False) -> str:
     out_dir = os.path.join(REPO, "dist")
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, "pg_cjk_parser_spark.zip")
@@ -15,11 +15,12 @@ def main() -> str:
         for root, _dirs, files in os.walk(pkg):
             if "__pycache__" in root:
                 continue
-            for f in files:
+            for f in sorted(files):
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
-    print(out)
+    if not quiet:
+        print(out)
     return out
 
 

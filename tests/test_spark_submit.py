@@ -14,6 +14,7 @@ import json
 import os
 import shutil
 import subprocess
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -78,3 +79,38 @@ def test_spark_submit_pyfiles_build_and_query(tmp_path, spark):
     )
     rows = search(spark, str(idx2), "のび太", k=10).collect()
     assert [[r.docid, round(r.score, 6)] for r in rows] == topk
+
+
+def test_entry_contract_cwd_independent(tmp_path):
+    """The driver contract must work with a driver whose cwd is NOT
+    the repo root: __spark_entry__ puts the repo on sys.path at
+    import (driver side) and ships the package zip via sc.addPyFile
+    on first use (worker side), so UDF closures unpickle on executors
+    that cannot see the repo through their cwd.  Runs a UDF-bearing
+    queries() row end-to-end from an empty tmp cwd with PYTHONPATH
+    scrubbed."""
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "import __spark_entry__ as e\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.sql.shuffle.partitions', '4')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "df = e.queries()['ts_debug'](spark, '/root/testdata/sf0.001')\n"
+        "print('ROWS=%d' % df.count())\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    rows = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("ROWS=")
+    ]
+    assert rows and int(rows[0].split("=", 1)[1]) > 0
