@@ -25,6 +25,28 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 
+def _build_pkg_zip() -> str:
+    """Zip the package into the session temp dir (NOT the repo: the
+    checkout may be read-only, and importing scripts/make_pyfiles by
+    the generic top-level name 'scripts' could collide with a
+    harness's own module).  Same zip layout as scripts/make_pyfiles."""
+    import zipfile
+
+    pkg = os.path.join(_REPO_ROOT, "pg_cjk_parser_spark")
+    out = os.path.join(
+        tempfile.gettempdir(), f"pg_cjk_parser_spark_pyfiles_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO_ROOT))
+    return out
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Location-independence, worker side: UDF closures pickle
     pg_cjk_parser_spark functions BY REFERENCE, so executors must be
@@ -36,9 +58,7 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_pg_cjk_pkg_shipped", False):
         return
-    from scripts.make_pyfiles import main as _make_zip
-
-    sc.addPyFile(_make_zip(quiet=True))
+    sc.addPyFile(_build_pkg_zip())
     sc._pg_cjk_pkg_shipped = True
 
 

@@ -25,6 +25,7 @@ from .streaming import _atomic_json, _rebuild_stats
 from .tombstones import (
     alive_mask,
     clear_tombstones,
+    epoch_dir_layout,
     epoch_from_file_path,
     epochs_of,
     list_tombstone_files,
@@ -403,13 +404,15 @@ def _deleted_stats(postings, deleted) -> dict:
 def _split_epoch_layouts(paths: list[str]):
     """Partition epoch dirs into NESTED (epoch=/bucket= subdirs) and
     FLAT (files directly in the epoch dir, bucket as a data column -
-    the small-epoch streaming layout)."""
+    the small-epoch streaming layout); dataless dirs drop out.  The
+    classifier lives with the layout convention
+    (tombstones.epoch_dir_layout)."""
     nested, flat = [], []
     for p in paths:
-        names = os.listdir(p)
-        if any(n.startswith("bucket=") for n in names):
+        lay = epoch_dir_layout(p)
+        if lay == "nested":
             nested.append(p)
-        elif any(n.endswith(".parquet") for n in names):
+        elif lay == "flat":
             flat.append(p)
     return nested, flat
 
@@ -538,58 +541,66 @@ def merge_epochs(
         if os.path.isdir(p)
     ]
     postings = _read_epoch_postings(spark, pdir, sel_paths)
-    if postings is None:
-        raise ValueError(
-            f"epochs {epochs} hold no postings data under {pdir}"
-        )
-    deleted = load_tombstones(index_dir)
-    removed = (
-        _deleted_stats(postings, deleted) if deleted is not None else None
-    )
-    epoch_col = epoch_from_file_path()
-    cells = postings.select(
-        "bucket", "salt", "term", "docids", "tfs", "doclens", "positions"
-    ).withColumn("epoch", epoch_col).mapInPandas(
-        lambda it: _decode_to_cells(it, deleted=deleted), PACKED_SCHEMA
-    )
-    blocks = cells.repartition(parts, "bucket", "salt").mapInPandas(
-        lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA
-    )
-    tmp_postings = os.path.join(index_dir, "_merge_postings")
-    shutil.rmtree(tmp_postings, ignore_errors=True)
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-        tmp_postings
-    )
-
-    # merged termstats derive from the new block metadata (flat
-    # layout, bucket as a data column - same shape epoch appends use)
-    tmp_ts = os.path.join(index_dir, "_merge_termstats")
-    shutil.rmtree(tmp_ts, ignore_errors=True)
-    (
-        spark.read.parquet(tmp_postings)
-        .select("bucket", "term", "n", "sum_tf")
-        .groupBy("bucket", "term")
-        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-        .repartition(stats["num_buckets"], "bucket")
-        .write.mode("overwrite")
-        .parquet(tmp_ts)
-    )
-
-    # swap, non-destructively: move the merged epochs' dirs ASIDE
-    # first, land the target, and only delete the originals after the
-    # manifests are updated - a crash mid-way leaves every byte on
-    # disk under _old_merge_* instead of losing epochs
     aside = []
-    for e in epochs:
-        for base in (pdir, tdir):
-            live = os.path.join(base, f"epoch={e}")
-            if os.path.exists(live):
-                old_p = os.path.join(base, f"_old_merge_epoch={e}")
-                shutil.rmtree(old_p, ignore_errors=True)
-                os.replace(live, old_p)
-                aside.append(old_p)
-    os.replace(tmp_postings, os.path.join(pdir, f"epoch={target}"))
-    os.replace(tmp_ts, os.path.join(tdir, f"epoch={target}"))
+    if postings is None:
+        # every selected epoch is manifest-only (empty/stopword-only
+        # micro-batches write a manifest but no postings): there is
+        # no data to rewrite - just fold the manifests into one so
+        # maintain_index, which preferentially picks the smallest
+        # epochs, cannot wedge on them
+        removed = None
+    else:
+        deleted = load_tombstones(index_dir)
+        removed = (
+            _deleted_stats(postings, deleted)
+            if deleted is not None
+            else None
+        )
+        epoch_col = epoch_from_file_path()
+        cells = postings.select(
+            "bucket", "salt", "term", "docids", "tfs", "doclens",
+            "positions",
+        ).withColumn("epoch", epoch_col).mapInPandas(
+            lambda it: _decode_to_cells(it, deleted=deleted), PACKED_SCHEMA
+        )
+        blocks = cells.repartition(parts, "bucket", "salt").mapInPandas(
+            lambda it: _encode_cells(it, block_size), BLOCK_SCHEMA
+        )
+        tmp_postings = os.path.join(index_dir, "_merge_postings")
+        shutil.rmtree(tmp_postings, ignore_errors=True)
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+            tmp_postings
+        )
+
+        # merged termstats derive from the new block metadata (flat
+        # layout, bucket as a data column - same shape epoch appends
+        # use)
+        tmp_ts = os.path.join(index_dir, "_merge_termstats")
+        shutil.rmtree(tmp_ts, ignore_errors=True)
+        (
+            spark.read.parquet(tmp_postings)
+            .select("bucket", "term", "n", "sum_tf")
+            .groupBy("bucket", "term")
+            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+            .repartition(stats["num_buckets"], "bucket")
+            .write.mode("overwrite")
+            .parquet(tmp_ts)
+        )
+
+        # swap, non-destructively: move the merged epochs' dirs ASIDE
+        # first, land the target, and only delete the originals after
+        # the manifests are updated - a crash mid-way leaves every
+        # byte on disk under _old_merge_* instead of losing epochs
+        for e in epochs:
+            for base in (pdir, tdir):
+                live = os.path.join(base, f"epoch={e}")
+                if os.path.exists(live):
+                    old_p = os.path.join(base, f"_old_merge_epoch={e}")
+                    shutil.rmtree(old_p, ignore_errors=True)
+                    os.replace(live, old_p)
+                    aside.append(old_p)
+        os.replace(tmp_postings, os.path.join(pdir, f"epoch={target}"))
+        os.replace(tmp_ts, os.path.join(tdir, f"epoch={target}"))
 
     # manifests: the merged manifest carries the summed totals minus
     # what the tombstones removed

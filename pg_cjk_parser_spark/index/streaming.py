@@ -216,7 +216,7 @@ def append_index_batch(
             .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
             .parquet(edir)
         )
-        n_batch_docs = int(obs_docs.get["n_docs"])
+        n_batch_docs = _obs_count(obs_docs, "n_docs")
         total_tf, n_postings = _write_termstats_local(index_dir, epoch)
     else:
         from pyspark import StorageLevel
@@ -251,7 +251,7 @@ def append_index_batch(
             .partitionBy("epoch", "bucket")
             .parquet(os.path.join(index_dir, "postings"))
         )
-        n_batch_docs = int(obs_docs.get["n_docs"])
+        n_batch_docs = _obs_count(obs_docs, "n_docs")
         total_tf = n_postings = 0
         if _bucket_dirs(edir):
             obs_tot = Observation(f"epoch{epoch}-totals")
@@ -277,9 +277,8 @@ def append_index_batch(
                     os.path.join(index_dir, "termstats", f"epoch={epoch}")
                 )
             )
-            g = obs_tot.get
-            total_tf = int(g["total_tf"] or 0)
-            n_postings = int(g["n_postings"] or 0)
+            total_tf = _obs_count(obs_tot, "total_tf")
+            n_postings = _obs_count(obs_tot, "n_postings")
         blocks.unpersist()
 
     # exactly-once accounting: the epoch's deltas live in its manifest
@@ -300,6 +299,18 @@ def append_index_batch(
     return _rebuild_stats(
         index_dir, num_buckets, num_salts, block_size, k1, b, normalize_zht
     )
+
+
+def _obs_count(obs, key) -> int:
+    """Observed metric with an empty-plan fallback: Catalyst's
+    PropagateEmptyRelation can optimize the CollectMetrics node out
+    of a provably-empty plan (e.g. a literal empty micro-batch), in
+    which case the metric row never materializes and reading it
+    raises - the plan was empty, so the count is 0."""
+    try:
+        return int(obs.get[key] or 0)
+    except Exception:
+        return 0
 
 
 def _write_termstats_local(index_dir: str, epoch: int):

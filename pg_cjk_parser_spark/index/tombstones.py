@@ -202,6 +202,25 @@ def alive_mask(
     return None if not hit.any() else ~hit
 
 
+def epoch_dir_layout(path: str) -> str | None:
+    """Physical layout of one ``epoch=N`` shard dir - the other half
+    of the layout convention this module homes: ``'nested'`` (bucket=
+    subdirs, large epochs/compaction), ``'flat'`` (parquet files
+    directly in the dir with bucket as a data column - small
+    streaming epochs and all per-epoch termstats), or ``None`` (no
+    data: missing dir, or a 0-row epoch that wrote only _SUCCESS).
+    Query routing and compaction readers share this classifier."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return None
+    if any(n.startswith("bucket=") for n in names):
+        return "nested"
+    if any(n.endswith(".parquet") for n in names):
+        return "flat"
+    return None
+
+
 def epoch_from_file_path():
     """Spark Column: a block's epoch parsed from its file path
     (epoch=N dir, 0 for batch-layout files) - the single home of the

@@ -52,6 +52,7 @@ from ..kernel.tsvector import (
 from ..index.codec import decode_varints
 from ..index.tombstones import (
     alive_mask,
+    epoch_dir_layout,
     epoch_from_file_path,
     load_tombstones,
 )
@@ -107,13 +108,7 @@ def _shard_paths(index_dir: str, subdir: str, bset, stats) -> list[str]:
             if os.path.isdir(p):
                 paths.append(p)
                 found = True
-        if (
-            not found
-            and os.path.isdir(ebase)
-            and not any(
-                n.startswith("bucket=") for n in os.listdir(ebase)
-            )
-        ):
+        if not found and epoch_dir_layout(ebase) == "flat":
             # flat per-epoch shard (streaming appends write termstats
             # this way always, and SMALL postings epochs too): one
             # plain directory, bucket carried as a data column;
@@ -285,25 +280,19 @@ def _contains_prefix(node) -> bool:
 
 
 def _or_groups_of(pre_tree, expansions: dict[str, list[str]]):
-    """calc_rank_or item groups from the PRE-expansion tree: unique
-    operand texts in sorted order (PG SortAndUniqItems compares the
-    operand string only, so 'b' and 'b:*' in one query dedupe to one
-    item - the prefix reading wins here, matching find_wordentry's
-    wider entry walk), each mapped to the indexed lexemes it matches
-    (its dictionary expansion for a prefix, itself for an exact
-    term).  An empty prefix expansion still counts as an item (PG
-    divides by it; it just contributes 0)."""
+    """calc_rank_or item groups from the PRE-expansion tree: one
+    group per distinct (text, is_prefix) operand in kernel
+    ``_operands`` order - a prefix item's group is its dictionary
+    expansion, an exact item's is itself.  'b' and 'b:*' in one query
+    are TWO items (the kernel treats them so; tier parity is against
+    the kernel), and an empty prefix expansion still counts as an
+    item (the divisor includes it; it just contributes 0)."""
     from ..kernel.tsrank import _operands
 
-    ops = _operands(pre_tree)
-    prefix_texts = {t for t, pre in ops if pre}
-    groups = []
-    for text in sorted({t for t, _ in ops}):
-        if text in prefix_texts:
-            groups.append(list(expansions.get(text, [])))
-        else:
-            groups.append([text])
-    return groups
+    return [
+        list(expansions.get(text, [])) if pre else [text]
+        for text, pre in _operands(pre_tree)
+    ]
 
 
 def parse_query(query: str, mode: str = "plain", expand=None) -> ParsedQuery:
@@ -481,11 +470,19 @@ def _read_blocks(
     return df.withColumn("epoch", _epoch_from_path()) if with_epoch else df
 
 
-def _needs_epoch(stats, deleted) -> bool:
+def _needs_epoch(stats, deleted, paths=()) -> bool:
     """Per-posting epochs matter only when tombstones exist AND the
-    index actually holds multiple epochs (else every block is epoch 0
-    and the scalar default bounds correctly)."""
-    return deleted is not None and bool(stats.get("epochs"))
+    index actually holds epoch shards (else every block is epoch 0
+    and the scalar default bounds correctly).  Epoch presence is
+    judged from the RESOLVED scan paths, not stats.json alone -
+    _shard_paths serves foreign-appended epoch dirs stats never
+    learned about, and epoch-bounded tombstones must not mask those
+    blocks as if they were epoch 0."""
+    if deleted is None:
+        return False
+    if stats.get("epochs"):
+        return True
+    return any("epoch=" in p for p in paths)
 
 
 def _postings_paths(index_dir: str, bset, stats) -> list[str]:
@@ -511,7 +508,7 @@ def search(
         return spark.createDataFrame([], "docid long, score double")
     deleted = load_tombstones(index_dir)
     blocks = _read_blocks(
-        spark, paths, pq.all_terms, _needs_epoch(stats, deleted)
+        spark, paths, pq.all_terms, _needs_epoch(stats, deleted, paths)
     )
 
     phrases = pq.phrases
@@ -587,7 +584,7 @@ def search_rank_cd(
         return spark.createDataFrame([], "docid long, rank double")
     deleted = load_tombstones(index_dir)
     blocks = _read_blocks(
-        spark, paths, pq.all_terms, _needs_epoch(stats, deleted)
+        spark, paths, pq.all_terms, _needs_epoch(stats, deleted, paths)
     )
     num_salts = stats["num_salts"]
 
@@ -785,7 +782,7 @@ def search_rank(
         return spark.createDataFrame([], "docid long, rank double")
     deleted = load_tombstones(index_dir)
     blocks = _read_blocks(
-        spark, paths, pq.all_terms, _needs_epoch(stats, deleted)
+        spark, paths, pq.all_terms, _needs_epoch(stats, deleted, paths)
     )
     num_salts = stats["num_salts"]
     conj = pq.conjunctive
@@ -1114,7 +1111,7 @@ def rank_local(
         return []
     deleted = load_tombstones(index_dir)
     pdf = _read_blocks_local(
-        ds, paths, pq.all_terms, _needs_epoch(stats, deleted)
+        ds, paths, pq.all_terms, _needs_epoch(stats, deleted, paths)
     )
     if len(pdf) == 0:
         return []
@@ -1204,7 +1201,7 @@ def search_many_rank(
         return spark.createDataFrame([], empty_schema)
     deleted = load_tombstones(index_dir)
     blocks = _read_blocks(
-        spark, paths, union_terms, _needs_epoch(stats, deleted)
+        spark, paths, union_terms, _needs_epoch(stats, deleted, paths)
     )
     qspecs = [
         (q, list(pq.all_terms), pq.conjunctive, pq.phrases,
@@ -1372,7 +1369,7 @@ def search_many(
         return spark.createDataFrame([], empty_schema)
     deleted = load_tombstones(index_dir)
     blocks = _read_blocks(
-        spark, paths, union_terms, _needs_epoch(stats, deleted)
+        spark, paths, union_terms, _needs_epoch(stats, deleted, paths)
     )
     qspecs = [
         (
@@ -1623,7 +1620,7 @@ def search_local(
         return []
     deleted = load_tombstones(index_dir)
     pdf = _read_blocks_local(
-        ds, paths, pq.all_terms, _needs_epoch(stats, deleted)
+        ds, paths, pq.all_terms, _needs_epoch(stats, deleted, paths)
     )
     if len(pdf) == 0:
         return []

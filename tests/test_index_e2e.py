@@ -663,6 +663,22 @@ def test_prefix_queries_index_path(spark, built):
         key=lambda kv: (-kv[1], kv[0]),
     )[:5]
     assert [(r.docid, r.rank) for r in ranked_m] == kern_m
+    # same TEXT as both exact term and prefix: the kernel treats them
+    # as TWO items (the matched entry contributes via both, divisor
+    # 2) - the index path must not dedupe them by text
+    node_dup = to_tsquery("'doraemnon' | doraemnon:*")
+    ranked_d = search_rank(
+        spark, index_dir, "'doraemnon' | doraemnon:*", k=5, mode="tsquery"
+    ).collect()
+    kern_d = sorted(
+        (
+            (d, ts_rank(to_tsvector(t), node_dup))
+            for d, t in pdocs
+            if ts_match(to_tsvector(t), node_dup)
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert [(r.docid, r.rank) for r in ranked_d] == kern_d
     # no-match prefix under OR must not kill the other branch
     both = search(
         spark, index_dir, "zzzznope:* | doraemnon", k=10, mode="tsquery"

@@ -387,3 +387,32 @@ def test_session_stats_batch_and_streaming(spark, tmp_path):
         assert (r.n_events, r.sum_value, r.session_end_us) == (
             b.n_events, b.sum_value, b.session_end_us
         )
+
+
+def test_maintain_index_folds_manifest_only_epochs(spark, tmp_path):
+    """Empty micro-batches write an epoch manifest but no postings
+    dir; maintain_index preferentially merges the smallest epochs -
+    exactly those - so merge_epochs must fold manifest-only epochs
+    without data to rewrite instead of wedging."""
+    from pg_cjk_parser_spark.index.compact import maintain_index
+    from pg_cjk_parser_spark.index.streaming import append_index_batch
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    idx = str(tmp_path / "manifest_only")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    append_index_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, "fast table")], "doc_id long, text string"
+        ),
+        idx, epoch=0, docid_col="doc_id", num_buckets=4, num_salts=2,
+    )
+    for e in range(1, 5):
+        append_index_batch(
+            spark, empty, idx, epoch=e, docid_col="doc_id",
+            num_buckets=4, num_salts=2,
+        )
+    st = maintain_index(spark, idx, max_epochs=2, merge_factor=3)
+    assert len(st["epochs"]) <= 2
+    assert st["n_docs"] == 1
+    assert [d for d, _ in search_local(idx, "fast", k=5)] == [1]

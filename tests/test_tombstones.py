@@ -789,3 +789,47 @@ def test_randomized_crud_prefix_websearch_rank_differential(spark, tmp_path):
         assert got == brute_rank(to_tsquery(q), method, cd)[:10], (
             q, method, cd,
         )
+
+
+def test_foreign_epoch_survives_epoch_bounded_tombstone(spark, tmp_path):
+    """An epoch dir that stats.json never learned about (crashed
+    stats refresh / external writer - the case _shard_paths's
+    directory fallback serves) must still be tombstone-bounded by its
+    REAL epoch: a delete bounded at epoch 0 may not mask the epoch-1
+    version just because stats lack an 'epochs' key."""
+    import json
+    import os
+
+    from pg_cjk_parser_spark.index.streaming import append_index_batch
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    idx = str(tmp_path / "foreign")
+    append_index_batch(
+        spark,
+        spark.createDataFrame([(1, "fast table")], "doc_id long, text string"),
+        idx, epoch=0, docid_col="doc_id", num_buckets=4, num_salts=2,
+    )
+    append_index_batch(
+        spark,
+        spark.createDataFrame([(2, "fast value")], "doc_id long, text string"),
+        idx, epoch=1, docid_col="doc_id", num_buckets=4, num_salts=2,
+    )
+    # simulate the foreign/crashed case: stats forget the epochs
+    spath = os.path.join(idx, "stats.json")
+    with open(spath) as f:
+        st = json.load(f)
+    st.pop("epochs", None)
+    with open(spath, "w") as f:
+        json.dump(st, f)
+    # delete doc 2 bounded at epoch 0: its only version is epoch 1,
+    # which the bound does NOT cover - it must stay visible on every
+    # path (Spark + serving)
+    delete_docs(idx, [2], upto_epoch=0)
+    assert any(
+        d == 2 for d, _ in search_local(idx, "fast", k=10)
+    ), "epoch-1 posting wrongly masked as epoch 0"
+    got = {r.docid for r in search(spark, idx, "fast", k=10).collect()}
+    assert got == {1, 2}
+    # and an unbounded delete still masks it
+    delete_docs(idx, [2], upto_epoch=1)
+    assert [d for d, _ in search_local(idx, "fast", k=10)] == [1]
