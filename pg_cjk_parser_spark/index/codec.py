@@ -55,6 +55,10 @@ def decode_varints(buf: bytes) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (b & 0x80) == 0
+    if is_end.all():
+        # every value < 128 encodes as its own byte - the common case
+        # for position deltas and tf streams; skip the offset walk
+        return b.astype(np.uint64)
     ends = np.flatnonzero(is_end)
     starts = np.concatenate(([0], ends[:-1] + 1))
     lens = ends - starts + 1

@@ -58,9 +58,38 @@ from ..index.tombstones import (
 )
 
 
+def _index_version(index_dir: str) -> int:
+    """Monotone version key for an index: stats.json's mtime_ns.
+    Every mutation that changes routed state (append, upsert epoch,
+    compact, merge) rewrites stats.json last, so a changed version
+    invalidates caches; tombstones deliberately do NOT bump it -
+    the dictionary df stays frozen until compaction (live-docs
+    semantics), so cached df values remain correct."""
+    try:
+        return os.stat(os.path.join(index_dir, "stats.json")).st_mtime_ns
+    except OSError:
+        return -1
+
+
+_STATS_CACHE: dict = {}
+_DF_CACHE: dict = {}
+_DF_CACHE_MAX_TERMS = 1 << 16
+
+
 def load_stats(index_dir: str) -> dict:
+    """stats.json, cached per index version - the serving tier reads
+    it on every point query, and a real serving fleet would hold this
+    catalog state resident (PG keeps it in shared catalogs)."""
+    ver = _index_version(index_dir)
+    hit = _STATS_CACHE.get(index_dir)
+    if hit is not None and hit[0] == ver:
+        return dict(hit[1])
     with open(os.path.join(index_dir, "stats.json")) as f:
-        return json.load(f)
+        stats = json.load(f)
+    if len(_STATS_CACHE) > 256:
+        _STATS_CACHE.clear()
+    _STATS_CACHE[index_dir] = (ver, stats)
+    return dict(stats)
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -174,31 +203,49 @@ def expand_prefix(
 
 
 def _read_termstats(index_dir: str, bset: list[int], terms: list[str], stats):
-    """Point-lookup df per term from the pruned termstats shards.
+    """Point-lookup df per term from the pruned termstats shards,
+    with a per-index-version dictionary cache (including negative
+    entries): repeated or overlapping queries skip the parquet point
+    reads entirely - the serving analog of PG keeping the GIN term
+    btree's hot pages in shared_buffers.  Tombstones don't invalidate
+    it (df is deliberately frozen until compaction); every structural
+    mutation rewrites stats.json and thus bumps the version key.
 
-    Driver-side pyarrow read (a few bucket directories, term-filtered):
-    on a cluster this is the same object-store point read, no executor
-    round-trip needed for a |q|-row lookup.
+    Driver-side pyarrow read on miss (a few bucket directories,
+    term-filtered): on a cluster this is the same object-store point
+    read, no executor round-trip needed for a |q|-row lookup.
     """
     import pyarrow.dataset as ds
 
-    paths = _shard_paths(index_dir, "termstats", bset, stats)
-    if not paths:
-        # empty-corpus index (no shards written) or absent buckets
-        return {}
-    out: dict[str, int] = {}
-    # per-path reads: bucket-dir shards (batch/compacted layout) and
-    # flat epoch dirs (streaming layout, bucket as a column) carry
-    # different physical schemas, so a unified dataset would fail to
-    # merge them; each path is a tiny term-filtered point read anyway
-    for p in paths:
-        tbl = ds.dataset(p).to_table(
-            columns=["term", "df"],
-            filter=ds.field("term").isin(terms),
-        )
-        for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
-            out[t] = out.get(t, 0) + int(d)
-    return out
+    ver = (index_dir, _index_version(index_dir))
+    cached = _DF_CACHE.get(ver)
+    if cached is None:
+        if len(_DF_CACHE) > 8:
+            _DF_CACHE.clear()
+        cached = _DF_CACHE[ver] = {}
+    missing = [t for t in terms if t not in cached]
+    if missing:
+        paths = _shard_paths(index_dir, "termstats", bset, stats)
+        found: dict[str, int] = {}
+        # per-path reads: bucket-dir shards (batch/compacted layout)
+        # and flat epoch dirs (streaming layout, bucket as a column)
+        # carry different physical schemas, so a unified dataset would
+        # fail to merge them; each path is a tiny term-filtered point
+        # read anyway
+        for p in paths:
+            tbl = ds.dataset(p).to_table(
+                columns=["term", "df"],
+                filter=ds.field("term").isin(missing),
+            )
+            for t, d in zip(
+                tbl["term"].to_pylist(), tbl["df"].to_pylist()
+            ):
+                found[t] = found.get(t, 0) + int(d)
+        if len(cached) + len(missing) > _DF_CACHE_MAX_TERMS:
+            cached.clear()
+        for t in missing:
+            cached[t] = found.get(t, 0)  # 0 = negative entry
+    return {t: cached[t] for t in terms if cached[t] > 0}
 
 
 @dataclass
@@ -1420,7 +1467,7 @@ class _TermList:
 
     __slots__ = (
         "ids", "tfs", "dls", "blk_ids", "blk_pos", "blk_n",
-        "blk_lo", "blk_hi", "blk_ep", "_poscache", "_deleted",
+        "blk_tf", "blk_lo", "blk_hi", "blk_ep", "_poscache", "_deleted",
     )
 
     def __init__(self, tb, decode_pos_blobs: bool, deleted=None):
@@ -1447,14 +1494,18 @@ class _TermList:
             if "epoch" in tb.columns
             else np.zeros(len(tb), np.int64)
         )
-        blk_ids, blk_pos, blk_n, blk_ep = [], [], [], []
+        tfs = decode_varints(b"".join(tb["tfs"])).astype(np.float64)
+        blk_ids, blk_pos, blk_n, blk_tf, blk_ep = [], [], [], [], []
         if decode_pos_blobs:
             for i, (buf_p, n) in enumerate(zip(tb["positions"], ns.tolist())):
                 blk_ids.append(ids[starts[i] : ends[i]])
                 blk_pos.append(buf_p)
                 blk_n.append(n)
+                # physical-order per-posting tf slice: npos == stored
+                # tf by construction, which lets _decode_block lay out
+                # the position stream without walking it
+                blk_tf.append(tfs[starts[i] : ends[i]])
                 blk_ep.append(int(blk_eps[i]))
-        tfs = decode_varints(b"".join(tb["tfs"])).astype(np.float64)
         dls = decode_varints(b"".join(tb["doclens"])).astype(np.float64)
         srt = np.argsort(ids, kind="stable")
         self.ids = ids[srt]
@@ -1479,6 +1530,7 @@ class _TermList:
         self.blk_ids = blk_ids
         self.blk_pos = blk_pos
         self.blk_n = blk_n
+        self.blk_tf = blk_tf
         self.blk_ep = blk_ep
         if blk_ids:
             self.blk_lo = np.array([int(x[0]) for x in blk_ids])
@@ -1488,22 +1540,25 @@ class _TermList:
         self._poscache: dict[int, list] = {}
 
     def _decode_block(self, bi: int):
-        """Decode block ``bi``'s position stream once (vectorized) and
-        cache (values, per-posting delta offsets, per-posting counts)
-        as numpy arrays."""
+        """Decode block ``bi``'s position stream once and cache
+        (values, per-posting delta offsets, per-posting counts).
+
+        The stream layout per posting is [npos, deltas...], and npos
+        equals the posting's stored tf (both are len(positions) at
+        build), so the offsets come from one cumsum over the block's
+        tf slice instead of a sequential Python walk over the decoded
+        values - the walk was the hot spot of phrase rechecks over
+        head terms."""
         dec = self._poscache.get(bi)
         if dec is None:
             vals = decode_varints(self.blk_pos[bi])
-            n = self.blk_ids[bi].size
-            offs = np.empty(n, np.int64)
-            cnts = np.empty(n, np.int64)
-            o = 0
-            vl = vals.tolist()
-            for ii in range(n):
-                c = vl[o]
-                offs[ii] = o + 1
-                cnts[ii] = c
-                o += 1 + c
+            cnts = self.blk_tf[bi].astype(np.int64)
+            ends = np.cumsum(cnts + 1)
+            if ends.size and int(ends[-1]) != vals.size:
+                raise ValueError(
+                    "position stream length disagrees with stored tf"
+                )
+            offs = ends - cnts
             dec = (vals, offs, cnts)
             self._poscache[bi] = dec
         return dec
