@@ -2352,8 +2352,16 @@ def _rank_or_term_sql(word: str) -> str:
       ELSE 0.0::DOUBLE END"""
 
 
-def _ts_rank_or_sql(words: list[str], topk: int | None = None) -> str:
+def _ts_rank_or_sql(
+    words: list[str], topk: int | None = None, n_items: int | None = None
+) -> str:
+    """calc_rank_or oracle over exact ``words``.  ``n_items`` is the
+    rank divisor - the number of QUERY items, which differs from
+    len(words) when the words are one prefix operand's dictionary
+    expansion (a prefix counts as ONE item; tsrank.c divides by the
+    item count while each matched entry contributes to the sum)."""
     words = sorted(words)  # SortAndUniqItems order; stems==words here
+    ni = len(words) if n_items is None else n_items
     counts = ",\n    ".join(
         f"least(len(list_filter(ws, w -> w = '{w}')), 256) AS n_{w}"
         for w in words
@@ -2364,14 +2372,14 @@ def _ts_rank_or_sql(words: list[str], topk: int | None = None) -> str:
     )
     if topk:
         final = (
-            f"SELECT doc_id, round(({contribs}) / {len(words)}::DOUBLE, 6)"
+            f"SELECT doc_id, round(({contribs}) / {ni}::DOUBLE, 6)"
             f" AS rank\nFROM c WHERE ({contribs}) > 0\n"
-            f"ORDER BY round(({contribs}) / {len(words)}::DOUBLE, 6) DESC,"
+            f"ORDER BY round(({contribs}) / {ni}::DOUBLE, 6) DESC,"
             f" doc_id ASC LIMIT {topk}"
         )
     else:
         final = (
-            f"SELECT doc_id, round(({contribs}) / {len(words)}::DOUBLE, 6)"
+            f"SELECT doc_id, round(({contribs}) / {ni}::DOUBLE, 6)"
             " AS rank\nFROM c ORDER BY doc_id"
         )
     return f"""
@@ -2542,6 +2550,63 @@ def _q_ts_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rank", 6).alias("rank"),
     )
     return res.orderBy(F.desc("rank"), F.asc("doc_id")).limit(20)
+
+
+def _q_ts_rank_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-path ts_rank top-20 for the PREFIX query 'b:*'.
+
+    The prefix expands against the index dictionary to the closed
+    vocabulary's b-words ('batch', 'big'); each matched entry
+    contributes to the calc_rank_or sum but the divisor is the ONE
+    query item (tsrank.c SortAndUniqItems counts the prefix once) -
+    the round-4 parity fix; the oracle divides by 1 accordingly."""
+    from pg_cjk_parser_spark.query.topk import search_rank
+
+    index_dir = _docs_index(spark, sf_dir)
+    res = search_rank(
+        spark, index_dir, "b:*", k=25, mode="tsquery"
+    ).select(
+        F.col("docid").alias("doc_id"),
+        F.round("rank", 6).alias("rank"),
+    )
+    return res.orderBy(F.desc("rank"), F.asc("doc_id")).limit(20)
+
+
+def _q_ts_rank_mixed_prefix_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-path ts_rank top-20 for the MIXED flat OR
+    "'vector' | b:*": the prefix expansion splices flat into the OR
+    (still WAND/rank routable) and the divisor is TWO items (the
+    exact term + the prefix), while three dictionary entries
+    contribute to the sum."""
+    from pg_cjk_parser_spark.query.topk import search_rank
+
+    index_dir = _docs_index(spark, sf_dir)
+    res = search_rank(
+        spark, index_dir, "'vector' | b:*", k=25, mode="tsquery"
+    ).select(
+        F.col("docid").alias("doc_id"),
+        F.round("rank", 6).alias("rank"),
+    )
+    return res.orderBy(F.desc("rank"), F.asc("doc_id")).limit(20)
+
+
+def _q_bm25_websearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for websearch_to_tsquery('spark or vector')
+    routed through the INDEX path (parse_query mode='websearch',
+    round 4) - same disjunctive WAND scoring as the tsquery OR row,
+    so the oracle is the same SQL."""
+    from pg_cjk_parser_spark.query.topk import search
+
+    index_dir = _docs_index(spark, sf_dir)
+    res = search(
+        spark, index_dir, "spark or vector", k=25, mode="websearch"
+    ).select(
+        F.col("docid").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
 def _q_ts_rank_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3179,6 +3244,12 @@ _TS_RANK_CD_DELETED_SQL = _ts_rank_cd_sql(
     ["spark", "merge"], topk=20
 ).replace("WHERE wdoc > 0", "WHERE wdoc > 0 AND doc_id >= 10")
 _TS_RANK_TOPK_SQL = _ts_rank_or_sql(["merge", "spark"], topk=20)
+_TS_RANK_PREFIX_TOPK_SQL = _ts_rank_or_sql(
+    ["batch", "big"], topk=20, n_items=1
+)
+_TS_RANK_MIXED_PREFIX_TOPK_SQL = _ts_rank_or_sql(
+    ["batch", "big", "vector"], topk=20, n_items=2
+)
 _TS_RANK_WEIGHTED_SQL = _ts_rank_weighted_sql(["merge", "spark"])
 
 
@@ -3291,6 +3362,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_cd_deleted": _q_ts_rank_cd_deleted,
         "ts_rank_topk": _q_ts_rank_topk,
         "ts_rank_and_topk": _q_ts_rank_and_topk,
+        "ts_rank_prefix_topk": _q_ts_rank_prefix_topk,
+        "ts_rank_mixed_prefix_topk": _q_ts_rank_mixed_prefix_topk,
+        "bm25_websearch_topk": _q_bm25_websearch_topk,
         "bm25_prefix_topk": _q_bm25_prefix_topk,
         "prefix_match": _q_prefix_match,
         "ts_headline_or": _q_headline_or,
@@ -3359,6 +3433,9 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_cd_deleted": _TS_RANK_CD_DELETED_SQL,
         "ts_rank_topk": _TS_RANK_TOPK_SQL,
         "ts_rank_and_topk": _TS_RANK_AND_TOPK_SQL,
+        "ts_rank_prefix_topk": _TS_RANK_PREFIX_TOPK_SQL,
+        "ts_rank_mixed_prefix_topk": _TS_RANK_MIXED_PREFIX_TOPK_SQL,
+        "bm25_websearch_topk": _BM25_OR_SQL,
         "bm25_prefix_topk": _BM25_PREFIX_SQL,
         "prefix_match": _PREFIX_MATCH_SQL,
         "ts_headline_or": _HEADLINE_OR_SQL,
