@@ -1000,7 +1000,7 @@ def _rank_ts_local(
             tl = _TermList(tb, and_path or bool(phrases), deleted)
             lists[t] = tl
             cand = tl.ids if cand is None else cand[
-                np.isin(cand, tl.ids, assume_unique=True)
+                _isin_sorted(cand, tl.ids)
             ]
         if cand is None or cand.size == 0:
             return None
@@ -1034,7 +1034,7 @@ def _rank_ts_local(
                 tl = lists.get(t)
                 if tl is None:
                     continue
-                sel = np.isin(tl.ids, cand, assume_unique=True)
+                sel = _isin_sorted(tl.ids, cand)
                 n_eff = np.minimum(
                     tl.tfs[sel].astype(np.int64), _MAXNUMPOS
                 )
@@ -1086,7 +1086,7 @@ def _rank_ts_local(
     if method & (1 | 2):
         dls = np.zeros(cand.size, np.int64)
         for tl in lists.values():
-            sel = np.isin(tl.ids, cand, assume_unique=True)
+            sel = _isin_sorted(tl.ids, cand)
             dls[np.searchsorted(cand, tl.ids[sel])] = tl.dls[sel].astype(
                 np.int64
             )
@@ -1106,6 +1106,22 @@ def _rank_ts_local(
 
     keep = ranks > 0.0
     return _topk_frame_rank(cand[keep], ranks[keep], k)
+
+
+def _isin_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of ``a`` in ``b`` for SORTED unique int64
+    arrays.  Binary search beats np.isin's concatenate+argsort when
+    the sides are comparable or ``b`` dominates (measured: 2.7 ->
+    1.95 ms at 50k/50k, 0.41 ms -> 13 us at 200/50k); np.isin stays
+    faster when ``b`` is much the smaller side (its sort cost
+    collapses), so route on the ratio."""
+    if not b.size or not a.size:
+        return np.zeros(a.size, bool)
+    if a.size > 8 * b.size:
+        return np.isin(a, b, assume_unique=True)
+    j = np.searchsorted(b, a)
+    jc = np.minimum(j, b.size - 1)
+    return (j < b.size) & (b[jc] == a)
 
 
 def _topk_frame_rank(ids: np.ndarray, ranks: np.ndarray, k: int):
@@ -1322,7 +1338,7 @@ def _rank_cd_local(pdf, tree, n_terms, k, method, deleted=None):
         tl = _TermList(tb, True, deleted)
         lists[t] = tl
         cand = tl.ids if cand is None else cand[
-            np.isin(cand, tl.ids, assume_unique=True)
+            _isin_sorted(cand, tl.ids)
         ]
     if cand is None or cand.size == 0:
         return None
@@ -1719,13 +1735,13 @@ def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=No
             tl = _TermList(tb, need_pos and t in phrase_terms, deleted)
             lists[t] = tl
             cand = tl.ids if cand is None else cand[
-                np.isin(cand, tl.ids, assume_unique=True)
+                _isin_sorted(cand, tl.ids)
             ]
         if cand is None or cand.size == 0:
             return None
         scores = np.zeros(cand.size)
         for t, tl in lists.items():
-            sel = np.isin(tl.ids, cand, assume_unique=True)
+            sel = _isin_sorted(tl.ids, cand)
             ids_s = tl.ids[sel]
             contrib = idf_map[t] * tl.tfs[sel] / (
                 tl.tfs[sel] + k1 * (1 - b + b * tl.dls[sel] / avgdl)
@@ -1775,7 +1791,7 @@ def _score_local(pdf, idf_map, k1, b, avgdl, k, conj, phrases, need_pos, tree=No
         w = idf_map.get(t)
         if not w:
             continue  # negated-only term: contributes no score
-        sel = np.isin(tl.ids, matched, assume_unique=True)
+        sel = _isin_sorted(tl.ids, matched)
         ids_s = tl.ids[sel]
         contrib = w * tl.tfs[sel] / (
             tl.tfs[sel] + k1 * (1 - b + b * tl.dls[sel] / avgdl)
@@ -1861,7 +1877,7 @@ def _eval_tree(tree, lists: dict[str, "_TermList"], phrases) -> np.ndarray | Non
                 if tl is None or tl.ids.size == 0:
                     return np.empty(0, np.int64), False
                 ids = tl.ids if ids is None else ids[
-                    np.isin(ids, tl.ids, assume_unique=True)
+                    _isin_sorted(ids, tl.ids)
                 ]
             if len(node.items) > 1 and ids.size:
                 ok = np.fromiter(
@@ -1894,18 +1910,18 @@ def _eval_tree(tree, lists: dict[str, "_TermList"], phrases) -> np.ndarray | Non
                     return out, True
                 out = pos[0]
                 for p in pos[1:]:
-                    out = out[np.isin(out, p, assume_unique=True)]
+                    out = out[_isin_sorted(out, p)]
                 for ng in neg:
-                    out = out[~np.isin(out, ng, assume_unique=True)]
+                    out = out[~_isin_sorted(out, ng)]
                 return out, False
             # Or: union of positives; a complemented child makes the
             # whole Or a complement: a | !b == !(b & !a)
             if neg:
                 out = neg[0]
                 for ng in neg[1:]:
-                    out = out[np.isin(out, ng, assume_unique=True)]
+                    out = out[_isin_sorted(out, ng)]
                 for p in pos:
-                    out = out[~np.isin(out, p, assume_unique=True)]
+                    out = out[~_isin_sorted(out, p)]
                 return out, True
             out = np.unique(np.concatenate(pos)) if pos else np.empty(0, np.int64)
             return out, False
