@@ -58,17 +58,26 @@ from ..index.tombstones import (
 )
 
 
-def _index_version(index_dir: str) -> int:
-    """Monotone version key for an index: stats.json's mtime_ns.
-    Every mutation that changes routed state (append, upsert epoch,
-    compact, merge) rewrites stats.json last, so a changed version
-    invalidates caches; tombstones deliberately do NOT bump it -
-    the dictionary df stays frozen until compaction (live-docs
-    semantics), so cached df values remain correct."""
-    try:
-        return os.stat(os.path.join(index_dir, "stats.json")).st_mtime_ns
-    except OSError:
-        return -1
+def _index_version(index_dir: str):
+    """Version key for an index: (stats.json mtime_ns, postings dir
+    mtime_ns).  Every in-contract mutation (append, upsert epoch,
+    compact, merge) rewrites stats.json last; the postings-dir mtime
+    additionally catches FOREIGN epoch dirs landing without a stats
+    refresh (the crashed-append case _shard_paths's directory
+    fallback serves) - creating epoch=N bumps the parent dir's mtime.
+    Tombstones deliberately bump NEITHER - the dictionary df stays
+    frozen until compaction (live-docs semantics), so cached df
+    values remain correct."""
+    def mt(p):
+        try:
+            return os.stat(p).st_mtime_ns
+        except OSError:
+            return -1
+
+    return (
+        mt(os.path.join(index_dir, "stats.json")),
+        mt(os.path.join(index_dir, "postings")),
+    )
 
 
 _STATS_CACHE: dict = {}
@@ -202,14 +211,20 @@ def expand_prefix(
     return sorted(out)
 
 
-def _read_termstats(index_dir: str, bset: list[int], terms: list[str], stats):
+def _read_termstats(
+    index_dir: str, bset: list[int], terms: list[str], stats, ver=None
+):
     """Point-lookup df per term from the pruned termstats shards,
     with a per-index-version dictionary cache (including negative
     entries): repeated or overlapping queries skip the parquet point
     reads entirely - the serving analog of PG keeping the GIN term
     btree's hot pages in shared_buffers.  Tombstones don't invalidate
     it (df is deliberately frozen until compaction); every structural
-    mutation rewrites stats.json and thus bumps the version key.
+    mutation bumps the version key (stats.json rewrite or a new epoch
+    dir).  ``ver`` must be the version snapshot taken BEFORE ``stats``
+    was loaded (see _route) so a concurrent append landing in between
+    caches its possibly-stale reads under the OLD key, which the next
+    query's fresh version replaces - never under the new one.
 
     Driver-side pyarrow read on miss (a few bucket directories,
     term-filtered): on a cluster this is the same object-store point
@@ -217,7 +232,7 @@ def _read_termstats(index_dir: str, bset: list[int], terms: list[str], stats):
     """
     import pyarrow.dataset as ds
 
-    ver = (index_dir, _index_version(index_dir))
+    ver = (index_dir, ver if ver is not None else _index_version(index_dir))
     cached = _DF_CACHE.get(ver)
     if cached is None:
         if len(_DF_CACHE) > 8:
@@ -410,7 +425,12 @@ def parse_query(query: str, mode: str = "plain", expand=None) -> ParsedQuery:
 
 def _route(index_dir: str, query: str, mode: str):
     """Shared query routing: stats, parsed query, pruned bucket set,
-    term df lookup, idf map.  Returns None when no doc can match."""
+    term df lookup, idf map.  Returns None when no doc can match.
+
+    The version snapshot is taken BEFORE loading stats so a mutation
+    racing this query can only poison the df cache under the OLD
+    version key (replaced on the next query), never the new one."""
+    ver = _index_version(index_dir)
     stats = load_stats(index_dir)
     if stats.get("normalize_zht"):
         # the index was built traditional->simplified normalized; map
@@ -428,7 +448,7 @@ def _route(index_dir: str, query: str, mode: str):
         return None
     buckets = term_buckets(pq.all_terms, stats["num_buckets"])
     bset = sorted(set(buckets.values()))
-    df_map = _read_termstats(index_dir, bset, pq.all_terms, stats)
+    df_map = _read_termstats(index_dir, bset, pq.all_terms, stats, ver)
     if not df_map or (pq.conjunctive and any(t not in df_map for t in pq.terms)):
         return None  # required term (or every term) absent from the corpus
     idf_map = {t: idf(stats["n_docs"], df_map.get(t, 0)) for t in pq.terms}
@@ -1620,13 +1640,10 @@ class _TermList:
             if self.blk_lo[bi] > hi or self.blk_hi[bi] < lo:
                 continue
             bids = self.blk_ids[bi]
-            # binary-search membership against the sorted candidate
-            # array: np.isin re-sorts `cand` for EVERY block, which
-            # dominated wall time at ~1k blocks x 50k candidates
-            j = np.searchsorted(cand, bids)
-            ok = j < cand.size
-            ok &= cand[np.minimum(j, cand.size - 1)] == bids
-            sel = np.flatnonzero(ok)
+            # sorted membership (np.isin would re-sort `cand` for
+            # EVERY block, which dominated wall time at ~1k blocks x
+            # 50k candidates)
+            sel = np.flatnonzero(_isin_sorted(bids, cand))
             if not sel.size:
                 continue
             if self._deleted is not None:

@@ -833,3 +833,45 @@ def test_foreign_epoch_survives_epoch_bounded_tombstone(spark, tmp_path):
     # and an unbounded delete still masks it
     delete_docs(idx, [2], upto_epoch=1)
     assert [d for d, _ in search_local(idx, "fast", k=10)] == [1]
+
+
+def test_df_cache_sees_foreign_epoch_without_stats_refresh(spark, tmp_path):
+    """The serving df cache must not serve stale (or negative)
+    dictionary entries after a foreign epoch lands WITHOUT a
+    stats.json refresh: the version key includes the postings dir
+    mtime, which creating epoch=N bumps."""
+    import os
+    import shutil
+
+    from pg_cjk_parser_spark.index.streaming import append_index_batch
+    from pg_cjk_parser_spark.query.topk import search_local
+
+    idx = str(tmp_path / "main")
+    donor = str(tmp_path / "donor")
+    build_index(
+        spark,
+        spark.createDataFrame([(1, "fast table")], "doc_id long, text string"),
+        idx, docid_col="doc_id", num_buckets=4, num_salts=2,
+    )
+    # prime the cache with a NEGATIVE entry for 'value'
+    assert search_local(idx, "value", k=5) == []
+    # donor epoch with the same layout params, moved in wholesale -
+    # the crashed-append shape _shard_paths's directory fallback
+    # serves (stats.json of idx never changes)
+    build_index(
+        spark,
+        spark.createDataFrame([(2, "value line")], "doc_id long, text string"),
+        donor, docid_col="doc_id", num_buckets=4, num_salts=2,
+    )
+    append_index_batch(
+        spark,
+        spark.createDataFrame([(2, "value line")], "doc_id long, text string"),
+        donor, epoch=1, docid_col="doc_id", num_buckets=4, num_salts=2,
+    )
+    for sub in ("postings", "termstats"):
+        shutil.move(
+            os.path.join(donor, sub, "epoch=1"),
+            os.path.join(idx, sub, "epoch=1"),
+        )
+    got = search_local(idx, "value", k=5)
+    assert [d for d, _ in got] == [2], got
