@@ -2552,6 +2552,52 @@ def _q_ts_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy(F.desc("rank"), F.asc("doc_id")).limit(20)
 
 
+def _q_ts_lexize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``ts_lexize('english_stem', word)`` over every distinct
+    word of the documents corpus: stopwords lexize to an EMPTY array
+    (position consumed, nothing indexed - rendered '' here), other
+    words to their Snowball stem.  The oracle embeds the Porter2
+    facts for the closed 31-word vocabulary (only
+    customer/merge/query/table/value change; a/the are stopwords)."""
+    from pg_cjk_parser_spark.spark.udfs import make_ts_lexize_udf
+
+    lex = make_ts_lexize_udf("english_stem")
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    return (
+        words.select(
+            "word",
+            F.array_join(lex(F.col("word")), ",").alias("lexemes"),
+        )
+        .orderBy("word")
+    )
+
+
+_TS_LEXIZE_SQL = """
+WITH w AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT word,
+  CASE
+    WHEN word IN ('a', 'the') THEN ''
+    WHEN word = 'customer' THEN 'custom'
+    WHEN word = 'merge' THEN 'merg'
+    WHEN word = 'query' THEN 'queri'
+    WHEN word = 'table' THEN 'tabl'
+    WHEN word = 'value' THEN 'valu'
+    ELSE word
+  END AS lexemes
+FROM w
+WHERE word <> ''
+ORDER BY word
+"""
+
+
 def _q_ts_rank_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-path ts_rank top-20 for the PREFIX query 'b:*'.
 
@@ -3365,6 +3411,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_prefix_topk": _q_ts_rank_prefix_topk,
         "ts_rank_mixed_prefix_topk": _q_ts_rank_mixed_prefix_topk,
         "bm25_websearch_topk": _q_bm25_websearch_topk,
+        "ts_lexize": _q_ts_lexize,
         "bm25_prefix_topk": _q_bm25_prefix_topk,
         "prefix_match": _q_prefix_match,
         "ts_headline_or": _q_headline_or,
@@ -3436,6 +3483,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_prefix_topk": _TS_RANK_PREFIX_TOPK_SQL,
         "ts_rank_mixed_prefix_topk": _TS_RANK_MIXED_PREFIX_TOPK_SQL,
         "bm25_websearch_topk": _BM25_OR_SQL,
+        "ts_lexize": _TS_LEXIZE_SQL,
         "bm25_prefix_topk": _BM25_PREFIX_SQL,
         "prefix_match": _PREFIX_MATCH_SQL,
         "ts_headline_or": _HEADLINE_OR_SQL,

@@ -47,6 +47,30 @@ def lexize(text: str, ttype: int) -> list[str] | None:
     return [low]
 
 
+def ts_lexize(dictionary: str, token: str) -> list[str]:
+    """PG ``ts_lexize(regdictionary, token)``: run ONE dictionary on
+    a bare token, no parsing.  ``english_stem`` lowercases, drops
+    stopwords (empty array - position consumed, nothing indexed) and
+    Snowball-stems; ``simple`` just lowercases.  An unknown
+    dictionary raises, mirroring PG's regdictionary lookup error.
+    (PG returns NULL only for dictionaries that can decline a token -
+    ispell/thesaurus, which need external dictionary files this
+    engine does not ship; both supported dictionaries accept any
+    input, so None never occurs here.)"""
+    d = dictionary.removeprefix("pg_catalog.")
+    low = token.lower()
+    if d == "english_stem":
+        if low in ENGLISH_STOPWORDS:
+            return []
+        return [stem(low)]
+    if d == "simple":
+        return [low]
+    raise ValueError(
+        f"unknown dictionary {dictionary!r}; available: "
+        "english_stem, simple"
+    )
+
+
 def iter_lexemes(s: str):
     """Yield (lexeme, position) pairs for a document string."""
     p = Parser(s)

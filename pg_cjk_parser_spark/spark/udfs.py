@@ -82,6 +82,21 @@ def lexemes_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: lexemes(t) if t is not None else [])
 
 
+def make_ts_lexize_udf(dictionary: str = "english_stem"):
+    """Arrow UDF for PG ``ts_lexize(dict, token)`` over a token
+    column: the lexeme array of each bare token (no parsing), with a
+    stopword's empty array preserved (distinct from NULL input)."""
+    from ..kernel.tsvector import ts_lexize
+
+    @pandas_udf("array<string>")
+    def lexize_col(tokens: pd.Series) -> pd.Series:
+        return tokens.map(
+            lambda w: ts_lexize(dictionary, w) if w is not None else None
+        )
+
+    return lexize_col
+
+
 @pandas_udf(TSVECTOR_SCHEMA)
 def tsvector_udf(texts: pd.Series) -> pd.DataFrame:
     """Per-doc tsvector: doclen + per-term (tf, positions).

@@ -446,3 +446,18 @@ def test_maxstrlen_boundary():
     assert ok in v and v["fast"] == [2]
     v2 = to_tsvector(f"{toolong} fast")
     assert toolong not in v2 and v2["fast"] == [1]
+
+
+def test_ts_lexize():
+    """PG ts_lexize: one dictionary on a bare token, no parsing."""
+    import pytest as _pytest
+
+    from pg_cjk_parser_spark.kernel.tsvector import ts_lexize
+
+    assert ts_lexize("english_stem", "Tables") == ["tabl"]
+    assert ts_lexize("pg_catalog.english_stem", "running") == ["run"]
+    assert ts_lexize("english_stem", "the") == []  # stopword: empty
+    assert ts_lexize("simple", "The") == ["the"]  # simple keeps it
+    assert ts_lexize("simple", "Doraemnon") == ["doraemnon"]
+    with _pytest.raises(ValueError, match="dictionary"):
+        ts_lexize("french_stem", "table")
