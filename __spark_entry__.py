@@ -3282,6 +3282,61 @@ ORDER BY doc_id
 """
 
 
+def _q_ts_rewrite_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``ts_rewrite`` (synonym-table query rewriting) exercised
+    through @@: 'merge & fast & big' rewritten by the SUBSET rule
+    (target 'merge & big' matches a subset of the AND's children) to
+    'fast & value', and 'merge & fast' with leaf target 'merge' ->
+    '(spark | merge) & fast'.  Each row carries the rewritten query
+    string (the tsquery_str render) plus which docs match it."""
+    from pg_cjk_parser_spark.kernel.tsvector import (
+        to_tsquery,
+        ts_rewrite,
+        tsquery_str,
+    )
+    from pg_cjk_parser_spark.spark.udfs import make_ts_match_udf
+
+    q1 = ts_rewrite(
+        to_tsquery("merge & fast & big"),
+        to_tsquery("merge & big"),
+        to_tsquery("value"),
+    )
+    q2 = ts_rewrite(
+        to_tsquery("merge & fast"),
+        to_tsquery("merge"),
+        to_tsquery("spark | merge"),
+    )
+    docs = _docs(spark, sf_dir)
+    parts = []
+    for q in (q1, q2):
+        m = make_ts_match_udf(tsquery_str(q), websearch=False)
+        parts.append(
+            docs.where(m(F.col("text"))).select(
+                F.lit(tsquery_str(q)).alias("rewritten"), "doc_id"
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("rewritten", "doc_id")
+
+
+_TS_REWRITE_MATCH_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+)
+SELECT * FROM (
+  SELECT '''fast'' & ''valu''' AS rewritten, doc_id FROM d
+  WHERE len(list_filter(ws, w -> w = 'fast')) > 0
+    AND len(list_filter(ws, w -> w = 'value')) > 0
+  UNION ALL
+  SELECT '( ''spark'' | ''merg'' ) & ''fast''' AS rewritten, doc_id
+  FROM d
+  WHERE (len(list_filter(ws, w -> w = 'spark')) > 0
+      OR len(list_filter(ws, w -> w = 'merge')) > 0)
+    AND len(list_filter(ws, w -> w = 'fast')) > 0
+)
+ORDER BY rewritten, doc_id
+"""
+
+
 _TS_RANK_OR_SQL = _ts_rank_or_sql(["merge", "spark"])
 _TS_RANK_CD_SQL = _ts_rank_cd_sql(["spark", "merge"])
 _TS_RANK_CD_NORM_SQL = _ts_rank_cd_sql(["spark", "merge"], extdist=True)
@@ -3412,6 +3467,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_mixed_prefix_topk": _q_ts_rank_mixed_prefix_topk,
         "bm25_websearch_topk": _q_bm25_websearch_topk,
         "ts_lexize": _q_ts_lexize,
+        "ts_rewrite_match": _q_ts_rewrite_match,
         "bm25_prefix_topk": _q_bm25_prefix_topk,
         "prefix_match": _q_prefix_match,
         "ts_headline_or": _q_headline_or,
@@ -3484,6 +3540,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_mixed_prefix_topk": _TS_RANK_MIXED_PREFIX_TOPK_SQL,
         "bm25_websearch_topk": _BM25_OR_SQL,
         "ts_lexize": _TS_LEXIZE_SQL,
+        "ts_rewrite_match": _TS_REWRITE_MATCH_SQL,
         "bm25_prefix_topk": _BM25_PREFIX_SQL,
         "prefix_match": _PREFIX_MATCH_SQL,
         "ts_headline_or": _HEADLINE_OR_SQL,

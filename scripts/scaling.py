@@ -336,6 +336,51 @@ same queries in 0.05-0.29 s.
   dense ids (ingest sequence / crawl timestamp) build ~1.4x faster and
   give a 2.4x smaller index (528 MB -> 222 MB for 50.1M postings) than
   xxhash64(url) ids, whose deltas cost ~7-byte varints.
+
+## 100 TB deployment shape (how the measured levers extrapolate)
+
+Worked sizing from the ladder's measured constants (web text, ~50
+postings/doc, ~230 bytes index per doc): **100 TB of raw text ~= 60 B
+docs ~= 3.0 T postings ~= 14 TB of index.**
+
+- **Build.** The pipeline is one tokenize map + ONE cell shuffle +
+  one encode reduce; per-core throughput measured ~2k docs/s/core at
+  the 32-thread bandwidth wall (65k docs/s / 32), and the 2->8 core
+  range (where this VM's memory bus is not the limit) gives 0.87
+  efficiency - on a 1000-executor x 4-core cluster with per-node
+  memory bandwidth, ~8k docs/s/executor => ~2 hours for 60 B docs.
+  Nothing driver-side scales with the corpus (RSS flat 162 MB through
+  400M postings; manifests are O(buckets + epochs)).
+- **B x S sizing.** Size cells to the CLUSTER: B*S comfortably above
+  total cores (e.g. B=4096, S=64 = 262k cells for 4000 cores), each
+  cell ~= corpus/(B*S) ~= 55 MB - inside executor memory with the
+  same headroom the 8M-rung cells had.  S=64 keeps per-salt scoring
+  shards ~1 B docs/salt... per-TERM lists per salt are what matter:
+  a df=1% head term is 600 M postings / 64 salts = 9.4 M
+  postings/salt-shard, ~2 s of decode on one core - the documented
+  signal to raise S for rank workloads or rely on WAND pruning for
+  BM25 (which skips blocks by score bound and never decodes most of
+  them).
+- **Queries.** Routing is O(query): paths are constructed (bucket x
+  epoch), never listed; the driver-side termstats point-read is |q|
+  rows off the object store.  Per-query latency is then (scan of |q|
+  term lists in the touched buckets) + one salt-partitioned scoring
+  stage + a k-row sort - independent of corpus size except through
+  per-term list length (the S lever above).  Serving-tier point
+  reads stay for the operational path (index slices small enough for
+  one node); corpus-scale queries use the Spark scatter-gather path
+  (q_cjk_* rows here) or `search_many` to amortize job overhead
+  across a query batch.
+- **Streaming.** Small epochs cost ONE job and one file commit each;
+  maintain_index's tiered merging bounds epoch count, and compaction
+  throughput equals build throughput (same pipeline) - a 100 TB
+  deployment compacts shard-by-shard (per-bucket subsets via
+  merge_epochs) rather than as one event.
+- **Skew.** Head CJK 2-grams hit df ~= 100%; salting is the measured
+  answer (head-term skew section above) and S scales it without
+  rebuilding semantics.  Tombstone sets ship as two int64 arrays in
+  the task closure (~16 B/doc): fine to ~10M deletes, then compact -
+  deletes are compaction pressure, not steady state.
 """
 
 
