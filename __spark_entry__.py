@@ -2598,6 +2598,35 @@ ORDER BY word
 """
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end to end (no fake flag): genuine
+    PGM/PPM/BMP payloads through the pure-NumPy image decoder and
+    PCM WAV through the stdlib wave decoder, then the Arrow-batched
+    feature extractors.  Deterministic synthetic media (no external
+    data); decode math is not SQL-expressible, so this is a
+    rows-only driver row (no oracle_sql entry, by contract)."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        audio_features,
+        image_features,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, 60, seed=11)
+    imgs = image_features(media).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.round("mean_intensity", 4).alias("f1"),
+        F.round("std_intensity", 4).alias("f2"),
+    )
+    auds = audio_features(media).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.round("rms", 4).alias("f1"),
+        F.round("zcr", 4).alias("f2"),
+    )
+    return imgs.unionByName(auds).orderBy("media_id")
+
+
 def _q_ts_rank_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-path ts_rank top-20 for the PREFIX query 'b:*'.
 
@@ -3468,6 +3497,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_websearch_topk": _q_bm25_websearch_topk,
         "ts_lexize": _q_ts_lexize,
         "ts_rewrite_match": _q_ts_rewrite_match,
+        "media_features": _q_media_features,
         "bm25_prefix_topk": _q_bm25_prefix_topk,
         "prefix_match": _q_prefix_match,
         "ts_headline_or": _q_headline_or,
