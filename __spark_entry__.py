@@ -2600,15 +2600,18 @@ ORDER BY word
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode end to end (no fake flag): genuine
-    PGM/PPM/BMP payloads through the pure-NumPy image decoder and
-    PCM WAV through the stdlib wave decoder, then the Arrow-batched
-    feature extractors.  Deterministic synthetic media (no external
-    data); decode math is not SQL-expressible, so this is a
-    rows-only driver row (no oracle_sql entry, by contract)."""
+    PGM/PPM/BMP payloads through the pure-NumPy image decoder, PCM
+    WAV through the stdlib wave decoder, and uncompressed 24-bit AVI
+    through the RIFF frame decoder, then the Arrow-batched feature
+    extractors (video aggregated per clip over every-2nd frame).
+    Deterministic synthetic media (no external data); decode math is
+    not SQL-expressible, so this is a rows-only driver row (no
+    oracle_sql entry, by contract)."""
     from pg_cjk_parser_spark.ops.multimodal import (
         audio_features,
         image_features,
         synth_media_real,
+        video_frame_features,
     )
 
     media = synth_media_real(spark, 60, seed=11)
@@ -2624,7 +2627,16 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 4).alias("f1"),
         F.round("zcr", 4).alias("f2"),
     )
-    return imgs.unionByName(auds).orderBy("media_id")
+    vids = (
+        video_frame_features(media, every_n=2)
+        .groupBy("media_id")
+        .agg(
+            F.round(F.avg("mean_intensity"), 4).alias("f1"),
+            F.round(F.avg("std_intensity"), 4).alias("f2"),
+        )
+        .select("media_id", F.lit("video").alias("kind"), "f1", "f2")
+    )
+    return imgs.unionByName(auds).unionByName(vids).orderBy("media_id")
 
 
 def _q_ts_rank_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -201,6 +201,68 @@ def decode_audio(payload: bytes):
     return pcm, sr
 
 
+def _dib_frame_to_gray(data: bytes, w: int, h: int) -> np.ndarray:
+    """One uncompressed 24-bit DIB frame (bottom-up BGR rows, stride
+    padded to 4 bytes) to (h, w) uint8 grayscale."""
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.frombuffer(data, np.uint8, stride * h).reshape(h, stride)
+    bgr = rows[::-1, : w * 3].reshape(h, w, 3)
+    return _luma(bgr[..., ::-1])
+
+
+def decode_video_frames(payload: bytes):
+    """REAL video decode for UNCOMPRESSED AVI (RIFF container,
+    'vids'/'DIB ' stream, 24-bit frames): yields (frame_index,
+    (h, w) uint8 grayscale array) per '00db'/'00dc' chunk.  Pure
+    RIFF/chunk parsing - no codec library - so compressed AVI and
+    every other container (MP4/MKV/WebM, which all need entropy
+    decoders) raise ``NotImplementedError``; that remains the
+    declared environment ceiling."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "unsupported video container (supported without codec "
+            "libraries: uncompressed 24-bit AVI)"
+        )
+
+    w = h = None
+    compression = None
+
+    def walk(lo: int, hi: int):
+        nonlocal w, h, compression
+        i = lo
+        while i + 8 <= hi:
+            fourcc = b[i : i + 4]
+            size = int.from_bytes(b[i + 4 : i + 8], "little")
+            data_lo = i + 8
+            data_hi = min(data_lo + size, hi)
+            if fourcc == b"LIST":
+                yield from walk(data_lo + 4, data_hi)
+            elif fourcc == b"strf" and w is None:
+                w = int.from_bytes(b[data_lo + 4 : data_lo + 8], "little",
+                                   signed=True)
+                h = abs(int.from_bytes(b[data_lo + 8 : data_lo + 12],
+                                       "little", signed=True))
+                compression = int.from_bytes(
+                    b[data_lo + 16 : data_lo + 20], "little"
+                )
+            elif fourcc[2:4] in (b"db", b"dc"):
+                yield (data_lo, data_hi)
+            i = data_hi + (size & 1)
+
+    frame_idx = 0
+    for data_lo, data_hi in walk(12, len(b)):
+        if compression not in (0, None):
+            raise NotImplementedError(
+                f"AVI biCompression={compression}: only uncompressed "
+                "24-bit frames decode here"
+            )
+        if w is None:
+            raise NotImplementedError("AVI stream format header missing")
+        yield frame_idx, _dib_frame_to_gray(b[data_lo:data_hi], w, h)
+        frame_idx += 1
+
+
 def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake decoder: derives a (h, w) uint8 'image' from
     the payload digest so downstream plumbing is testable offline."""
@@ -412,11 +474,104 @@ def _render_wav(sr: int, n_samples: int, seed: int) -> bytes:
     return buf.getvalue()
 
 
+def video_frame_features(
+    media: DataFrame, every_n: int = 10
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of uncompressed-AVI video
+    rows and REALLY decode it (:func:`decode_video_frames`):
+    (media_id, frame_idx, mean_intensity, std_intensity) per sampled
+    frame, Arrow-batched like the other extractors."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fidx, means, stds = [], [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                for fi, frame in decode_video_frames(bytes(payload)):
+                    if fi % every_n:
+                        continue
+                    ids.append(mid)
+                    fidx.append(fi)
+                    means.append(float(frame.mean()))
+                    stds.append(float(frame.std()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "mean_intensity": pd.Series(means, dtype="float64"),
+                    "std_intensity": pd.Series(stds, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        gen,
+        "media_id long, frame_idx long, mean_intensity double, "
+        "std_intensity double",
+    )
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\0" if len(data) % 2 else b""
+    return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+
+def _riff_list(fourcc: bytes, *parts: bytes) -> bytes:
+    body = fourcc + b"".join(parts)
+    return b"LIST" + len(body).to_bytes(4, "little") + body
+
+
+def _render_avi(w: int, h: int, n_frames: int, seed: int) -> bytes:
+    """Minimal uncompressed 24-bit AVI: RIFF(hdrl(avih, strl(strh
+    'vids'/'DIB ', strf BITMAPINFOHEADER), movi('00db' frames)."""
+    rng = np.random.default_rng(seed)
+    stride = ((24 * w + 31) // 32) * 4
+
+    def u32(x):
+        return int(x).to_bytes(4, "little")
+
+    avih = b"".join(
+        [u32(40000), u32(0), u32(0), u32(0), u32(n_frames), u32(0),
+         u32(1), u32(stride * h), u32(w), u32(h)] + [u32(0)] * 4
+    )
+    strh = b"vids" + b"DIB " + b"".join(
+        [u32(0), u32(0), u32(0), u32(1), u32(25), u32(0),
+         u32(n_frames), u32(stride * h), u32(0), u32(0)]
+    ) + (0).to_bytes(8, "little")
+    strf = b"".join(
+        [u32(40), u32(w), u32(h), (1).to_bytes(2, "little"),
+         (24).to_bytes(2, "little"), u32(0), u32(stride * h),
+         u32(2835), u32(2835), u32(0), u32(0)]
+    )
+    frames = []
+    for _ in range(n_frames):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+        frames.append(_riff_chunk(b"00db", rows.tobytes()))
+    body = (
+        b"AVI "
+        + _riff_list(
+            b"hdrl",
+            _riff_chunk(b"avih", avih),
+            _riff_list(
+                b"strl",
+                _riff_chunk(b"strh", strh),
+                _riff_chunk(b"strf", strf),
+            ),
+        )
+        + _riff_list(b"movi", *frames)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads are GENUINE encoded
-    containers (rotating PGM/PPM/BMP for images, PCM WAV for audio)
-    so the real decoders run end to end with no external data; video
-    rows keep opaque payloads (frame decode is the declared stub)."""
+    containers (rotating PGM/PPM/BMP for images, PCM WAV for audio,
+    uncompressed 24-bit AVI for video) so the real decoders run end
+    to end with no external data."""
 
     def gen(batches):
         for pdf in batches:
@@ -425,6 +580,7 @@ def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
                 kind = ("image", "audio", "video")[i % 3]
                 w, h = 16 + (i % 16), 12 + (i % 8)
                 sr = 8000
+                n_frames = 0
                 if kind == "image":
                     renderer = (_render_pgm, _render_ppm, _render_bmp24)[
                         (i // 3) % 3
@@ -433,12 +589,13 @@ def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
                 elif kind == "audio":
                     payload = _render_wav(sr, 2000 + (i % 1000), seed + i)
                 else:
-                    payload = (i * 2654435761 + seed).to_bytes(8, "little")
+                    n_frames = 6 + (i % 5)
+                    payload = _render_avi(w, h, n_frames, seed + i)
                 rows.append(
                     (
                         i, kind, payload, w, h,
                         sr if kind == "audio" else 0,
-                        120 if kind == "video" else 0,
+                        n_frames,
                     )
                 )
             yield pd.DataFrame(
