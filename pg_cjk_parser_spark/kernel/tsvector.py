@@ -28,6 +28,16 @@ MAXSTRLEN = (1 << 11) - 1     # 2047; PG parsetext skips lexemes >= this
 #                               (so tokens up to 2046 bytes index)
 
 
+def _english_stem(low: str) -> list[str]:
+    """The english_stem dictionary core over an already-lowercased
+    token: stopwords emit nothing, everything else stems.  Shared by
+    the indexing path (:func:`lexize`) and :func:`ts_lexize` so the
+    two can never drift."""
+    if low in ENGLISH_STOPWORDS:
+        return []
+    return [stem(low)]
+
+
 def lexize(text: str, ttype: int) -> list[str] | None:
     """Map a raw token to lexemes.
 
@@ -41,9 +51,7 @@ def lexize(text: str, ttype: int) -> list[str] | None:
         return None
     low = text.lower()
     if ttype == ASCIIWORD:
-        if low in ENGLISH_STOPWORDS:
-            return []
-        return [stem(low)]
+        return _english_stem(low)
     return [low]
 
 
@@ -60,9 +68,7 @@ def ts_lexize(dictionary: str, token: str) -> list[str]:
     d = dictionary.removeprefix("pg_catalog.")
     low = token.lower()
     if d == "english_stem":
-        if low in ENGLISH_STOPWORDS:
-            return []
-        return [stem(low)]
+        return _english_stem(low)
     if d == "simple":
         return [low]
     raise ValueError(

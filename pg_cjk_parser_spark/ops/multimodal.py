@@ -13,13 +13,17 @@ libraries):
   compressed formats (PNG/JPEG/...) raise ``NotImplementedError``.
 * **audio** - PCM WAV decodes for real via the stdlib ``wave``
   module (:func:`decode_audio`); compressed codecs raise.
-* **video** - frame-index sampling is metadata-driven; frame decode
-  remains a declared stub (no pure-Python video codec is sane).
+* **video** - uncompressed 24-bit AVI frames decode for real via
+  pure RIFF parsing (:func:`decode_video_frames` /
+  :func:`video_frame_features`); entropy-coded containers
+  (MP4/MKV/WebM, compressed AVI) raise - that part stays the
+  declared environment ceiling, and :func:`frame_sample` remains
+  the metadata-only sampling path.
 
 ``use_fake_decoder=True`` keeps the deterministic payload-digest fake
 for offline plumbing tests.  ``synth_media_real`` generates genuine
-P6/PGM/BMP/WAV payloads so the real decoders are exercised end to end
-without any external data.
+P6/PGM/BMP/WAV/AVI payloads so the real decoders are exercised end to
+end without any external data.
 
 ``html_to_text`` is fully real: it extracts indexable text from HTML
 bytes with the tokenizer kernel (tags stripped, <script>/<style>
@@ -107,6 +111,8 @@ def _pnm_header(b: bytes, n_fields: int):
         j = i
         while j < len(b) and not b[j : j + 1].isspace():
             j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
         vals.append(int(b[i:j]))
         i = j
     return vals, i + 1
@@ -125,19 +131,38 @@ def decode_image(payload: bytes) -> np.ndarray:
     NumPy reader can handle: PPM (P6), PGM (P5), and BMP
     (BITMAPINFOHEADER, uncompressed, 8-bit palette or 24-bit BGR).
     Returns a (h, w) uint8 grayscale array (color reduces via integer
-    Rec.601 luma).  Anything else - PNG, JPEG, GIF, compressed BMP -
-    raises ``NotImplementedError``: those need codec libraries this
-    container does not ship."""
+    Rec.601 luma).  Any other CONTAINER - PNG, JPEG, GIF, compressed
+    or BITMAPCOREHEADER BMP - raises ``NotImplementedError`` (those
+    need codec libraries this container does not ship); a truncated
+    or malformed payload of a supported container raises
+    ``ValueError``."""
     b = bytes(payload)
+
+    def body(off, need):
+        if len(b) - off < need:
+            raise ValueError("truncated image payload")
+        return np.frombuffer(b, np.uint8, need, off)
+
     if b[:2] == b"P5":
         (w, h, _maxval), off = _pnm_header(b, 3)
-        return np.frombuffer(b, np.uint8, w * h, off).reshape(h, w).copy()
+        return body(off, w * h).reshape(h, w).copy()
     if b[:2] == b"P6":
         (w, h, _maxval), off = _pnm_header(b, 3)
-        rgb = np.frombuffer(b, np.uint8, w * h * 3, off).reshape(h, w, 3)
-        return _luma(rgb)
+        return _luma(body(off, w * h * 3).reshape(h, w, 3))
     if b[:2] == b"BM":
+        if len(b) < 18:
+            raise ValueError("truncated BMP header")
         data_off = int.from_bytes(b[10:14], "little")
+        hdr_size = int.from_bytes(b[14:18], "little")
+        if hdr_size < 40:
+            # BITMAPCOREHEADER (OS/2) lays its fields out differently;
+            # parsing it at INFOHEADER offsets would yield garbage dims
+            raise NotImplementedError(
+                f"BMP header size {hdr_size}: only BITMAPINFOHEADER "
+                "(>=40) decodes here"
+            )
+        if len(b) < 54:
+            raise ValueError("truncated BMP header")
         w = int.from_bytes(b[18:22], "little", signed=True)
         h = int.from_bytes(b[22:26], "little", signed=True)
         bpp = int.from_bytes(b[28:30], "little")
@@ -150,17 +175,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         bottom_up = h > 0
         h = abs(h)
         stride = ((bpp * w + 31) // 32) * 4
-        rows = np.frombuffer(
-            b, np.uint8, stride * h, data_off
-        ).reshape(h, stride)
+        rows = body(data_off, stride * h).reshape(h, stride)
         if bottom_up:
             rows = rows[::-1]
         if bpp == 8:
-            hdr_size = int.from_bytes(b[14:18], "little")
             n_colors = int.from_bytes(b[46:50], "little") or 256
-            pal = np.frombuffer(
-                b, np.uint8, n_colors * 4, 14 + hdr_size
-            ).reshape(n_colors, 4)  # BGRA entries
+            pal = body(14 + hdr_size, n_colors * 4).reshape(
+                n_colors, 4
+            )  # BGRA entries
             gray_pal = _luma(pal[:, [2, 1, 0]])
             return gray_pal[rows[:, :w]]
         bgr = rows[:, : w * 3].reshape(h, w, 3)
@@ -190,6 +212,12 @@ def decode_audio(payload: bytes):
             f"unsupported audio container ({ex}); only PCM WAV "
             "decodes without codec libraries"
         ) from ex
+    if sr <= 0 or ch <= 0:
+        # wave only validates these on WRITE; a crafted header can
+        # declare zero - reject instead of dividing by it downstream
+        raise ValueError(
+            f"malformed WAV header: sample_rate={sr} channels={ch}"
+        )
     if sw == 2:
         pcm = np.frombuffer(raw, "<i2").astype(np.float64) / (1 << 15)
     elif sw == 1:  # WAV 8-bit is unsigned
@@ -201,23 +229,33 @@ def decode_audio(payload: bytes):
     return pcm, sr
 
 
-def _dib_frame_to_gray(data: bytes, w: int, h: int) -> np.ndarray:
-    """One uncompressed 24-bit DIB frame (bottom-up BGR rows, stride
-    padded to 4 bytes) to (h, w) uint8 grayscale."""
+def _dib_frame_to_gray(
+    data: bytes, w: int, h: int, bottom_up: bool = True
+) -> np.ndarray:
+    """One uncompressed 24-bit DIB frame (BGR rows, stride padded to
+    4 bytes, bottom-up unless the header said top-down) to (h, w)
+    uint8 grayscale."""
     stride = ((24 * w + 31) // 32) * 4
+    if len(data) < stride * h:
+        raise ValueError("truncated DIB frame")
     rows = np.frombuffer(data, np.uint8, stride * h).reshape(h, stride)
-    bgr = rows[::-1, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
     return _luma(bgr[..., ::-1])
 
 
 def decode_video_frames(payload: bytes):
     """REAL video decode for UNCOMPRESSED AVI (RIFF container,
-    'vids'/'DIB ' stream, 24-bit frames): yields (frame_index,
-    (h, w) uint8 grayscale array) per '00db'/'00dc' chunk.  Pure
-    RIFF/chunk parsing - no codec library - so compressed AVI and
-    every other container (MP4/MKV/WebM, which all need entropy
-    decoders) raise ``NotImplementedError``; that remains the
-    declared environment ceiling."""
+    'vids' stream, 24-bit frames, either row order): yields
+    (frame_index, (h, w) uint8 grayscale array) per '00db'/'00dc'
+    chunk.  The frame format comes from the strf chunk BOUND TO the
+    'vids' strh (an AVI may carry audio streams whose strf is a
+    WAVEFORMATEX, not a bitmap header).  Pure RIFF/chunk parsing -
+    no codec library - so compressed AVI and every other container
+    (MP4/MKV/WebM, which all need entropy decoders) raise
+    ``NotImplementedError``; that remains the declared environment
+    ceiling.  Truncated frame data raises ``ValueError``."""
     b = bytes(payload)
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise NotImplementedError(
@@ -226,10 +264,12 @@ def decode_video_frames(payload: bytes):
         )
 
     w = h = None
-    compression = None
+    bottom_up = True
+    compression = bitcount = None
+    last_strh_type = None
 
     def walk(lo: int, hi: int):
-        nonlocal w, h, compression
+        nonlocal w, h, bottom_up, compression, bitcount, last_strh_type
         i = lo
         while i + 8 <= hi:
             fourcc = b[i : i + 4]
@@ -238,11 +278,24 @@ def decode_video_frames(payload: bytes):
             data_hi = min(data_lo + size, hi)
             if fourcc == b"LIST":
                 yield from walk(data_lo + 4, data_hi)
-            elif fourcc == b"strf" and w is None:
-                w = int.from_bytes(b[data_lo + 4 : data_lo + 8], "little",
-                                   signed=True)
-                h = abs(int.from_bytes(b[data_lo + 8 : data_lo + 12],
-                                       "little", signed=True))
+            elif fourcc == b"strh":
+                last_strh_type = b[data_lo : data_lo + 4]
+            elif (
+                fourcc == b"strf"
+                and w is None
+                and last_strh_type == b"vids"
+            ):
+                w = int.from_bytes(
+                    b[data_lo + 4 : data_lo + 8], "little", signed=True
+                )
+                rawh = int.from_bytes(
+                    b[data_lo + 8 : data_lo + 12], "little", signed=True
+                )
+                bottom_up = rawh > 0
+                h = abs(rawh)
+                bitcount = int.from_bytes(
+                    b[data_lo + 14 : data_lo + 16], "little"
+                )
                 compression = int.from_bytes(
                     b[data_lo + 16 : data_lo + 20], "little"
                 )
@@ -252,14 +305,18 @@ def decode_video_frames(payload: bytes):
 
     frame_idx = 0
     for data_lo, data_hi in walk(12, len(b)):
-        if compression not in (0, None):
-            raise NotImplementedError(
-                f"AVI biCompression={compression}: only uncompressed "
-                "24-bit frames decode here"
-            )
         if w is None:
-            raise NotImplementedError("AVI stream format header missing")
-        yield frame_idx, _dib_frame_to_gray(b[data_lo:data_hi], w, h)
+            raise NotImplementedError(
+                "AVI 'vids' stream format header missing"
+            )
+        if compression != 0 or bitcount != 24:
+            raise NotImplementedError(
+                f"AVI biCompression={compression} biBitCount={bitcount}: "
+                "only uncompressed 24-bit frames decode here"
+            )
+        yield frame_idx, _dib_frame_to_gray(
+            b[data_lo:data_hi], w, h, bottom_up
+        )
         frame_idx += 1
 
 

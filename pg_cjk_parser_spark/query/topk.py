@@ -59,15 +59,17 @@ from ..index.tombstones import (
 
 
 def _index_version(index_dir: str):
-    """Version key for an index: (stats.json mtime_ns, postings dir
-    mtime_ns).  Every in-contract mutation (append, upsert epoch,
-    compact, merge) rewrites stats.json last; the postings-dir mtime
-    additionally catches FOREIGN epoch dirs landing without a stats
-    refresh (the crashed-append case _shard_paths's directory
-    fallback serves) - creating epoch=N bumps the parent dir's mtime.
-    Tombstones deliberately bump NEITHER - the dictionary df stays
-    frozen until compaction (live-docs semantics), so cached df
-    values remain correct."""
+    """Version key for an index: the mtime_ns of stats.json and of
+    the postings AND termstats dirs.  Every in-contract mutation
+    (append, upsert epoch, compact, merge) rewrites stats.json last;
+    the shard-dir mtimes additionally catch FOREIGN epoch dirs
+    landing without a stats refresh (the crashed-append case
+    _shard_paths's directory fallback serves) - creating epoch=N
+    bumps the parent dir's mtime, and BOTH dirs are tracked so a
+    postings-first landing cannot freeze a negative df entry taken
+    before its termstats arrived.  Tombstones deliberately bump none
+    of the three - the dictionary df stays frozen until compaction
+    (live-docs semantics), so cached df values remain correct."""
     def mt(p):
         try:
             return os.stat(p).st_mtime_ns
@@ -77,6 +79,7 @@ def _index_version(index_dir: str):
     return (
         mt(os.path.join(index_dir, "stats.json")),
         mt(os.path.join(index_dir, "postings")),
+        mt(os.path.join(index_dir, "termstats")),
     )
 
 

@@ -336,28 +336,63 @@ def test_video_frames_real_avi_decode(spark):
     from pg_cjk_parser_spark.ops.multimodal import _riff_chunk, _riff_list
 
     avih = (0).to_bytes(4, "little") * 14
-    strf = (
-        (40).to_bytes(4, "little")
-        + w.to_bytes(4, "little", signed=True)
-        + h.to_bytes(4, "little", signed=True)
-        + (1).to_bytes(2, "little")
-        + (24).to_bytes(2, "little")
-        + (0).to_bytes(4, "little")
-        + (0).to_bytes(4, "little") * 5
-    )
-    body = (
-        b"AVI "
-        + _riff_list(
-            b"hdrl",
-            _riff_chunk(b"avih", avih),
-            _riff_list(b"strl", _riff_chunk(b"strf", strf)),
+
+    def strf_of(height):
+        return (
+            (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + (0).to_bytes(4, "little") * 5
         )
-        + _riff_list(b"movi", _riff_chunk(b"00db", rows.tobytes()))
-    )
-    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
-    frames = list(decode_video_frames(payload))
+
+    strh_vids = b"vids" + b"DIB " + b"\0" * 48
+    # an AUDIO stream list FIRST: its strf (a WAVEFORMATEX, not a
+    # bitmap header) must NOT be taken as the video format
+    strh_auds = b"auds" + b"\0" * 52
+    wavefmt = (1).to_bytes(2, "little") + (1).to_bytes(2, "little") + (
+        44100
+    ).to_bytes(4, "little") + b"\0" * 8
+
+    def avi_of(strf, frame_bytes):
+        body = (
+            b"AVI "
+            + _riff_list(
+                b"hdrl",
+                _riff_chunk(b"avih", avih),
+                _riff_list(
+                    b"strl",
+                    _riff_chunk(b"strh", strh_auds),
+                    _riff_chunk(b"strf", wavefmt),
+                ),
+                _riff_list(
+                    b"strl",
+                    _riff_chunk(b"strh", strh_vids),
+                    _riff_chunk(b"strf", strf),
+                ),
+            )
+            + _riff_list(b"movi", _riff_chunk(b"00db", frame_bytes))
+        )
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    frames = list(decode_video_frames(avi_of(strf_of(h), rows.tobytes())))
     assert len(frames) == 1
     assert frames[0][1].tolist() == [[255] * 3] * 2
+
+    # top-down (negative biHeight): rows are stored top-first and
+    # must NOT be flipped
+    grad = np.zeros((h, stride), np.uint8)
+    grad[0, : w * 3] = 200  # first stored row
+    top_down = list(
+        decode_video_frames(avi_of(strf_of(-h), grad.tobytes()))
+    )[0][1]
+    assert top_down[0].tolist() == [200] * 3  # first row stays first
+    bottom_up = list(
+        decode_video_frames(avi_of(strf_of(h), grad.tobytes()))
+    )[0][1]
+    assert bottom_up[-1].tolist() == [200] * 3  # flipped
 
     # Spark path over synthetic AVIs; every_n=3 subsamples
     media = synth_media_real(spark, 30, seed=9)
@@ -371,3 +406,41 @@ def test_video_frames_real_avi_decode(spark):
         synth_media_real(spark, 30, seed=9), every_n=3
     ).collect()
     assert sorted(map(tuple, rows_df)) == sorted(map(tuple, rows2))
+
+
+def test_decoder_malformed_input_contracts():
+    """Malformed payloads of SUPPORTED containers raise ValueError;
+    unsupported containers raise NotImplementedError."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pg_cjk_parser_spark.ops.multimodal import (
+        decode_audio,
+        decode_image,
+    )
+
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P5\n2")  # header cut mid-field
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P5\n2 2\n255\n\x01")  # payload short
+    with _pytest.raises(NotImplementedError, match="BITMAPINFOHEADER"):
+        # BITMAPCOREHEADER (size 12) must be rejected, not misparsed
+        core = b"BM" + (26).to_bytes(4, "little") + b"\0" * 4 + (
+            26
+        ).to_bytes(4, "little") + (12).to_bytes(4, "little") + b"\0" * 8
+        decode_image(core)
+    # WAV declaring sample_rate=0: wave accepts it on read; we must not
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(np.zeros(4, "<i2").tobytes())
+    wav = bytearray(buf.getvalue())
+    i = wav.index(b"fmt ")
+    wav[i + 12 : i + 16] = (0).to_bytes(4, "little")  # nSamplesPerSec=0
+    with _pytest.raises(ValueError, match="malformed WAV"):
+        decode_audio(bytes(wav))
