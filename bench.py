@@ -352,6 +352,32 @@ def main() -> None:
                 synth_n / queries[name], 1
             )
 
+        # real multimodal decode throughput: genuine PGM/PPM/BMP/WAV/
+        # AVI payloads (materialized untimed, like the corpus) through
+        # the pure-NumPy/stdlib decoders + Arrow feature extractors
+        from pg_cjk_parser_spark.ops.multimodal import (
+            audio_features,
+            image_features,
+            synth_media_real,
+            video_frame_features,
+        )
+
+        media_n = 3000
+        media_path = os.path.join(work, "media")
+        synth_media_real(spark, media_n, seed=42).write.parquet(media_path)
+        media = spark.read.parquet(media_path)
+        timed(
+            "ops_media_decode",
+            lambda: (
+                image_features(media).count()
+                + audio_features(media).count()
+                + video_frame_features(media, every_n=2).count()
+            ),
+        )
+        extras["ops_media_decode_rows_per_sec"] = round(
+            media_n / queries["ops_media_decode"], 1
+        )
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
         import __spark_entry__ as entry_mod

@@ -153,8 +153,10 @@ cover folds - was 1.7 s when first added; ops_ts_rank_cd_scan ~32-36k
 docs/s scan-path rank; q_local_rank_cd ~0.1-0.3 s serving-tier) and a
 live-docs line (q_cjk_nobita_tombstoned with half the query's
 candidates deleted: overhead is VM-noise-level, ratio ~0.8-1.2x).
-Like-for-like numbers (build docs/s, per-query medians) all improved
-or held; compare those, not the suite total.
+Round 4 added ops_media_decode (3,000 genuine PGM/PPM/BMP/WAV/AVI
+payloads through the real pure-NumPy/stdlib decoders + feature
+extractors).  Like-for-like numbers (build docs/s, per-query medians)
+all improved or held; compare those, not the suite total.
 
 ## Scale ladder (same job, local[32]; corpus size x20)
 
