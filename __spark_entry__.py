@@ -73,6 +73,35 @@ def _shipped(fn):
     return wrapped
 
 
+@functools.lru_cache(maxsize=1)
+def _index_code_version() -> str:
+    """Digest of the modules that determine INDEX CONTENT (tokenizer,
+    dictionaries, codec, builder).  Folded into every cached-index
+    temp path so a code change that alters what gets indexed can
+    never serve a stale index built by an older round - the manual
+    'rm -rf /tmp/pg_cjk_spark_*' step this replaces was easy to
+    forget."""
+    import hashlib
+
+    h = hashlib.md5()
+    for rel in (
+        "kernel/charclass.py",
+        "kernel/fsm.py",
+        "kernel/stem.py",
+        "kernel/stopwords.py",
+        "kernel/tokenizer.py",
+        "kernel/tsvector.py",
+        "index/build.py",
+        "index/codec.py",
+        "index/xxh64.py",
+    ):
+        with open(
+            os.path.join(_REPO_ROOT, "pg_cjk_parser_spark", rel), "rb"
+        ) as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 # the driver's correctness gate compares queries() vs oracle_sql() at
 # sf0.01; oracles that embed data-derived constants read this dir
@@ -188,7 +217,7 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
 
     docs = _docs(spark, sf_dir)
     n = docs.count()
-    key = hashlib.md5(f"{sf_dir}|{n}".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{n}|{_index_code_version()}".encode()).hexdigest()[:12]
     index_dir = os.path.join(_tf.gettempdir(), f"pg_cjk_spark_idx_{key}")
     build_index(
         spark,
@@ -3132,7 +3161,7 @@ def _q_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     n = docs.count()
-    key = hashlib.md5(f"{sf_dir}|{n}|del".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{n}|del|{_index_code_version()}".encode()).hexdigest()[:12]
     index_dir = os.path.join(_tf.gettempdir(), f"pg_cjk_spark_tomb_{key}")
     build_index(
         spark, docs, index_dir, docid_col="doc_id",
@@ -3194,7 +3223,7 @@ def _q_bm25_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     n = docs.count()
-    key = hashlib.md5(f"{sf_dir}|{n}|ups".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{n}|ups|{_index_code_version()}".encode()).hexdigest()[:12]
     index_dir = os.path.join(_tf.gettempdir(), f"pg_cjk_spark_ups_{key}")
     build_index(
         spark, docs, index_dir, docid_col="doc_id",
@@ -3275,7 +3304,7 @@ def _q_ts_rank_cd_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     n = docs.count()
-    key = hashlib.md5(f"{sf_dir}|{n}|del".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{n}|del|{_index_code_version()}".encode()).hexdigest()[:12]
     index_dir = os.path.join(_tf.gettempdir(), f"pg_cjk_spark_tomb_{key}")
     build_index(
         spark, docs, index_dir, docid_col="doc_id",
