@@ -3477,57 +3477,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is load-bearing: the correctness driver hash-checks
+    # only the FIRST 50 entries.  Positions 1-19 are the rows added in
+    # rounds 3-4 that had never appeared in a committed CORRECTNESS
+    # artifact before r05; positions 20-50 re-certify the structurally
+    # distinct earlier rows.  Positions 51-69 are variant rows whose
+    # hash-green certificates live in CORRECTNESS_r04.json (positions
+    # 11,18-21,23-29,31,39,43-46,48 of the r04 order).  The r04<->r05
+    # mapping is recorded in COVERAGE.md.
     return {
-        "term_stats": _q_term_stats,
-        "bm25_topk": _q_bm25_topk,
-        "zht2zhs": _q_zht2zhs,
-        "doc_lengths": _q_doc_lengths,
-        "exact_dedup": _q_exact_dedup,
-        "quality_signals": _q_quality,
-        "ann_cosine_topk": _q_ann_cosine,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "token_counts": _q_token_counts,
-        "char_fingerprint": _q_fingerprint,
-        "rolling_fingerprint": _q_rolling_fingerprint,
-        "minhash_near_dups": _q_minhash_near_dups,
-        "simhash": _q_simhash,
-        "lang_id": _q_lang_id,
-        "ts_headline": _q_headline,
-        "ts_debug": _q_ts_debug,
-        "bm25_or_topk": _q_bm25_or_topk,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ivf_cosine_topk": _q_ivf,
-        "simhash_near_dups": _q_simhash_pairs,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "event_windows": _q_event_windows,
-        "ts_headline_fragments": _q_headline_fragments,
-        "ts_headline_and": _q_headline_and,
-        "ts_headline_and3": _q_headline_and3,
-        "ts_headline_phrase": _q_headline_phrase,
-        "ts_headline_opts": _q_headline_opts,
-        "ts_headline_fragments_and": _q_headline_fragments_and,
-        "bm25_phrase_or_topk": _q_bm25_phrase_or_topk,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "ts_headline_fragments_phrase": _q_headline_fragments_phrase,
-        "unigram_logprob": _q_unigram_logprob,
-        "hash_split": _q_hash_split,
-        "contamination_overlap": _q_contamination,
-        "repetition_signals": _q_repetition_signals,
-        "duplicate_spans": _q_duplicate_spans,
-        "corpus_curation": _q_curation,
-        "session_stats": _q_session_stats,
-        "bm25_batch_topk": _q_bm25_batch,
-        "ts_rank_or": _q_ts_rank_or,
-        "ts_rank_and": _q_ts_rank_and,
-        "ts_rank_cd": _q_ts_rank_cd,
-        "ts_rank_cd_norm": _q_ts_rank_cd_norm,
-        "ts_rank_cd_phrase": _q_ts_rank_cd_phrase,
-        "ts_rank_weighted": _q_ts_rank_weighted,
-        "ts_rank_filtered": _q_ts_rank_filtered,
-        "trgm_pairs": _q_trgm_pairs,
-        "term_suggest": _q_term_suggest,
-        "bm25_deleted": _q_bm25_deleted,
-        "bm25_upserted": _q_bm25_upserted,
+        # --- never-driver-certified before r05 (19) ---
         "websearch_match": _q_websearch_match,
         "ts_rank_cd_topk": _q_ts_rank_cd_topk,
         "ts_rank_cd_deleted": _q_ts_rank_cd_deleted,
@@ -3547,6 +3506,58 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_headline_prefix": _q_headline_prefix,
         "stratified_sample": _q_stratified_sample,
         "top_k_per_group": _q_top_k_per_group,
+        # --- re-certified structurally distinct rows (31) ---
+        "term_stats": _q_term_stats,
+        "bm25_topk": _q_bm25_topk,
+        "zht2zhs": _q_zht2zhs,
+        "doc_lengths": _q_doc_lengths,
+        "exact_dedup": _q_exact_dedup,
+        "quality_signals": _q_quality,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "token_counts": _q_token_counts,
+        "char_fingerprint": _q_fingerprint,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash": _q_simhash,
+        "lang_id": _q_lang_id,
+        "ts_headline": _q_headline,
+        "ts_debug": _q_ts_debug,
+        "bm25_or_topk": _q_bm25_or_topk,
+        "event_windows": _q_event_windows,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "unigram_logprob": _q_unigram_logprob,
+        "hash_split": _q_hash_split,
+        "contamination_overlap": _q_contamination,
+        "repetition_signals": _q_repetition_signals,
+        "duplicate_spans": _q_duplicate_spans,
+        "corpus_curation": _q_curation,
+        "session_stats": _q_session_stats,
+        "ts_rank_or": _q_ts_rank_or,
+        "ts_rank_and": _q_ts_rank_and,
+        "ts_rank_cd": _q_ts_rank_cd,
+        "trgm_pairs": _q_trgm_pairs,
+        "bm25_deleted": _q_bm25_deleted,
+        "bm25_upserted": _q_bm25_upserted,
+        # --- variant rows certified hash-green in CORRECTNESS_r04 (19) ---
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "simhash_near_dups": _q_simhash_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ivf_cosine_topk": _q_ivf,
+        "ts_headline_fragments": _q_headline_fragments,
+        "ts_headline_and": _q_headline_and,
+        "ts_headline_and3": _q_headline_and3,
+        "ts_headline_phrase": _q_headline_phrase,
+        "ts_headline_opts": _q_headline_opts,
+        "ts_headline_fragments_and": _q_headline_fragments_and,
+        "ts_headline_fragments_phrase": _q_headline_fragments_phrase,
+        "bm25_phrase_or_topk": _q_bm25_phrase_or_topk,
+        "bm25_batch_topk": _q_bm25_batch,
+        "ts_rank_cd_norm": _q_ts_rank_cd_norm,
+        "ts_rank_cd_phrase": _q_ts_rank_cd_phrase,
+        "ts_rank_weighted": _q_ts_rank_weighted,
+        "ts_rank_filtered": _q_ts_rank_filtered,
+        "term_suggest": _q_term_suggest,
     }
 
 
