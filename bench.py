@@ -21,6 +21,36 @@ import sys
 import tempfile
 import time
 
+# The host VM suffers episodic hypervisor CPU steal (observed: the same
+# code 2.3x slower between runs hours apart with steal accumulating in
+# /proc/stat).  Absolute numbers are only defensible with the steal
+# telemetry attached, so every timed section records the steal share of
+# its window and reruns once (best-of-2) when steal is elevated.
+_STEAL_RERUN_THRESHOLD = 0.02   # rerun the section above 2% steal share
+_STEAL_REPORT_THRESHOLD = 0.005  # record any share above 0.5%
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate cpu line of /proc/stat."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
+class _StealWindow:
+    def __enter__(self):
+        self.s0, self.t0 = _cpu_jiffies()
+        return self
+
+    def __exit__(self, *exc):
+        s1, t1 = _cpu_jiffies()
+        self.share = (s1 - self.s0) / max(1, t1 - self.t0)
+        return False
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,22 +88,65 @@ def main() -> None:
     t_all = time.time()
     work = tempfile.mkdtemp(prefix="pg_cjk_bench_")
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        dt = time.time() - t0
+    suite_steal = _StealWindow().__enter__()
+
+    def _run_once(fn):
+        with _StealWindow() as w:
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+        return out, dt, w.share
+
+    def timed(name, fn, reset=None):
+        """Time one section, steal-aware.  If the window's hypervisor
+        steal share exceeds the rerun threshold and the section is
+        rerunnable (``reset`` prepares a clean rerun; pass a no-op for
+        stateless sections), run it once more and keep the best of 2 —
+        both times and both steal shares land in extras."""
+        out, dt, share = _run_once(fn)
+        if share > _STEAL_RERUN_THRESHOLD and reset is not None:
+            extras[f"{name}_run1"] = round(dt, 3)
+            extras[f"{name}_run1_steal_share"] = round(share, 4)
+            reset()
+            out, dt2, share2 = _run_once(fn)
+            extras[f"{name}_run2"] = round(dt2, 3)
+            extras[f"{name}_run2_steal_share"] = round(share2, 4)
+            dt = min(dt, dt2)
+            share = min(share, share2)
+        if share > _STEAL_REPORT_THRESHOLD:
+            extras[f"{name}_steal_share"] = round(share, 4)
         queries[name] = round(dt, 3)
         return out
 
     reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "5"))
 
     def timed_query(name, fn):
-        times = []
-        for _ in range(reps):
-            t0 = time.time()
-            fn()
-            times.append(time.time() - t0)
-        times.sort()
+        def _rep_loop():
+            times = []
+            for _ in range(reps):
+                t0 = time.time()
+                fn()
+                times.append(time.time() - t0)
+            times.sort()
+            return times
+
+        with _StealWindow() as w:
+            times = _rep_loop()
+        if w.share > _STEAL_RERUN_THRESHOLD:
+            extras[f"{name}_run1"] = round(times[len(times) // 2], 3)
+            extras[f"{name}_run1_steal_share"] = round(w.share, 4)
+            with _StealWindow() as w2:
+                times2 = _rep_loop()
+            extras[f"{name}_run2"] = round(times2[len(times2) // 2], 3)
+            extras[f"{name}_run2_steal_share"] = round(w2.share, 4)
+            if times2[len(times2) // 2] < times[len(times) // 2]:
+                times = times2
+            if min(w.share, w2.share) > _STEAL_REPORT_THRESHOLD:
+                extras[f"{name}_steal_share"] = round(
+                    min(w.share, w2.share), 4
+                )
+        elif w.share > _STEAL_REPORT_THRESHOLD:
+            extras[f"{name}_steal_share"] = round(w.share, 4)
         queries[name] = round(times[len(times) // 2], 3)   # median
         extras[f"{name}_p95"] = round(times[-1] if reps < 20 else times[int(len(times) * 0.95)], 3)
 
@@ -89,6 +162,7 @@ def main() -> None:
                 num_buckets=32, num_salts=4, block_size=128,
                 n_docs=n_docs,
             ),
+            reset=lambda: shutil.rmtree(idx_docs, ignore_errors=True),
         )
         extras["documents_rows"] = n_docs
         extras["documents_docs_per_sec"] = round(
@@ -128,6 +202,7 @@ def main() -> None:
             num_buckets=64, num_salts=4, block_size=128,
             n_docs=synth_n,
         ),
+        reset=lambda: shutil.rmtree(idx_web, ignore_errors=True),
     )
     extras["webcorpus_rows"] = synth_n
     extras["webcorpus_docs_per_sec"] = round(
@@ -221,6 +296,8 @@ def main() -> None:
     # -- 5. auxiliary operators -------------------------------------------
     if parts_sel == "web":
         total = round(time.time() - t_all, 3)
+        suite_steal.__exit__(None, None, None)
+        extras["suite_steal_share"] = round(suite_steal.share, 4)
         shutil.rmtree(work, ignore_errors=True)
         print(json.dumps({
             "metric": "headline_suite_seconds", "value": total,
@@ -230,6 +307,7 @@ def main() -> None:
         spark.stop()
         return
 
+    _noop = lambda: None  # stateless sections: rerunnable as-is
     timed(
         "term_stats_documents",
         lambda: docs.select(
@@ -240,12 +318,14 @@ def main() -> None:
         .orderBy(F.desc("count"))
         .limit(20)
         .collect(),
+        reset=_noop,
     )
     timed(
         "zht2zhs_webcorpus",
         lambda: corpus.select(
             F.sum(F.length(zht2zhs_udf(F.col("text")))).alias("n")
         ).collect(),
+        reset=_noop,
     )
     # -- 6. streaming epoch append + compaction ----------------------------
     if parts_sel == "all":
@@ -274,15 +354,19 @@ def main() -> None:
             idx_warm, epoch=0, docid_col="doc_seq",
             num_buckets=64, num_salts=4, block_size=128,
         )
-        t0 = time.time()
-        for i, sp in enumerate(slice_paths):
-            append_index_batch(
-                spark, spark.read.parquet(sp), idx_stream, epoch=i,
-                docid_col="doc_seq",
-                num_buckets=64, num_salts=4, block_size=128,
-            )
-        dt = time.time() - t0
-        queries["stream_append_4epochs"] = round(dt, 3)
+        def _append_epochs():
+            for i, sp in enumerate(slice_paths):
+                append_index_batch(
+                    spark, spark.read.parquet(sp), idx_stream, epoch=i,
+                    docid_col="doc_seq",
+                    num_buckets=64, num_salts=4, block_size=128,
+                )
+
+        timed(
+            "stream_append_4epochs", _append_epochs,
+            reset=lambda: shutil.rmtree(idx_stream, ignore_errors=True),
+        )
+        dt = queries["stream_append_4epochs"]
         extras["stream_append_docs_per_sec"] = round(synth_n / dt, 1)
         # small-batch ratio: dominated by per-epoch fixed job costs
         # (partitioned-write commits, termstats job) at this local scale
@@ -292,13 +376,15 @@ def main() -> None:
         # batch-sized micro-batch: the packed-cell epoch path at the
         # same size as the batch build (the >=0.8x throughput bar)
         idx_stream1 = os.path.join(work, "idx_stream1")
-        t0 = time.time()
-        append_index_batch(
-            spark, corpus, idx_stream1, epoch=0, docid_col="doc_seq",
-            num_buckets=64, num_salts=4, block_size=128,
+        timed(
+            "stream_append_1epoch",
+            lambda: append_index_batch(
+                spark, corpus, idx_stream1, epoch=0, docid_col="doc_seq",
+                num_buckets=64, num_salts=4, block_size=128,
+            ),
+            reset=lambda: shutil.rmtree(idx_stream1, ignore_errors=True),
         )
-        dt1 = time.time() - t0
-        queries["stream_append_1epoch"] = round(dt1, 3)
+        dt1 = queries["stream_append_1epoch"]
         extras["stream_single_vs_batch_ratio"] = round(
             (synth_n / dt1) / extras["webcorpus_docs_per_sec"], 3
         )
@@ -347,7 +433,7 @@ def main() -> None:
                 .count(),
             ),
         ):
-            timed(name, fn)
+            timed(name, fn, reset=_noop)
             extras[f"{name}_docs_per_sec"] = round(
                 synth_n / queries[name], 1
             )
@@ -373,9 +459,80 @@ def main() -> None:
                 + audio_features(media).count()
                 + video_frame_features(media, every_n=2).count()
             ),
+            reset=_noop,
         )
         extras["ops_media_decode_rows_per_sec"] = round(
             media_n / queries["ops_media_decode"], 1
+        )
+
+    # -- 8. ANN honesty: measured recall@20 at probe budgets where the
+    # approximate paths actually approximate.  The driver-SF oracles are
+    # exact because at 2k vectors the probe budget covers the corpus;
+    # here a 50k clustered corpus (32 Gaussian clusters) with reduced
+    # budgets shows the real recall/latency trade.
+    if parts_sel == "all":
+        import numpy as np
+        import pandas as pd
+
+        from pg_cjk_parser_spark.ops.similarity import (
+            ann_cosine_topk as lsh_topk,
+            brute_force_cosine_topk,
+            ivf_cosine_topk,
+            train_ivf_centroids,
+        )
+
+        ann_n, dim, n_clust = 50_000, 64, 32
+        rng = np.random.RandomState(7)
+        centers = rng.standard_normal((n_clust, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        cl = rng.randint(0, n_clust, size=ann_n)
+        # noise std 0.2/dim (norm ~1.6 vs unit centers): clusters overlap
+        # enough that reduced probe budgets genuinely miss neighbors
+        # (calibrated: IVF nprobe=2/32 ~0.7, LSH 4x10-bit 1-probe ~0.9)
+        vecs = (
+            centers[cl] + 0.2 * rng.standard_normal((ann_n, dim))
+        ).astype(np.float32)
+        ann_path = os.path.join(work, "ann_corpus")
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(ann_n, dtype=np.int64),
+                    "embedding": [v.tolist() for v in vecs],
+                }
+            ),
+            schema="vec_id long, embedding array<float>",
+        ).write.mode("overwrite").parquet(ann_path)
+        emb_ann = spark.read.parquet(ann_path)
+        qv = [float(x) for x in vecs[0]]
+        rest = emb_ann.where(F.col("vec_id") != 0)
+
+        truth = timed(
+            "ann50k_brute",
+            lambda: brute_force_cosine_topk(rest, qv, k=20).collect(),
+            reset=_noop,
+        )
+        truth_ids = {r.vec_id for r in truth}
+        lsh = timed(
+            "ann50k_lsh",
+            lambda: lsh_topk(
+                rest, qv, k=20, n_planes=10, n_tables=4, probe_bits=1
+            ).collect(),
+            reset=_noop,
+        )
+        cents = train_ivf_centroids(emb_ann, n_clusters=n_clust, iters=5)
+        ivf = timed(
+            "ann50k_ivf",
+            lambda: ivf_cosine_topk(
+                rest, qv, cents, k=20, nprobe=2
+            ).collect(),
+            reset=_noop,
+        )
+        extras["ann50k_rows"] = ann_n
+        extras["ann50k_lsh_recall_at20"] = round(
+            len(truth_ids & {r.vec_id for r in lsh}) / 20, 3
+        )
+        extras["ann50k_ivf_recall_at20"] = round(
+            len(truth_ids & {r.vec_id for r in ivf}) / 20, 3
         )
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -387,9 +544,12 @@ def main() -> None:
             lambda: entry_mod.queries()["ann_cosine_topk"](
                 spark, sf_dir
             ).collect(),
+            reset=lambda: None,
         )
 
     total = round(time.time() - t_all, 3)
+    suite_steal.__exit__(None, None, None)
+    extras["suite_steal_share"] = round(suite_steal.share, 4)
     shutil.rmtree(work, ignore_errors=True)
     result = {
         "metric": "headline_suite_seconds",
