@@ -205,9 +205,10 @@ def compact_index(
     # current max cannot survive the swap faithfully: compaction
     # collapses every version into the consolidated epoch, so a
     # below-max bound can no longer tell the versions it targeted
-    # from the ones it spared - such deletes must not race a
-    # compaction (issue them before, or after with a fresh default
-    # bound); see delete_docs
+    # from the ones it spared.  load_tombstones clamps such bounds up
+    # to the minimum live epoch (delete-wins), so a racing explicit
+    # delete still masks its target - it just loses the ability to
+    # spare newer pre-compaction versions; see delete_docs
     tomb_files = list_tombstone_files(index_dir)
     pending_path = os.path.join(index_dir, "_compact_pending.json")
     if os.path.exists(pending_path):

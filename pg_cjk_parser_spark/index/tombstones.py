@@ -28,6 +28,7 @@ state.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -73,9 +74,11 @@ def delete_docs(
     Concurrency: the default bound is safe to issue while a
     compaction runs (it equals the consolidated epoch the survivors
     are rewritten under, so it keeps masking).  An EXPLICIT
-    ``upto_epoch`` below the current max must NOT race a compaction -
-    the swap collapses per-epoch identity, after which a below-max
-    bound silently stops masking its targets."""
+    ``upto_epoch`` below the current max that races a compaction
+    loses per-epoch precision - the swap collapses version identity -
+    but it does NOT unmask: :func:`load_tombstones` clamps any bound
+    below the index's minimum live epoch up to that epoch
+    (delete-wins), so the target stays deleted."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -151,7 +154,31 @@ def load_tombstones(index_dir: str, files: list[str] | None = None):
     ids, upto = ids[srt], upto[srt]
     # per-id max bound: lexsort put the largest upto last per id
     last = np.concatenate((ids[1:] != ids[:-1], [True]))
-    return ids[last], upto[last]
+    ids, upto = ids[last], upto[last]
+    # A delete that raced a compaction carries an explicit upto below
+    # the consolidated epoch; after the swap no posting epoch is <=
+    # that bound, so the delete would silently unmask its target.  A
+    # bound below EVERY live epoch masks nothing by construction, so
+    # it can only be a race artifact (or a stale replay) - clamp it up
+    # to the index's minimum existing epoch (delete-wins; the doc's
+    # consolidated version is "live content as of compaction start",
+    # and masking it is the conservative direction).  Bounds >= the
+    # minimum epoch are untouched, so ordinary epoch-bounded deletes
+    # and the delete+reinsert upsert pattern keep exact semantics.
+    try:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            eps = json.load(f).get("epochs") or [0]
+        # a batch-built base carries implicit epoch 0 that is not in
+        # the epochs list (only appended epoch manifests are); its
+        # marker survives until a compaction folds it away
+        if os.path.exists(
+            os.path.join(index_dir, "manifests", "base.json")
+        ):
+            eps = [0]
+        upto = np.maximum(upto, int(min(eps)))
+    except (OSError, ValueError):
+        pass  # no stats yet (index mid-build): nothing to clamp to
+    return ids, upto
 
 
 def clear_tombstones(

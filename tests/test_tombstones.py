@@ -875,3 +875,40 @@ def test_df_cache_sees_foreign_epoch_without_stats_refresh(spark, tmp_path):
         )
     got = search_local(idx, "value", k=5)
     assert [d for d, _ in got] == [2], got
+
+
+def test_explicit_upto_racing_compaction_still_masks(spark, tmp_path):
+    """A delete with an explicit below-max ``upto`` that races a
+    compaction lands after the tombstone snapshot, so it survives the
+    swap with a bound below the consolidated epoch.  load_tombstones
+    clamps such bounds up to the minimum live epoch (delete-wins):
+    the target stays masked on every path, and the next compaction
+    applies the delete physically instead of dropping it."""
+    from pg_cjk_parser_spark.index.streaming import append_index_batch
+
+    idx = str(tmp_path / "race")
+    for ep, rows in enumerate(
+        [[(1, "fast table"), (2, "merge value")], [(3, "fast spark")]]
+    ):
+        append_index_batch(
+            spark,
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            idx, epoch=ep, docid_col="doc_id",
+            num_buckets=4, num_salts=2, block_size=4,
+        )
+    compact_index(spark, idx)  # consolidates everything under epoch 1
+    # the racer computed its bound before the swap: "delete doc 1 in
+    # epochs <= 0" - no live epoch is <= 0 anymore
+    delete_docs(idx, [1], upto_epoch=0)
+    assert [
+        r.docid for r in search(spark, idx, "fast table", k=10).collect()
+    ] == []
+    assert [d for d, _ in search_local(idx, "fast table", k=10)] == []
+    # stats frozen until compact, then the delete is applied, not lost
+    assert load_stats(idx)["n_docs"] == 3
+    compact_index(spark, idx)
+    assert load_stats(idx)["n_docs"] == 2
+    assert load_tombstones(idx) is None
+    assert [
+        r.docid for r in search(spark, idx, "fast table", k=10).collect()
+    ] == []
