@@ -102,6 +102,32 @@ def trgm_similar_pairs(
     )
 
 
+def _edit_distance_at_most(a: str, b: str, k: int) -> bool:
+    """Codepoint Levenshtein distance <= k, same metric as Spark's
+    ``F.levenshtein`` (unit-cost insert/delete/substitute).  Banded DP
+    with an early abort when a full row exceeds k."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo, hi = max(1, i - k), min(len(b), i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1  # left of the band: unreachable
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        if hi < len(b):
+            cur[hi + 1 :] = [k + 1] * (len(b) - hi)
+        if min(cur[lo - 1 : hi + 1]) > k:
+            return False
+        prev = cur
+    return prev[len(b)] <= k
+
+
 def suggest_terms(
     spark,
     index_dir: str,
@@ -138,13 +164,25 @@ def suggest_terms(
     band = (tlen >= len(word) - max_dist) & (
         tlen <= len(word) + max_dist
     )
+    # Driver memory is bounded by (one Arrow batch) + (true candidate
+    # set): batches stream through a driver-side edit-distance filter
+    # identical to the F.levenshtein predicate below, so only terms
+    # within max_dist edits - a tiny set for any real dictionary -
+    # ever accumulate, never the whole length band (at web-scale
+    # vocabulary a +-max_dist band of a short word is still huge).
+    # A term lives in exactly one bucket but may span salt/epoch
+    # shards, so df still sums across batches per term.
     agg: dict[str, int] = {}
     for p in paths:
-        t = ds.dataset(p).to_table(columns=["term", "df"], filter=band)
-        for term, d in zip(
-            t["term"].to_pylist(), t["df"].to_pylist()
-        ):
-            agg[term] = agg.get(term, 0) + int(d)
+        scanner = ds.dataset(p).scanner(
+            columns=["term", "df"], filter=band
+        )
+        for batch in scanner.to_batches():
+            for term, d in zip(
+                batch["term"].to_pylist(), batch["df"].to_pylist()
+            ):
+                if _edit_distance_at_most(term, word, max_dist):
+                    agg[term] = agg.get(term, 0) + int(d)
     if not agg:
         return spark.createDataFrame(
             [], "term string, df long, sim double"

@@ -392,3 +392,36 @@ def test_trgm_unicode_separator_cjk(spark):
             p = "  " + w + " "
             out |= {p[i:i + 3] for i in range(len(p) - 2)}
     assert got == sorted(out)
+
+
+def test_edit_distance_band_matches_full_dp():
+    """The banded <=k filter used to bound suggest_terms driver memory
+    must agree with full Levenshtein DP (Spark's F.levenshtein metric)
+    on every decision, including band-boundary and CJK cases."""
+    import itertools
+
+    from pg_cjk_parser_spark.ops.trgm import _edit_distance_at_most
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    alphabet = "ab世"
+    words = [
+        "".join(w)
+        for n in range(5)
+        for w in itertools.product(alphabet, repeat=n)
+    ]
+    for a in words:
+        for b in words:
+            for k in (0, 1, 2, 3):
+                assert _edit_distance_at_most(a, b, k) == (lev(a, b) <= k), (
+                    a, b, k,
+                )
