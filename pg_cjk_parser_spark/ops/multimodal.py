@@ -8,9 +8,11 @@ Decode support is real where a pure-stdlib/NumPy decoder exists and
 honestly stubbed where it does not (this container ships no codec
 libraries):
 
-* **images** - PPM (P6), PGM (P5) and uncompressed BMP (8-bit
-  palette / 24-bit BGR) decode for real (:func:`decode_image`);
-  compressed formats (PNG/JPEG/...) raise ``NotImplementedError``.
+* **images** - PPM (P6), PGM (P5), uncompressed BMP (8-bit palette /
+  24-bit BGR) and non-interlaced 8-bit PNG (gray, gray+alpha, RGB,
+  RGBA - zlib is stdlib and the five PNG filters are public spec)
+  decode for real (:func:`decode_image`); JPEG/GIF/palette-or-
+  interlaced PNG raise ``NotImplementedError``.
 * **audio** - PCM WAV decodes for real via the stdlib ``wave``
   module (:func:`decode_audio`); compressed codecs raise.
 * **video** - uncompressed 24-bit AVI frames decode for real via
@@ -126,17 +128,140 @@ def _luma(rgb: np.ndarray) -> np.ndarray:
     return ((r * 299 + g * 587 + bl * 114) // 1000).astype(np.uint8)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type at bit depth 8 (type 3 = palette is
+# rejected; see _decode_png)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(b: bytes):
+    """Yield (type, data) for each chunk, CRC-verified.  Truncation
+    or a CRC mismatch raises ``ValueError`` (malformed payload of a
+    supported container)."""
+    import zlib
+
+    off = 8
+    while off < len(b):
+        if len(b) - off < 8:
+            raise ValueError("truncated PNG chunk header")
+        n = int.from_bytes(b[off : off + 4], "big")
+        ctype = b[off + 4 : off + 8]
+        if len(b) - off < 12 + n:
+            raise ValueError("truncated PNG chunk data")
+        data = b[off + 8 : off + 8 + n]
+        crc = int.from_bytes(b[off + 8 + n : off + 12 + n], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        off += 12 + n
+    raise ValueError("PNG ended without IEND")
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec 9: None/Sub/Up/
+    Average/Paeth).  Sub/Average/Paeth recur on the previous pixel,
+    so those rows run a per-byte loop; None/Up stay vectorized."""
+    stride = w * ch
+    arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    ftypes = arr[:, 0]
+    out = np.empty((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = arr[y, 1:].astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            row = (row + prev) & 0xFF
+        elif f == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = up
+                else:
+                    pr = c
+                row[x] = (row[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        out[y] = row
+        prev = out[y]
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    import zlib
+
+    chunks = _png_chunks(b)
+    ctype, ihdr = next(chunks)
+    if ctype != b"IHDR" or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if interlace == 1:
+        raise NotImplementedError(
+            "Adam7-interlaced PNG: only interlace method 0 decodes here"
+        )
+    if color == 3:
+        raise NotImplementedError(
+            "palette PNG: only gray/gray+alpha/RGB/RGBA decode here"
+        )
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} color type {color}: only 8-bit "
+            "gray/gray+alpha/RGB/RGBA decodes here"
+        )
+    if comp != 0 or filt != 0 or interlace != 0 or not w or not h:
+        raise ValueError("malformed PNG IHDR")
+    idat = b"".join(
+        data for t, data in chunks if t == b"IDAT"
+    )
+    if not idat:
+        raise ValueError("PNG has no IDAT data")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
+    ch = _PNG_CHANNELS[color]
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError("PNG pixel data length mismatch")
+    px = _png_unfilter(raw, w, h, ch)
+    if color == 0:
+        return px.reshape(h, w).copy()
+    if color == 4:  # gray + alpha: luminance is the gray channel
+        return px[:, :, 0].copy()
+    return _luma(px[:, :, :3])  # RGB / RGBA (alpha ignored for luma)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """REAL image decode for the uncompressed containers a pure
-    NumPy reader can handle: PPM (P6), PGM (P5), and BMP
-    (BITMAPINFOHEADER, uncompressed, 8-bit palette or 24-bit BGR).
-    Returns a (h, w) uint8 grayscale array (color reduces via integer
-    Rec.601 luma).  Any other CONTAINER - PNG, JPEG, GIF, compressed
-    or BITMAPCOREHEADER BMP - raises ``NotImplementedError`` (those
-    need codec libraries this container does not ship); a truncated
-    or malformed payload of a supported container raises
-    ``ValueError``."""
+    """REAL image decode for the containers a pure stdlib+NumPy
+    reader can handle: PPM (P6), PGM (P5), BMP (BITMAPINFOHEADER,
+    uncompressed, 8-bit palette or 24-bit BGR), and non-interlaced
+    8-bit PNG (gray, gray+alpha, RGB, RGBA - stdlib zlib inflate +
+    the five spec filters).  Returns a (h, w) uint8 grayscale array
+    (color reduces via integer Rec.601 luma).  Any other CONTAINER -
+    JPEG, GIF, palette/interlaced/16-bit PNG, BITMAPCOREHEADER BMP -
+    raises ``NotImplementedError`` (those need codec libraries this
+    container does not ship); a truncated or malformed payload of a
+    supported container raises ``ValueError``."""
     b = bytes(payload)
+    if b[:8] == _PNG_SIG:
+        return _decode_png(b)
 
     def body(off, need):
         if len(b) - off < need:
@@ -189,7 +314,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _luma(bgr[..., ::-1])
     raise NotImplementedError(
         "unsupported image container (supported without codec "
-        "libraries: PPM/P6, PGM/P5, uncompressed 8/24-bit BMP)"
+        "libraries: PPM/P6, PGM/P5, uncompressed 8/24-bit BMP, "
+        "non-interlaced 8-bit PNG)"
     )
 
 
@@ -511,6 +637,67 @@ def _render_bmp24(w: int, h: int, seed: int) -> bytes:
     return hdr + data
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _render_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
+    """Genuine PNG encoder (8-bit gray/gray+alpha/RGB/RGBA).  Row y
+    uses filter type y % 5, so a decode roundtrip exercises every
+    unfilter path including Average and Paeth."""
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+    lines = []
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        f = y % 5
+        row = img[y].astype(np.int32)
+        enc = row.copy()
+        for x in range(w * ch):
+            left = int(row[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            ul = int(prev[x - ch]) if x >= ch else 0
+            if f == 1:
+                enc[x] = (row[x] - left) & 0xFF
+            elif f == 2:
+                enc[x] = (row[x] - up) & 0xFF
+            elif f == 3:
+                enc[x] = (row[x] - ((left + up) >> 1)) & 0xFF
+            elif f == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                if pa <= pb and pa <= pc:
+                    pr = left
+                elif pb <= pc:
+                    pr = up
+                else:
+                    pr = ul
+                enc[x] = (row[x] - pr) & 0xFF
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _render_wav(sr: int, n_samples: int, seed: int) -> bytes:
     import io
     import wave
@@ -626,9 +813,9 @@ def _render_avi(w: int, h: int, n_frames: int, seed: int) -> bytes:
 
 def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads are GENUINE encoded
-    containers (rotating PGM/PPM/BMP for images, PCM WAV for audio,
-    uncompressed 24-bit AVI for video) so the real decoders run end
-    to end with no external data."""
+    containers (rotating PGM/PPM/BMP/PNG for images, PCM WAV for
+    audio, uncompressed 24-bit AVI for video) so the real decoders
+    run end to end with no external data."""
 
     def gen(batches):
         for pdf in batches:
@@ -639,9 +826,14 @@ def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
                 sr = 8000
                 n_frames = 0
                 if kind == "image":
-                    renderer = (_render_pgm, _render_ppm, _render_bmp24)[
-                        (i // 3) % 3
-                    ]
+                    renderer = (
+                        _render_pgm,
+                        _render_ppm,
+                        _render_bmp24,
+                        lambda w, h, s: _render_png(w, h, s, 2),
+                        lambda w, h, s: _render_png(w, h, s, 0),
+                        lambda w, h, s: _render_png(w, h, s, 6),
+                    )[(i // 3) % 6]
                     payload = renderer(w, h, seed + i)
                 elif kind == "audio":
                     payload = _render_wav(sr, 2000 + (i % 1000), seed + i)

@@ -247,7 +247,125 @@ def test_decode_image_unsupported_raises():
     from pg_cjk_parser_spark.ops.multimodal import decode_image
 
     with _pytest.raises(NotImplementedError, match="PPM"):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"GIF89a" + b"\0" * 16)
+    with _pytest.raises(NotImplementedError, match="PPM"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 16)  # JPEG SOI
+
+
+def test_decode_image_png_roundtrip_all_color_types():
+    """_render_png rotates filter type y%5 per row, so a decode of a
+    6-row image exercises every unfilter path (None/Sub/Up/Average/
+    Paeth) for each of the four supported color types."""
+    import numpy as np
+
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _PNG_CHANNELS,
+        _render_png,
+        decode_image,
+    )
+
+    for ct in (0, 2, 4, 6):
+        ch = _PNG_CHANNELS[ct]
+        png = _render_png(7, 6, 123, ct)
+        rng = np.random.default_rng(123)
+        img = rng.integers(0, 256, size=(6, 7 * ch), dtype=np.uint8)
+        img = img.reshape(6, 7, ch)
+        if ct in (0, 4):  # gray / gray+alpha: luma IS the gray channel
+            want = img[:, :, 0]
+        else:  # RGB / RGBA: integer Rec.601 luma, alpha ignored
+            r, g, b = (img[..., i].astype(np.uint32) for i in range(3))
+            want = ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+        got = decode_image(png)
+        assert got.shape == (6, 7)
+        assert (got == want).all(), f"color type {ct}"
+
+
+def test_decode_image_png_external_encoder():
+    """A 1x1 red PNG produced by libpng (the ubiquitous placeholder
+    bytes), NOT our own encoder: decodes to Rec.601 luma of red =
+    (255*299)//1000 = 76."""
+    import base64
+
+    from pg_cjk_parser_spark.ops.multimodal import decode_image
+
+    b64 = (
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    assert decode_image(base64.b64decode(b64)).tolist() == [[76]]
+
+
+def test_decode_image_png_contracts():
+    """Unsupported PNG variants raise NotImplementedError; malformed
+    payloads of the supported variant raise ValueError."""
+    import zlib
+
+    import pytest as _pytest
+
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _render_png,
+        decode_image,
+    )
+
+    good = bytearray(_render_png(4, 4, 9, 2))
+
+    def ihdr_variant(**kw):
+        w, h = kw.get("w", 1), kw.get("h", 1)
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes(
+                [
+                    kw.get("depth", 8),
+                    kw.get("color", 2),
+                    0,
+                    0,
+                    kw.get("interlace", 0),
+                ]
+            )
+        )
+        raw = b"\x00" + b"\x00" * (w * 3)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw * h))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        decode_image(ihdr_variant(interlace=1))
+    with _pytest.raises(NotImplementedError, match="palette"):
+        decode_image(ihdr_variant(color=3))
+    with _pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_image(ihdr_variant(depth=16))
+
+    # truncated mid-chunk
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_image(bytes(good[:20]))
+    # CRC corruption (flip a byte inside IDAT data)
+    bad = bytearray(good)
+    idat_at = bytes(bad).index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_image(bytes(bad))
+    # well-formed chunks, corrupt deflate stream: rebuild IDAT with
+    # garbage bytes and a VALID crc
+    garbage = _png_chunk(b"IDAT", b"\x99\x99\x99\x99")
+    hdr_end = bytes(good).index(b"IDAT") - 4
+    iend_at = bytes(good).index(b"IEND") - 4
+    rebuilt = bytes(good[:hdr_end]) + garbage + bytes(good[iend_at:])
+    with _pytest.raises(ValueError, match="IDAT"):
+        decode_image(rebuilt)
+    # pixel-length mismatch: valid zlib, wrong payload size
+    short = _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+    rebuilt = bytes(good[:hdr_end]) + short + bytes(good[iend_at:])
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_image(rebuilt)
+    # missing IEND
+    with _pytest.raises(ValueError, match="IEND"):
+        decode_image(bytes(good[:iend_at]))
 
 
 def test_decode_audio_wav_roundtrip():
