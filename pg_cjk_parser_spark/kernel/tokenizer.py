@@ -90,7 +90,7 @@ def _ranges_to_class(mask: np.ndarray) -> str:
     return "".join(parts)
 
 
-def _build_master() -> re.Pattern:
+def _build_master() -> tuple[re.Pattern, re.Pattern]:
     cjk_mask = (CLS & CJK) != 0
     # exclude surrogate range from regex classes
     cjk_mask[0xD800:0xE000] = False
@@ -241,7 +241,7 @@ def _build_master() -> re.Pattern:
     # shape where the digits could extend (letter -> numpart, '-',
     # ':', '/', '@', '_') still falls back wholesale.
     numh = (
-        r"(?P<N>[A-Za-z]+(?:-[A-Za-z]+)+)-[0-9]+"
+        r"(?P<N>[A-Za-z]+(?:-[A-Za-z]+)+)-(?P<M>[0-9]+)"
         r"(?=\s|\.(?![0-9A-Za-z._\-])|\Z)"
     )
     # a lone sentence-final '.' at end of input: the generic blank
@@ -259,7 +259,39 @@ def _build_master() -> re.Pattern:
         f"|{email}|{urlp}|{urlb}|{filep}|{hword}"
         f"|{numh}|{eosdot}"
     )
-    return re.compile(pat)
+
+    # --- lexemes-only master ------------------------------------------
+    # Blanks take no position and emit nothing in lexemes(), so the lex
+    # variant fuses trailing-blank consumption into every token
+    # alternative (one regex call instead of token+blank pairs - blanks
+    # are ~half of all matches on typical web text) and batches runs of
+    # safe word+blank pairs into a single match (group W).  tokenize()
+    # keeps the plain master: ts_debug parity needs the blank tokens.
+    # Token ends come from m.end(group); m.end() is the resume point.
+    tail = rf"(?:(?:[{bs}]|\.(?!$|[./]))[{bc}]*|\.\Z)?"
+    # word-run separator: a blank-start char that also unconditionally
+    # ends a word (bs & term_w - drops '@' ':' '_' etc., which need the
+    # email/protocol/hword lookaheads), or a sentence dot that can
+    # neither extend the word (alnum/_) nor start a path/blank-dot
+    # quirk ('.', '/').  A dot at EOS is consumable here: the plain
+    # master parses it as the D blank, which lexemes() drops anyway.
+    bsw = cls128(bl_start & term_w)
+    wrun = rf"(?P<W>(?:[A-Za-z]+(?:[{bsw}]|\.(?![0-9A-Za-z_./]))[{bc}]*)+)"
+    # Tails go on the HOT alternatives only (c/w/u): measured
+    # interleaved, adding them to every rare alternative slows the
+    # whole master ~8% (bigger compiled program, no blank fused often
+    # enough to pay for it).  Rare groups keep token end == m.end().
+    lex_pat = (
+        f"(?P<c>[{cjk_cls}]+){tail}"
+        f"|{wrun}"
+        f"|(?P<w>[A-Za-z]+)(?=[{tw}]|$|{wdot}){tail}"
+        f"|(?P<u>[0-9]+)(?=[{tu}]|$|{udot}){tail}"
+        f"|(?P<b>(?:[{bs}]|\\.(?!$|[./]))[{bc}]*)"
+        f"|{host}|{sfl}|{ver}|{flt}|{ent}|{word}"
+        f"|{email}|{urlp}|{urlb}|{filep}|{hword}"
+        f"|{numh}|{eosdot}"
+    )
+    return re.compile(pat), re.compile(lex_pat)
 
 
 # token type per single-token fast-path group
@@ -310,7 +342,8 @@ def _emit_hword(out, s: str, p: int, q: int) -> None:
         i = j + 1
 
 
-_MASTER = _build_master()
+_MASTER, _MASTER_LEX = _build_master()
+_WORDS = re.compile(r"[A-Za-z]+")
 
 
 def tokenize(s: str) -> list[tuple[int, int, int]]:
@@ -348,7 +381,7 @@ def tokenize(s: str) -> list[tuple[int, int, int]]:
                 _emit_url(out, m)
             elif g == "Y":
                 _emit_hword(out, s, p, q)
-            elif g == "N":
+            elif g == "M":  # numh: lastgroup is the trailing digits
                 y_end = m.end("N")
                 _emit_hword(out, s, p, y_end)
                 out.append((y_end, 1, SPACE_T))
@@ -452,6 +485,11 @@ def lexemes(s: str) -> list[tuple[str, int]]:
     Same semantics as running :func:`tokenize` + lexize, but blanks are
     never materialized and CJK tokens skip the (identity) lowercasing -
     differential tests assert equality with the FSM + lexize path.
+
+    Runs on the lex master (``_MASTER_LEX``): trailing blanks are
+    consumed inside each token's match and word+blank runs collapse
+    into one match (group ``W``), so token ends come from
+    ``m.end(group)`` while ``m.end()`` is the resume point.
     """
     n = len(s)
     out: list[tuple[str, int]] = []
@@ -459,68 +497,105 @@ def lexemes(s: str) -> list[tuple[str, int]]:
         return out
     pos = 0
     cache = _STEM_CACHE
-    match = _MASTER.match
+    cache_get = cache.get
+    match = _MASTER_LEX.match
     cls = CLS_LIST
+    fl: list[int] | None = None
     parser: Parser | None = None
     p = 0
+    append = out.append
+    wfind = _WORDS.findall
+    # hoist per-emission globals: LOAD_FAST beats LOAD_GLOBAL in the
+    # per-token loop (measured interleaved)
+    MEP = MAXENTRYPOS
+    B2 = BAND2
+    ZW = ZEROW
+    EXTP = CJK_EXT | UNIPUNCT
+    stopwords = ENGLISH_STOPWORDS
+    stem_ = stem
     while p < n:
         m = match(s, p)
         if m is not None:
             q = m.end()
             g = m.lastgroup
             if g == "c":
-                # inline CJK widening, emitting lexemes directly
-                prev_f = cls[ord(s[p - 1])] if p > 0 else 0
-                cur_f = cls[ord(s[p])]
-                for i in range(p, q):
-                    nxt_f = cls[ord(s[i + 1])] if i + 1 < n else 0
-                    if cur_f & BAND2 and nxt_f & BAND2 and not nxt_f & ZEROW:
+                # inline CJK widening, emitting lexemes directly; the
+                # charclass flags for the whole doc come from one
+                # C-speed map pass (lazy: ASCII-only docs skip it)
+                ce = m.end("c")
+                if fl is None:
+                    fl = list(map(cls.__getitem__, map(ord, s)))
+                    fl.append(0)
+                prev_f = fl[p - 1] if p > 0 else 0
+                cur_f = fl[p]
+                i = p
+                while i < ce:
+                    nxt_f = fl[i + 1]
+                    if cur_f & B2 and nxt_f & B2 and not nxt_f & ZW:
                         pos += 1
-                        out.append(
-                            (s[i : i + 2], pos if pos < MAXENTRYPOS else MAXENTRYPOS)
+                        append(
+                            (s[i : i + 2], pos if pos < MEP else MEP)
                         )
                     elif (
-                        cur_f & (CJK_EXT | UNIPUNCT)
-                        or (cur_f & BAND2 and not nxt_f & BAND2 and not prev_f & BAND2)
+                        cur_f & EXTP
+                        or (cur_f & B2 and not nxt_f & B2 and not prev_f & B2)
                     ):
                         pos += 1
-                        out.append(
-                            (s[i], pos if pos < MAXENTRYPOS else MAXENTRYPOS)
+                        append(
+                            (s[i], pos if pos < MEP else MEP)
                         )
                     prev_f = cur_f
                     cur_f = nxt_f
+                    i += 1
+            elif g == "W":
+                # batched word+blank run: iterate the words with the
+                # trivial word scanner (blank chars carry no positions)
+                for text in wfind(s, p, q):
+                    if len(text) >= 2047:
+                        continue
+                    pos += 1
+                    lex = cache_get(text)
+                    if lex is None:
+                        low = text.lower()
+                        lex = "" if low in stopwords else stem_(low)
+                        if len(cache) < _STEM_CACHE_MAX:
+                            cache[text] = lex
+                    if lex:
+                        append((lex, pos if pos < MEP else MEP))
             elif g == "w":
-                if q - p >= 2047:  # PG MAXSTRLEN: lexemes >= 2047 bytes aren't indexed
+                we = m.end("w")
+                if we - p >= 2047:  # PG MAXSTRLEN: lexemes >= 2047 bytes aren't indexed
                     p = q
                     continue
                 pos += 1
-                text = s[p:q]
-                lex = cache.get(text)
+                text = s[p:we]
+                lex = cache_get(text)
                 if lex is None:
                     low = text.lower()
-                    lex = "" if low in ENGLISH_STOPWORDS else stem(low)
+                    lex = "" if low in stopwords else stem_(low)
                     if len(cache) < _STEM_CACHE_MAX:
                         cache[text] = lex
                 if lex:
-                    out.append((lex, pos if pos < MAXENTRYPOS else MAXENTRYPOS))
+                    append((lex, pos if pos < MEP else MEP))
             elif g == "u":
-                if q - p >= 2047:
+                ue = m.end("u")
+                if ue - p >= 2047:
                     p = q
                     continue
                 pos += 1
-                out.append((s[p:q], pos if pos < MAXENTRYPOS else MAXENTRYPOS))
-            elif g in ("U", "H", "V", "Y", "N"):
+                append((s[p:ue], pos if pos < MEP else MEP))
+            elif g in ("U", "H", "V", "Y", "M"):
                 # multi-token families (url>host>url_path, hword+parts,
                 # hword + trailing uint): every non-blank token takes a
                 # position and lexizes via the simple dictionary
                 # (lowercase), like the FSM branch
                 toks: list[tuple[int, int, int]] = []
                 if g == "Y":
-                    _emit_hword(toks, s, p, q)
-                elif g == "N":
+                    _emit_hword(toks, s, p, m.end("Y"))
+                elif g == "M":  # numh: lastgroup is the trailing digits
                     y_end = m.end("N")
                     _emit_hword(toks, s, p, y_end)
-                    toks.append((y_end + 1, q - y_end - 1, UNSIGNEDINT))
+                    toks.append((y_end + 1, m.end("M") - y_end - 1, UNSIGNEDINT))
                 else:
                     _emit_url(toks, m)
                 for ts_, ln, tt in toks:
@@ -530,10 +605,10 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                     if ln >= 2047:  # pure-ASCII spans: utf8 len == ln
                         pos -= 1
                         continue
-                    out.append(
+                    append(
                         (
                             s[ts_ : ts_ + ln].lower(),
-                            pos if pos < MAXENTRYPOS else MAXENTRYPOS,
+                            pos if pos < MEP else MEP,
                         )
                     )
             elif g not in ("b", "D"):
@@ -541,15 +616,16 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                 # file: lowercased, no stemming (simple dictionary),
                 # same as the FSM fallback's non-asciiword branch
                 # ("D" is the end-of-input '.' blank: no position)
-                text = s[p:q]
-                if q - p >= 512 and len(
+                ge = m.end(g)
+                text = s[p:ge]
+                if ge - p >= 512 and len(
                     text.encode("utf-8", "surrogatepass")
                 ) >= 2047:
                     p = q
                     continue
                 pos += 1
-                out.append(
-                    (text.lower(), pos if pos < MAXENTRYPOS else MAXENTRYPOS)
+                append(
+                    (text.lower(), pos if pos < MEP else MEP)
                 )
             # blanks consume no position and are not emitted
             p = q
@@ -575,21 +651,21 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                     ) >= 2047:
                         pos -= 1  # PG skips over-long tokens (no position)
                     elif tt == ASCIIWORD:
-                        lex = cache.get(text)
+                        lex = cache_get(text)
                         if lex is None:
                             low = text.lower()
-                            lex = "" if low in ENGLISH_STOPWORDS else stem(low)
+                            lex = "" if low in stopwords else stem_(low)
                             if len(cache) < _STEM_CACHE_MAX:
                                 cache[text] = lex
                         if lex:
                             out.append(
-                                (lex, pos if pos < MAXENTRYPOS else MAXENTRYPOS)
+                                (lex, pos if pos < MEP else MEP)
                             )
                     else:
                         out.append(
                             (
                                 text.lower(),
-                                pos if pos < MAXENTRYPOS else MAXENTRYPOS,
+                                pos if pos < MEP else MEP,
                             )
                         )
                 st = parser.stack
