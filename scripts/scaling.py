@@ -342,6 +342,19 @@ same queries in 0.05-0.29 s.
   ~0%.  The wider fuzz also exposed and fixed a hybrid!=FSM
   divergence: dotless scientific floats preempt host/email/url parses
   ('3e5.co' = sfloat + blank + word).
+- tokenizer kernel (round 5): lexemes() moved to a dedicated master
+  regex that consumes trailing blanks inside each hot token match and
+  batches safe word+blank runs into one match (group W, iterated with
+  findall); per-emission globals hoisted to locals.  Blanks emit
+  nothing in lexemes yet were ~46% of regex calls; the fused master
+  cuts match calls 114k -> 45k per 2k webcorpus docs.  Interleaved
+  best-of-9 single-process A/B vs the round-4 code: 1.08-1.09x
+  (2.55 -> 3.06 Mchar/s/core).  Two prototyped variants were measured
+  and REVERTED per the >=5% rule: blank tails on the rare alternatives
+  (-8%: bigger compiled pattern) and a vectorized long-CJK-run path
+  (1.006x: NumPy flag math is not the cost; Python slicing+append is).
+  40k-string adversarial fuzz vs the exact FSM: 0 mismatches on both
+  tokenize() and lexemes().
 - dense vs hash docids (row-path measurement at 1M docs, B=256, S=8):
   dense ids (ingest sequence / crawl timestamp) build ~1.4x faster and
   give a 2.4x smaller index (528 MB -> 222 MB for 50.1M postings) than
