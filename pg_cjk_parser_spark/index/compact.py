@@ -205,10 +205,13 @@ def compact_index(
     # current max cannot survive the swap faithfully: compaction
     # collapses every version into the consolidated epoch, so a
     # below-max bound can no longer tell the versions it targeted
-    # from the ones it spared.  load_tombstones clamps such bounds up
-    # to the minimum live epoch (delete-wins), so a racing explicit
-    # delete still masks its target - it just loses the ability to
-    # spare newer pre-compaction versions; see delete_docs
+    # from the ones it spared.  Tombstones are generation-stamped:
+    # load_tombstones clamps a PRE-swap file's below-minimum bound up
+    # to the minimum live epoch (delete-wins - the racing delete still
+    # masks, losing only the ability to spare newer pre-compaction
+    # versions), while files this compaction applied are journaled in
+    # stats.json so a leftover or replayed tombstone can never
+    # re-activate; see delete_docs / load_tombstones
     tomb_files = list_tombstone_files(index_dir)
     pending_path = os.path.join(index_dir, "_compact_pending.json")
     if os.path.exists(pending_path):
@@ -294,6 +297,23 @@ def compact_index(
         stats["n_postings"] -= removed["n_postings"]
         clear_tombstones(index_dir, tomb_files)
 
+    # tombstone generation bookkeeping (see tombstones.load_tombstones):
+    # every compaction collapses epoch identity, so the generation bumps
+    # unconditionally, and any snapshot file that survived its clear
+    # (OSError) is journaled as applied so it can never re-activate and
+    # destroy a delete+reinsert's spared version
+    tdir = os.path.join(index_dir, "tombstones")
+    still_applied = sorted(
+        n
+        for n in set(tomb_files) | set(stats.get("applied_tombstones") or ())
+        if os.path.exists(os.path.join(tdir, n))
+    )
+    gen_extra = {
+        "compact_gen": int(stats.get("compact_gen", 0)) + 1,
+        "applied_tombstones": still_applied,
+    }
+    stats.update(gen_extra)
+
     # consolidate epoch manifests into one
     mdir = os.path.join(index_dir, "manifests")
     if any(n.startswith("epoch=") for n in os.listdir(mdir)):
@@ -315,6 +335,7 @@ def compact_index(
         out = _rebuild_stats(
             index_dir, stats["num_buckets"], stats["num_salts"], block_size,
             stats["k1"], stats["b"], stats.get("normalize_zht", False),
+            extra=gen_extra,
         )
         if os.path.exists(pending_path):
             os.remove(pending_path)

@@ -391,7 +391,7 @@ def _atomic_json(path: str, obj: dict) -> None:
 
 def _rebuild_stats(
     index_dir, num_buckets, num_salts, block_size, k1, b,
-    normalize_zht: bool = False,
+    normalize_zht: bool = False, extra: dict | None = None,
 ) -> dict:
     mdir = os.path.join(index_dir, "manifests")
     epochs, n_docs, total_tf, n_postings = [], 0, 0, 0
@@ -425,6 +425,20 @@ def _rebuild_stats(
         "normalize_zht": bool(normalize_zht),
         "epochs": sorted(epochs),
     }
+    # carry the tombstone-generation bookkeeping (see
+    # tombstones.load_tombstones): appends must not reset it, or a
+    # racing explicit-upto delete loses its clamp and a leftover
+    # applied tombstone loses its skip entry
+    try:
+        with open(_stats_path(index_dir)) as f:
+            old = json.load(f)
+        for key in ("compact_gen", "applied_tombstones"):
+            if key in old:
+                stats[key] = old[key]
+    except (OSError, ValueError):
+        pass
+    if extra:
+        stats.update(extra)
     _atomic_json(_stats_path(index_dir), stats)
     return stats
 

@@ -76,9 +76,15 @@ def delete_docs(
     are rewritten under, so it keeps masking).  An EXPLICIT
     ``upto_epoch`` below the current max that races a compaction
     loses per-epoch precision - the swap collapses version identity -
-    but it does NOT unmask: :func:`load_tombstones` clamps any bound
-    below the index's minimum live epoch up to that epoch
-    (delete-wins), so the target stays deleted."""
+    but it does NOT unmask: each tombstone file is stamped with the
+    index's compaction generation, and :func:`load_tombstones` clamps
+    a PRE-swap file's below-minimum bound up to the minimum live
+    epoch (delete-wins).  A below-minimum bound written AFTER a
+    compaction (current generation) targets epochs that no longer
+    exist and is a no-op, and a file the compaction already applied
+    (recorded in stats.json) is ignored outright - so replaying a
+    delete+reinsert's tombstone can never destroy the reinserted
+    version."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -90,6 +96,7 @@ def delete_docs(
         if upto_epoch is None
         else int(upto_epoch)
     )
+    gen = _current_gen(index_dir)
     d = _tomb_dir(index_dir)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"del-{uuid.uuid4().hex}.parquet")
@@ -101,12 +108,27 @@ def delete_docs(
                 "upto": pa.array(
                     np.full(ids.size, upto, np.int64), pa.int64()
                 ),
+                "gen": pa.array(
+                    np.full(ids.size, gen, np.int64), pa.int64()
+                ),
             }
         ),
         tmp,
     )
     os.replace(tmp, path)
     return int(ids.size)
+
+
+def _current_gen(index_dir: str) -> int:
+    """The index's compaction generation (0 until the first
+    compaction; bumped atomically with every compaction swap)."""
+    import json
+
+    try:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            return int(json.load(f).get("compact_gen", 0))
+    except (OSError, ValueError):
+        return 0
 
 
 def list_tombstone_files(index_dir: str) -> list[str]:
@@ -124,26 +146,68 @@ def list_tombstone_files(index_dir: str) -> list[str]:
 def load_tombstones(index_dir: str, files: list[str] | None = None):
     """``(docids, upto)`` - sorted unique docids with each id's MAX
     epoch bound - or None when nothing is deleted.  ``files`` limits
-    the read to a snapshot from :func:`list_tombstone_files`."""
+    the read to a snapshot from :func:`list_tombstone_files`.
+
+    Compaction-race handling (generation-stamped, see
+    :func:`delete_docs`): a file the last compaction already applied
+    (its name is journaled in stats.json ``applied_tombstones``,
+    written atomically with the generation bump) is SKIPPED - its
+    targets are physically gone, and re-activating it would destroy a
+    delete+reinsert's spared new version.  A surviving file from an
+    OLDER generation with a bound below every live epoch was written
+    against pre-compaction epochs and raced the swap: its bound is
+    clamped up to the minimum live epoch (delete-wins).  A
+    CURRENT-generation below-minimum bound targets epochs that no
+    longer exist and naturally masks nothing (no-op by
+    construction)."""
     import pyarrow.parquet as pq
 
     d = _tomb_dir(index_dir)
     if not os.path.isdir(d):
         return None
+    # generation / applied-journal / minimum-live-epoch snapshot; all
+    # three come from the SAME stats read so a concurrent compaction
+    # cannot tear them apart (pre-swap stats: old gen + old epochs;
+    # post-swap stats: new gen + applied list + new epochs)
+    cur_gen, applied, min_ep = 0, frozenset(), None
+    try:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            st = json.load(f)
+        cur_gen = int(st.get("compact_gen", 0))
+        applied = frozenset(st.get("applied_tombstones") or ())
+        eps = st.get("epochs") or [0]
+        # a batch-built base carries implicit epoch 0 that is not in
+        # the epochs list (only appended epoch manifests are); its
+        # marker survives until a compaction folds it away
+        if os.path.exists(
+            os.path.join(index_dir, "manifests", "base.json")
+        ):
+            eps = [0]
+        min_ep = int(min(eps))
+    except (OSError, ValueError):
+        pass  # no stats yet (index mid-build): nothing to clamp to
     ids_l, upto_l = [], []
     names = files if files is not None else sorted(os.listdir(d))
     for name in names:
-        if name.endswith(".parquet") and os.path.exists(
-            os.path.join(d, name)
-        ):
-            t = pq.read_table(os.path.join(d, name))
-            ids_l.append(t["docid"].to_numpy().astype(np.int64))
-            if "upto" in t.column_names:
-                upto_l.append(t["upto"].to_numpy().astype(np.int64))
-            else:  # pre-epoch tombstone files: unbounded
-                upto_l.append(
-                    np.full(len(t), NO_EPOCH_LIMIT, np.int64)
-                )
+        if name in applied or not name.endswith(".parquet"):
+            continue
+        if not os.path.exists(os.path.join(d, name)):
+            continue
+        t = pq.read_table(os.path.join(d, name))
+        ids_l.append(t["docid"].to_numpy().astype(np.int64))
+        if "upto" in t.column_names:
+            u = t["upto"].to_numpy().astype(np.int64)
+        else:  # pre-epoch tombstone files: unbounded
+            u = np.full(len(t), NO_EPOCH_LIMIT, np.int64)
+        if min_ep is not None:
+            file_gen = (
+                int(t["gen"][0].as_py())
+                if "gen" in t.column_names and len(t)
+                else 0
+            )
+            if file_gen < cur_gen:
+                u = np.maximum(u, min_ep)
+        upto_l.append(u)
     if not ids_l:
         return None
     ids = np.concatenate(ids_l)
@@ -155,29 +219,6 @@ def load_tombstones(index_dir: str, files: list[str] | None = None):
     # per-id max bound: lexsort put the largest upto last per id
     last = np.concatenate((ids[1:] != ids[:-1], [True]))
     ids, upto = ids[last], upto[last]
-    # A delete that raced a compaction carries an explicit upto below
-    # the consolidated epoch; after the swap no posting epoch is <=
-    # that bound, so the delete would silently unmask its target.  A
-    # bound below EVERY live epoch masks nothing by construction, so
-    # it can only be a race artifact (or a stale replay) - clamp it up
-    # to the index's minimum existing epoch (delete-wins; the doc's
-    # consolidated version is "live content as of compaction start",
-    # and masking it is the conservative direction).  Bounds >= the
-    # minimum epoch are untouched, so ordinary epoch-bounded deletes
-    # and the delete+reinsert upsert pattern keep exact semantics.
-    try:
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            eps = json.load(f).get("epochs") or [0]
-        # a batch-built base carries implicit epoch 0 that is not in
-        # the epochs list (only appended epoch manifests are); its
-        # marker survives until a compaction folds it away
-        if os.path.exists(
-            os.path.join(index_dir, "manifests", "base.json")
-        ):
-            eps = [0]
-        upto = np.maximum(upto, int(min(eps)))
-    except (OSError, ValueError):
-        pass  # no stats yet (index mid-build): nothing to clamp to
     return ids, upto
 
 

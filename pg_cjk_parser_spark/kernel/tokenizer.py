@@ -520,17 +520,30 @@ def lexemes(s: str) -> list[tuple[str, int]]:
             g = m.lastgroup
             if g == "c":
                 # inline CJK widening, emitting lexemes directly; the
-                # charclass flags for the whole doc come from one
-                # C-speed map pass (lazy: ASCII-only docs skip it)
+                # charclass flags come from one C-speed map pass -
+                # whole-doc and cached across runs for ordinary docs
+                # (lazy: ASCII-only docs skip it), but per-run for
+                # huge docs so one stray CJK char in a 10 MB document
+                # doesn't trigger an O(doc) list build
                 ce = m.end("c")
-                if fl is None:
-                    fl = list(map(cls.__getitem__, map(ord, s)))
-                    fl.append(0)
-                prev_f = fl[p - 1] if p > 0 else 0
-                cur_f = fl[p]
+                if n <= 65536:
+                    if fl is None:
+                        fl = list(map(cls.__getitem__, map(ord, s)))
+                        fl.append(0)
+                    loc = fl
+                    base = 0
+                else:
+                    base = p - 1 if p > 0 else 0
+                    loc = list(
+                        map(cls.__getitem__, map(ord, s[base : ce + 1]))
+                    )
+                    if ce + 1 > n:
+                        loc.append(0)
+                prev_f = loc[p - 1 - base] if p > 0 else 0
+                cur_f = loc[p - base]
                 i = p
                 while i < ce:
-                    nxt_f = fl[i + 1]
+                    nxt_f = loc[i + 1 - base]
                     if cur_f & B2 and nxt_f & B2 and not nxt_f & ZW:
                         pos += 1
                         append(

@@ -161,41 +161,57 @@ def _png_chunks(b: bytes):
 
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     """Reverse the per-scanline PNG filters (spec 9: None/Sub/Up/
-    Average/Paeth).  Sub/Average/Paeth recur on the previous pixel,
-    so those rows run a per-byte loop; None/Up stay vectorized."""
+    Average/Paeth).  None/Up are whole-row NumPy ops; Sub is a
+    per-channel-lane mod-256 prefix sum (cumsum & 0xFF - mod is
+    linear, so the wraparound distributes); Average/Paeth recur on
+    decoded left bytes, so they loop - over Python LISTS, whose
+    C-speed indexing measured ~11x faster than the same loop over
+    numpy scalars (libpng emits filters 1/3/4 on nearly every row of
+    photographic images, so these paths carry real payloads)."""
     stride = w * ch
     arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
     ftypes = arr[:, 0]
-    out = np.empty((h, stride), np.int32)
-    prev = np.zeros(stride, np.int32)
+    out = np.empty((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
     for y in range(h):
         f = int(ftypes[y])
-        row = arr[y, 1:].astype(np.int32)
+        row = arr[y, 1:].astype(np.int64)
         if f == 0:
             pass
         elif f == 2:  # Up
             row = (row + prev) & 0xFF
-        elif f == 1:  # Sub
-            for x in range(ch, stride):
-                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            row = np.cumsum(row.reshape(w, ch), axis=0, dtype=np.int64)
+            row = (row & 0xFF).reshape(stride)
         elif f == 3:  # Average
-            for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
-                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+            r = row.tolist()
+            pv = prev.tolist()
+            for x in range(ch):  # left pixel is 0
+                r[x] = (r[x] + (pv[x] >> 1)) & 0xFF
+            for x in range(ch, stride):
+                r[x] = (r[x] + ((r[x - ch] + pv[x]) >> 1)) & 0xFF
+            row = np.array(r, np.int64)
         elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(row[x - ch]) if x >= ch else 0
-                up = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+            r = row.tolist()
+            pv = prev.tolist()
+            for x in range(ch):  # a = c = 0 -> predictor is up
+                r[x] = (r[x] + pv[x]) & 0xFF
+            for x in range(ch, stride):
+                a = r[x - ch]
+                up = pv[x]
+                c = pv[x - ch]
                 p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - up if p >= up else up - p
+                pc = p - c if p >= c else c - p
                 if pa <= pb and pa <= pc:
                     pr = a
                 elif pb <= pc:
                     pr = up
                 else:
                     pr = c
-                row[x] = (row[x] + pr) & 0xFF
+                r[x] = (r[x] + pr) & 0xFF
+            row = np.array(r, np.int64)
         else:
             raise ValueError(f"PNG filter type {f}")
         out[y] = row
@@ -228,17 +244,29 @@ def _decode_png(b: bytes) -> np.ndarray:
         )
     if comp != 0 or filt != 0 or interlace != 0 or not w or not h:
         raise ValueError("malformed PNG IHDR")
+    if w * h > (1 << 26):  # 67 MP: resource bound for executor tasks
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the 67-megapixel decoder limit"
+        )
     idat = b"".join(
         data for t, data in chunks if t == b"IDAT"
     )
     if not idat:
         raise ValueError("PNG has no IDAT data")
+    ch = _PNG_CHANNELS[color]
+    expected = h * (1 + w * ch)
+    # bounded inflate: the exact pixel-data size is known from IHDR, so
+    # cap the decompressor there instead of trusting the stream - a
+    # crafted ~1000:1 deflate bomb would otherwise allocate GBs inside
+    # an executor before the length check fired
     try:
-        raw = zlib.decompress(idat)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(idat, expected + 1)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
-    ch = _PNG_CHANNELS[color]
-    if len(raw) != h * (1 + w * ch):
+    if len(raw) != expected or dec.unconsumed_tail or (
+        not dec.eof and dec.decompress(b"", 1)
+    ):
         raise ValueError("PNG pixel data length mismatch")
     px = _png_unfilter(raw, w, h, ch)
     if color == 0:

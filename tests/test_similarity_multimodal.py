@@ -368,6 +368,48 @@ def test_decode_image_png_contracts():
         decode_image(bytes(good[:iend_at]))
 
 
+def test_decode_image_png_bomb_guard():
+    """A deflate bomb (tiny payload, ~1000:1 inflate ratio) must fail
+    fast on the IHDR-derived length bound instead of inflating GBs;
+    absurd claimed dimensions are rejected outright."""
+    import resource
+    import zlib
+
+    import pytest as _pytest
+
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_image,
+    )
+
+    def png_of(w, h, idat_raw):
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])
+        )
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(idat_raw, 9))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 100 MB of zeros compresses to ~100 KB; claimed 10x10 RGB
+    bomb = png_of(10, 10, b"\x00" * (100 * 1024 * 1024))
+    assert len(bomb) < 200 * 1024
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_image(bomb)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # peak RSS must not have grown by anything near the 100 MB payload
+    assert after - before < 20 * 1024  # KB units on Linux
+
+    # dimension bomb: IHDR claims 67+ megapixels
+    with _pytest.raises(ValueError, match="megapixel"):
+        decode_image(png_of(100000, 100000, b""))
+
+
 def test_decode_audio_wav_roundtrip():
     import io
     import wave

@@ -880,10 +880,11 @@ def test_df_cache_sees_foreign_epoch_without_stats_refresh(spark, tmp_path):
 def test_explicit_upto_racing_compaction_still_masks(spark, tmp_path):
     """A delete with an explicit below-max ``upto`` that races a
     compaction lands after the tombstone snapshot, so it survives the
-    swap with a bound below the consolidated epoch.  load_tombstones
-    clamps such bounds up to the minimum live epoch (delete-wins):
-    the target stays masked on every path, and the next compaction
-    applies the delete physically instead of dropping it."""
+    swap with a bound below the consolidated epoch.  Its file carries
+    the PRE-swap generation, so load_tombstones clamps the bound up to
+    the minimum live epoch (delete-wins): the target stays masked on
+    every path, and the next compaction applies the delete physically
+    instead of dropping it."""
     from pg_cjk_parser_spark.index.streaming import append_index_batch
 
     idx = str(tmp_path / "race")
@@ -896,10 +897,18 @@ def test_explicit_upto_racing_compaction_still_masks(spark, tmp_path):
             idx, epoch=ep, docid_col="doc_id",
             num_buckets=4, num_salts=2, block_size=4,
         )
+    # the racer reads stats (gen 0) pre-swap, then the swap lands
+    # first: simulate by capturing the pre-swap generation and writing
+    # the tombstone with it after the compaction finishes
+    import unittest.mock as mock
+
+    from pg_cjk_parser_spark.index import tombstones as tmod
+
+    pre_gen = tmod._current_gen(idx)
     compact_index(spark, idx)  # consolidates everything under epoch 1
-    # the racer computed its bound before the swap: "delete doc 1 in
-    # epochs <= 0" - no live epoch is <= 0 anymore
-    delete_docs(idx, [1], upto_epoch=0)
+    # "delete doc 1 in epochs <= 0" - no live epoch is <= 0 anymore
+    with mock.patch.object(tmod, "_current_gen", return_value=pre_gen):
+        tmod.delete_docs(idx, [1], upto_epoch=0)
     assert [
         r.docid for r in search(spark, idx, "fast table", k=10).collect()
     ] == []
@@ -912,3 +921,85 @@ def test_explicit_upto_racing_compaction_still_masks(spark, tmp_path):
     assert [
         r.docid for r in search(spark, idx, "fast table", k=10).collect()
     ] == []
+
+
+def test_applied_tombstone_leftover_spares_reinserted_version(
+    spark, tmp_path
+):
+    """A delete+reinsert tombstone whose file survives the compaction
+    (clear_tombstones swallows OSError per file) or is replayed must
+    NOT re-activate: the compaction journals applied file names in
+    stats.json, and a below-minimum bound written after the compaction
+    (current generation) is a natural no-op.  Before the
+    generation-stamping fix, the min-epoch clamp resurrected such
+    tombstones and destroyed the reinserted version on the next
+    compaction."""
+    import os
+
+    from pg_cjk_parser_spark.index.streaming import (
+        append_index_batch,
+        upsert_index_batch,
+    )
+
+    idx = str(tmp_path / "leftover")
+    append_index_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, "fast table"), (2, "merge value")],
+            "doc_id long, text string",
+        ),
+        idx, epoch=0, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    # upsert = tombstone(upto=0) + v2 in epoch 1
+    upsert_index_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, "fresh spark rows")], "doc_id long, text string"
+        ),
+        idx, epoch=1, docid_col="doc_id",
+        num_buckets=4, num_salts=2, block_size=4,
+    )
+    # simulate clear failure exactly where it happens: os.remove
+    # raises for the tombstone file (clear_tombstones swallows the
+    # OSError per file), so the applied file survives the compaction
+    import unittest.mock as mock
+
+    tdir = os.path.join(idx, "tombstones")
+    name = os.listdir(tdir)[0]
+    real_remove = os.remove
+
+    def flaky_remove(path, *a, **kw):
+        if os.path.basename(str(path)) == name:
+            raise OSError("simulated clear failure")
+        return real_remove(path, *a, **kw)
+
+    with mock.patch(
+        "pg_cjk_parser_spark.index.tombstones.os.remove",
+        side_effect=flaky_remove,
+    ):
+        compact_index(spark, idx)
+    assert os.path.exists(os.path.join(tdir, name))
+    # the journaled applied list must neutralize the leftover file
+    assert name in load_stats(idx).get("applied_tombstones", [])
+    assert [
+        r.docid
+        for r in search(spark, idx, "fresh spark", k=10).collect()
+    ] == [1]
+    assert [d for d, _ in search_local(idx, "fresh spark", k=10)] == [1]
+    # the next compaction must not destroy v2 either
+    n_before = load_stats(idx)["n_docs"]
+    compact_index(spark, idx)
+    assert load_stats(idx)["n_docs"] == n_before
+    assert [
+        r.docid
+        for r in search(spark, idx, "fresh spark", k=10).collect()
+    ] == [1]
+    # a fresh post-compaction replay with an explicit stale bound is a
+    # no-op (current generation, below-minimum): v2 stays visible
+    delete_docs(idx, [1], upto_epoch=0)
+    assert [
+        r.docid
+        for r in search(spark, idx, "fresh spark", k=10).collect()
+    ] == [1]
+    assert [d for d, _ in search_local(idx, "fresh spark", k=10)] == [1]
