@@ -9,12 +9,12 @@ exercised only by plan construction at deploy time; Parquet is the
 tested path, and the index layout itself (hive-partitioned parquet +
 manifests) is directly registrable as an external Iceberg table.
 
-Vendoring attempts (2026-08-16, re-verified 2026-08-17): ``pip
-download pyiceberg`` fails with DNS resolution errors against the
-sandbox's package index, Maven Central (repo1.maven.org) is
-unreachable (curl exit 000), and no iceberg jar exists anywhere on
-the filesystem, so neither iceberg-spark-runtime nor pyiceberg can
-be fetched.  The executing
+Vendoring attempts (2026-08-16, re-verified twice on 2026-08-17,
+latest in round 5): ``pip download pyiceberg`` fails with DNS
+resolution errors against the sandbox's package index, Maven Central
+(repo1.maven.org) is unreachable (curl exit 000), and no iceberg jar
+exists anywhere on the filesystem, so neither iceberg-spark-runtime
+nor pyiceberg can be fetched.  The executing
 DSv2 stand-in (tests/test_sources.py: format lookup -> load ->
 schema/column validation against a registered Python data source)
 remains the deepest coverage available here; on a real deployment the
