@@ -98,23 +98,36 @@ def main() -> None:
         return out, dt, w.share
 
     def timed(name, fn, reset=None):
-        """Time one section, steal-aware.  If the window's hypervisor
-        steal share exceeds the rerun threshold and the section is
-        rerunnable (``reset`` prepares a clean rerun; pass a no-op for
-        stateless sections), run it once more and keep the best of 2 —
-        both times and both steal shares land in extras."""
+        """Time one section, steal-aware.  While the window's
+        hypervisor steal share exceeds the rerun threshold and the
+        section is rerunnable (``reset`` prepares a clean rerun; pass
+        a no-op for stateless sections), run again - up to 3 attempts,
+        keeping the fastest - with every attempt's time and steal
+        share in extras.  A section whose best attempt still ran
+        above 5% steal is flagged ``<name>_steal_contaminated``: its
+        absolute time is a lower bound on the hardware, not a code
+        property."""
         out, dt, share = _run_once(fn)
-        if share > _STEAL_RERUN_THRESHOLD and reset is not None:
-            extras[f"{name}_run1"] = round(dt, 3)
-            extras[f"{name}_run1_steal_share"] = round(share, 4)
+        attempts = [(dt, share)]
+        while (
+            attempts[-1][1] > _STEAL_RERUN_THRESHOLD
+            and reset is not None
+            and len(attempts) < 3
+        ):
             reset()
-            out, dt2, share2 = _run_once(fn)
-            extras[f"{name}_run2"] = round(dt2, 3)
-            extras[f"{name}_run2_steal_share"] = round(share2, 4)
-            dt = min(dt, dt2)
-            share = min(share, share2)
+            out2, dt2, share2 = _run_once(fn)
+            attempts.append((dt2, share2))
+            if dt2 < dt:
+                out, dt = out2, dt2
+        if len(attempts) > 1:
+            for i, (adt, ash) in enumerate(attempts, 1):
+                extras[f"{name}_run{i}"] = round(adt, 3)
+                extras[f"{name}_run{i}_steal_share"] = round(ash, 4)
+        share = min(s for _, s in attempts)
         if share > _STEAL_REPORT_THRESHOLD:
             extras[f"{name}_steal_share"] = round(share, 4)
+        if share > 0.05:
+            extras[f"{name}_steal_contaminated"] = 1
         queries[name] = round(dt, 3)
         return out
 
