@@ -593,21 +593,27 @@ def merge_epochs(
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(
             tmp_postings
         )
+        merged_empty = not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(tmp_postings)
+            for f in fs
+        )
 
-        # merged termstats derive from the new block metadata (flat
-        # layout, bucket as a data column - same shape epoch appends
-        # use)
         tmp_ts = os.path.join(index_dir, "_merge_termstats")
         shutil.rmtree(tmp_ts, ignore_errors=True)
-        (
-            spark.read.parquet(tmp_postings)
-            .select("bucket", "term", "n", "sum_tf")
-            .groupBy("bucket", "term")
-            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-            .repartition(stats["num_buckets"], "bucket")
-            .write.mode("overwrite")
-            .parquet(tmp_ts)
-        )
+        if not merged_empty:
+            # merged termstats derive from the new block metadata
+            # (flat layout, bucket as a data column - same shape epoch
+            # appends use)
+            (
+                spark.read.parquet(tmp_postings)
+                .select("bucket", "term", "n", "sum_tf")
+                .groupBy("bucket", "term")
+                .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+                .repartition(stats["num_buckets"], "bucket")
+                .write.mode("overwrite")
+                .parquet(tmp_ts)
+            )
 
         # swap, non-destructively: move the merged epochs' dirs ASIDE
         # first, land the target, and only delete the originals after
@@ -621,8 +627,16 @@ def merge_epochs(
                     shutil.rmtree(old_p, ignore_errors=True)
                     os.replace(live, old_p)
                     aside.append(old_p)
-        os.replace(tmp_postings, os.path.join(pdir, f"epoch={target}"))
-        os.replace(tmp_ts, os.path.join(tdir, f"epoch={target}"))
+        if merged_empty:
+            # every merged posting was tombstone-masked (or the
+            # selected epochs held empty data files): the merge
+            # applies the deletes outright - no target dirs land, the
+            # originals fold away, and the manifest fold below records
+            # the removal
+            shutil.rmtree(tmp_postings, ignore_errors=True)
+        else:
+            os.replace(tmp_postings, os.path.join(pdir, f"epoch={target}"))
+            os.replace(tmp_ts, os.path.join(tdir, f"epoch={target}"))
 
     # manifests: the merged manifest carries the summed totals minus
     # what the tombstones removed

@@ -282,6 +282,40 @@ def test_upsert_replaces_document_version(spark, tmp_path):
     assert ids("'fast' <-> 'table'") == [0, 1]
 
 
+def test_merge_epochs_all_masked_produces_empty_target(spark, tmp_path):
+    """Merging epochs whose every posting is tombstone-masked must
+    not crash on the schema-less empty parquet re-read: the merge
+    applies the deletes outright (no target dirs land), the manifests
+    fold with the removal recorded, and queries keep working."""
+    from pg_cjk_parser_spark.index.compact import merge_epochs
+    from pg_cjk_parser_spark.index.streaming import append_index_batch
+
+    idx = str(tmp_path / "allmask")
+    for ep, rows in enumerate(
+        [[(1, "fast table")], [(2, "merge value")], [(3, "spark rows")]]
+    ):
+        append_index_batch(
+            spark,
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            idx, epoch=ep, docid_col="doc_id",
+            num_buckets=4, num_salts=2, block_size=4,
+        )
+    delete_docs(idx, [1, 2])  # everything in epochs 0 and 1
+    out = merge_epochs(spark, idx, [0, 1])
+    # the fully-masked merge leaves no target data dirs
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(idx, "postings", "epoch=1"))
+    assert [
+        r.docid for r in search(spark, idx, "fast table", k=5).collect()
+    ] == []
+    assert [
+        r.docid for r in search(spark, idx, "spark rows", k=5).collect()
+    ] == [3]
+    assert [d for d, _ in search_local(idx, "spark rows", k=5)] == [3]
+    assert out["n_docs"] == 1  # removal recorded in the manifest fold
+
+
 def test_merge_epochs_selective_compaction(spark, tmp_path):
     """merge_epochs folds a subset of epochs into one: query results
     are unchanged, stats stay exact, unmerged epochs stay untouched,
