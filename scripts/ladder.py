@@ -83,17 +83,22 @@ def main() -> None:
         "block": args.block, "cpus": args.cpus, "epochs": args.epochs,
     }
     work = args.work
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work, exist_ok=True)
     corpus_path = os.path.join(work, "corpus")
     idx = os.path.join(work, "idx")
+    reuse = os.path.exists(os.path.join(corpus_path, "_SUCCESS"))
+    if reuse:
+        shutil.rmtree(idx, ignore_errors=True)
+    else:
+        shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
 
     # corpus materialization is untimed (a real build reads an
     # existing table); docids are dense sequence numbers
-    c = synth_corpus(
-        spark, args.docs, seed=42, num_partitions=args.cpus * 8
-    ).withColumn("doc_seq", F.unix_timestamp("warc_ts").cast("long"))
-    c.write.mode("overwrite").parquet(corpus_path)
+    if not reuse:
+        c = synth_corpus(
+            spark, args.docs, seed=42, num_partitions=args.cpus * 8
+        ).withColumn("doc_seq", F.unix_timestamp("warc_ts").cast("long"))
+        c.write.mode("overwrite").parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
 
     s0, t0j = steal_window()

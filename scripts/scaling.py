@@ -168,6 +168,7 @@ all improved or held; compare those, not the suite total.
 | 4M | 200.3M | 89.2 s | 44,854 | 875 MB | 172 MB | B=128, S=8 held FIXED |
 | 8M | 400.5M | 122.3 s | **65,403** | 1,830 MB | 162 MB | B=256, S=16 (round-4 code) |
 | 16M | 801.0M | 284.6 s | 56,220 | 3,858 MB | 162 MB | B=512, S=32 (round-4 code) |
+| 32M | 1,602.1M | 688.5 s | 46,481 | 8,100 MB | 161 MB | B=1024, S=64 (round-5 code; 4.4% steal during build) |
 
 Throughput RISES with corpus size while per-job fixed costs amortize
 (200k -> 2M), dips ~16% at 4M when B x S is held FIXED (bigger cells
@@ -193,6 +194,22 @@ steal documented above), still 2.5x the 200k-doc rate.  The serving
 tier stays a POINT-QUERY tier: head-term worst cases take seconds
 single-threaded at these sizes - corpus-scale queries belong to the
 Spark scatter-gather path (that IS the two-tier design).
+
+Round-5 extensions (scripts/ladder.py makes rungs reproducible):
+the 32M rung doubles the ladder to **1.60 BILLION postings** with the
+driver still flat at 161 MB - no driver-side state grows with corpus
+size through 4 doublings.  46.5k docs/s at B=1024/S=64 sits between
+the 8M peak and the 200k floor (finer B x S per-cell fixed costs plus
+4.4% measured hypervisor steal during the build window).  のび太 at
+S=64 is 1.35 s (candidates-per-salt stays bounded; the extra salt
+shards cost per-query fan-out on fixed 32 threads - on a cluster the
+same S adds real cores, which is the documented lever).  EPOCH-INGEST
+at ladder scale: the same 16M corpus ingested as 4 x 4M streaming
+epochs takes 536.5 s (29.8k docs/s - per-epoch fixed costs vs one
+batch job), and a maintain_index pass folding all 4 epochs (801M
+postings) completes in **245.5 s** - compaction at ladder scale runs
+at ~65k docs/s, and the post-merge index serves のび太 in 0.72 s,
+indistinguishable from the batch-built 16M index (0.80 s).
 
 **The B x S knob, measured at 4M docs (round-3 code):** rebuilding
 with B=256/S=16 (4x the cells) cut the 8-term CJK worst-case query
