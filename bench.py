@@ -28,6 +28,7 @@ import time
 # its window and reruns once (best-of-2) when steal is elevated.
 _STEAL_RERUN_THRESHOLD = 0.02   # rerun the section above 2% steal share
 _STEAL_REPORT_THRESHOLD = 0.005  # record any share above 0.5%
+_STEAL_CONTAMINATED_THRESHOLD = 0.05  # kept attempt above this = flagged
 
 
 def _cpu_jiffies() -> tuple[int, int]:
@@ -103,14 +104,15 @@ def main() -> None:
         section is rerunnable (``reset`` prepares a clean rerun; pass
         a no-op for stateless sections), run again - up to 3 attempts,
         keeping the fastest - with every attempt's time and steal
-        share in extras.  A section whose best attempt still ran
-        above 5% steal is flagged ``<name>_steal_contaminated``: its
-        absolute time is a lower bound on the hardware, not a code
-        property."""
+        share in extras.  The reported steal share (and the
+        ``<name>_steal_contaminated`` flag, above 5%) is that of the
+        KEPT attempt - the one whose time is published - so a flagged
+        time is a lower bound on the hardware, not a code property,
+        and an unflagged time really was measured on quiet CPU."""
         out, dt, share = _run_once(fn)
         attempts = [(dt, share)]
         while (
-            attempts[-1][1] > _STEAL_RERUN_THRESHOLD
+            share > _STEAL_RERUN_THRESHOLD
             and reset is not None
             and len(attempts) < 3
         ):
@@ -118,15 +120,14 @@ def main() -> None:
             out2, dt2, share2 = _run_once(fn)
             attempts.append((dt2, share2))
             if dt2 < dt:
-                out, dt = out2, dt2
+                out, dt, share = out2, dt2, share2
         if len(attempts) > 1:
             for i, (adt, ash) in enumerate(attempts, 1):
                 extras[f"{name}_run{i}"] = round(adt, 3)
                 extras[f"{name}_run{i}_steal_share"] = round(ash, 4)
-        share = min(s for _, s in attempts)
         if share > _STEAL_REPORT_THRESHOLD:
             extras[f"{name}_steal_share"] = round(share, 4)
-        if share > 0.05:
+        if share > _STEAL_CONTAMINATED_THRESHOLD:
             extras[f"{name}_steal_contaminated"] = 1
         queries[name] = round(dt, 3)
         return out
@@ -134,32 +135,36 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "5"))
 
     def timed_query(name, fn):
-        def _rep_loop():
-            times = []
-            for _ in range(reps):
-                t0 = time.time()
-                fn()
-                times.append(time.time() - t0)
+        """Same steal-aware policy as ``timed`` (query sections are
+        stateless, so every one is rerunnable): up to 3 attempts while
+        the kept attempt's window steal exceeds the rerun threshold,
+        keep the attempt with the lowest median, and report/flag the
+        KEPT attempt's steal share."""
+        def _attempt():
+            with _StealWindow() as w:
+                times = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    fn()
+                    times.append(time.time() - t0)
             times.sort()
-            return times
+            return times, w.share
 
-        with _StealWindow() as w:
-            times = _rep_loop()
-        if w.share > _STEAL_RERUN_THRESHOLD:
-            extras[f"{name}_run1"] = round(times[len(times) // 2], 3)
-            extras[f"{name}_run1_steal_share"] = round(w.share, 4)
-            with _StealWindow() as w2:
-                times2 = _rep_loop()
-            extras[f"{name}_run2"] = round(times2[len(times2) // 2], 3)
-            extras[f"{name}_run2_steal_share"] = round(w2.share, 4)
+        times, share = _attempt()
+        attempts = [(times, share)]
+        while share > _STEAL_RERUN_THRESHOLD and len(attempts) < 3:
+            times2, share2 = _attempt()
+            attempts.append((times2, share2))
             if times2[len(times2) // 2] < times[len(times) // 2]:
-                times = times2
-            if min(w.share, w2.share) > _STEAL_REPORT_THRESHOLD:
-                extras[f"{name}_steal_share"] = round(
-                    min(w.share, w2.share), 4
-                )
-        elif w.share > _STEAL_REPORT_THRESHOLD:
-            extras[f"{name}_steal_share"] = round(w.share, 4)
+                times, share = times2, share2
+        if len(attempts) > 1:
+            for i, (at, ash) in enumerate(attempts, 1):
+                extras[f"{name}_run{i}"] = round(at[len(at) // 2], 3)
+                extras[f"{name}_run{i}_steal_share"] = round(ash, 4)
+        if share > _STEAL_REPORT_THRESHOLD:
+            extras[f"{name}_steal_share"] = round(share, 4)
+        if share > _STEAL_CONTAMINATED_THRESHOLD:
+            extras[f"{name}_steal_contaminated"] = 1
         queries[name] = round(times[len(times) // 2], 3)   # median
         extras[f"{name}_p95"] = round(times[-1] if reps < 20 else times[int(len(times) * 0.95)], 3)
 

@@ -38,12 +38,42 @@ def du(path: str) -> int:
 
 
 def rss_mb() -> float:
+    """Peak RSS of THIS (Py4J client) process only - Spark driver
+    scheduler state lives in the JVM child, reported separately."""
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
+def jvm_rss_mb() -> float:
+    """Current RSS of the local-mode JVM (java child processes of this
+    process) - where driver scheduler/block-manager state actually
+    lives.  0.0 if none found (e.g. /proc unavailable)."""
+    me = os.getpid()
+    total = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().split()
+                # (2)=comm '(java)', (4)=ppid
+                if "java" not in parts[1] or int(parts[3]) != me:
+                    continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            total += int(line.split()[1])  # kB
+                            break
+            except (OSError, ValueError, IndexError):
+                continue
+    except OSError:
+        pass
+    return total / 1024.0
+
+
 def steal_window():
-    v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
-    return v[7], sum(v)
+    from bench import _cpu_jiffies  # REPO on sys.path; guarded reader
+    return _cpu_jiffies()
 
 
 def main() -> None:
@@ -87,6 +117,11 @@ def main() -> None:
     idx = os.path.join(work, "idx")
     reuse = os.path.exists(os.path.join(corpus_path, "_SUCCESS"))
     if reuse:
+        # a --keep'd corpus from a DIFFERENT rung must not be silently
+        # reused: validate row count (parquet-footer metadata only)
+        if spark.read.parquet(corpus_path).count() != args.docs:
+            reuse = False
+    if reuse:
         shutil.rmtree(idx, ignore_errors=True)
     else:
         shutil.rmtree(work, ignore_errors=True)
@@ -101,13 +136,15 @@ def main() -> None:
         c.write.mode("overwrite").parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
 
-    s0, t0j = steal_window()
-    t0 = time.perf_counter()
     if args.epochs:
         # doc_seq is epoch-seconds (base + sequential id), so split on
-        # the id's contiguous range relative to the minimum
+        # the id's contiguous range relative to the minimum.  Slice
+        # materialization is UNTIMED like the corpus itself: re-filtering
+        # the full corpus inside the timed window would bench the scan,
+        # not the append path (same policy as bench.py's epoch section).
         base_seq = corpus.agg(F.min("doc_seq")).collect()[0][0]
         per = args.docs // args.epochs
+        slice_paths = []
         for ep in range(args.epochs):
             lo = base_seq + ep * per
             hi = (
@@ -115,27 +152,40 @@ def main() -> None:
                 if ep < args.epochs - 1
                 else base_seq + args.docs
             )
-            part = corpus.where(
+            sp = os.path.join(work, f"slice_{ep}")
+            corpus.where(
                 (F.col("doc_seq") >= lo) & (F.col("doc_seq") < hi)
-            )
+            ).write.mode("overwrite").parquet(sp)
+            slice_paths.append(sp)
+
+        s0, t0j = steal_window()
+        t0 = time.perf_counter()
+        for ep, sp in enumerate(slice_paths):
             append_index_batch(
-                spark, part, idx, epoch=ep, docid_col="doc_seq",
-                num_buckets=args.buckets, num_salts=args.salts,
-                block_size=args.block,
+                spark, spark.read.parquet(sp), idx, epoch=ep,
+                docid_col="doc_seq", num_buckets=args.buckets,
+                num_salts=args.salts, block_size=args.block,
             )
         build_s = time.perf_counter() - t0
+        s1, t1j = steal_window()
         # maintenance pass at ladder scale: fold the K epochs
+        # (its own steal window - merge steal must not pollute build's)
+        m0, m0j = steal_window()
         t1 = time.perf_counter()
         maintain_index(spark, idx, max_epochs=1, merge_factor=args.epochs)
         out["merge_all_epochs_sec"] = round(time.perf_counter() - t1, 2)
+        m1, m1j = steal_window()
+        out["merge_steal_share"] = round((m1 - m0) / max(1, m1j - m0j), 4)
     else:
+        s0, t0j = steal_window()
+        t0 = time.perf_counter()
         build_index(
             spark, corpus, idx, docid_col="doc_seq",
             num_buckets=args.buckets, num_salts=args.salts,
             block_size=args.block, n_docs=args.docs,
         )
         build_s = time.perf_counter() - t0
-    s1, t1j = steal_window()
+        s1, t1j = steal_window()
 
     st = load_stats(idx)
     out.update(
@@ -144,6 +194,7 @@ def main() -> None:
         n_postings=st["n_postings"],
         index_gb=round(du(idx) / 1e9, 2),
         driver_rss_mb=round(rss_mb(), 1),
+        driver_jvm_rss_mb=round(jvm_rss_mb(), 1),
         build_steal_share=round((s1 - s0) / max(1, t1j - t0j), 4),
     )
 

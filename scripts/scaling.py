@@ -40,7 +40,9 @@ def run_once(cpus: int, synth_docs: int, sf_dir: str) -> dict:
 
 def main() -> None:
     n = int(os.environ.get("SCALING_BASE_CPUS", "2"))
-    synth_docs = int(os.environ.get("SCALING_SYNTH_DOCS", "800000"))
+    # default matches the committed BENCH/BASELINE.md record (round 5:
+    # 1.6M docs) so a bare rerun regenerates at the documented size
+    synth_docs = int(os.environ.get("SCALING_SYNTH_DOCS", "1600000"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     res_n = run_once(n, synth_docs, sf_dir)
