@@ -9,10 +9,12 @@ honestly stubbed where it does not (this container ships no codec
 libraries):
 
 * **images** - PPM (P6), PGM (P5), uncompressed BMP (8-bit palette /
-  24-bit BGR) and non-interlaced 8-bit PNG (gray, gray+alpha, RGB,
+  24-bit BGR), non-interlaced 8-bit PNG (gray, gray+alpha, RGB,
   RGBA - zlib is stdlib and the five PNG filters are public spec)
-  decode for real (:func:`decode_image`); JPEG/GIF/palette-or-
-  interlaced PNG raise ``NotImplementedError``.
+  and baseline-sequential JPEG (full ITU-T T.81 Huffman entropy
+  decode, restart markers, any sampling, float IDCT - pure NumPy)
+  decode for real (:func:`decode_image`); GIF/progressive-JPEG/
+  palette-or-interlaced PNG raise ``NotImplementedError``.
 * **audio** - PCM WAV decodes for real via the stdlib ``wave``
   module (:func:`decode_audio`); compressed codecs raise.
 * **video** - uncompressed 24-bit AVI frames decode for real via
@@ -276,20 +278,406 @@ def _decode_png(b: bytes) -> np.ndarray:
     return _luma(px[:, :, :3])  # RGB / RGBA (alpha ignored for luma)
 
 
+# --- JPEG (ITU-T T.81 baseline sequential DCT, pure NumPy) -----------
+#
+# Zigzag scan position -> natural (row*8+col) coefficient index.
+_JPEG_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+
+def _jpeg_dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis A: A[k,n] = c_k cos((2n+1)kπ/16)
+    with c_0 = sqrt(1/8), c_k = 1/2.  IDCT(C) = Aᵀ·C·A, DCT(x) = A·x·Aᵀ."""
+    k = np.arange(8).reshape(8, 1).astype(np.float64)
+    n = np.arange(8).reshape(1, 8).astype(np.float64)
+    a = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    a[0] *= np.sqrt(0.5)
+    return a
+
+
+_JPEG_A = _jpeg_dct_basis()
+
+
+class _JpegBits:
+    """MSB-first bit reader over destuffed entropy-coded bytes."""
+
+    __slots__ = ("d", "pos", "acc", "n")
+
+    def __init__(self, d):
+        self.d = d
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def get(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.d):
+                raise ValueError("truncated JPEG entropy data")
+            self.acc = ((self.acc << 8) | self.d[self.pos]) & 0xFFFFFF
+            self.pos += 1
+            self.n += 8
+        self.n -= nbits
+        return (self.acc >> self.n) & ((1 << nbits) - 1)
+
+
+def _jpeg_huff_table(counts, vals):
+    """Canonical Huffman decode tables (T.81 F.2.2.3: MINCODE/MAXCODE/
+    VALPTR).  ``counts[l-1]`` = number of codes of length l (1..16)."""
+    if sum(counts) != len(vals) or sum(
+        c << (16 - l) for l, c in enumerate(counts, 1)
+    ) > (1 << 16):
+        raise ValueError("bad JPEG Huffman table")
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        c = counts[l - 1]
+        if c:
+            valptr[l] = k
+            mincode[l] = code
+            code += c
+            k += c
+            maxcode[l] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+def _jpeg_huff_decode(bits: _JpegBits, tbl) -> int:
+    mincode, maxcode, valptr, vals = tbl
+    code = bits.get(1)
+    l = 1
+    while code > maxcode[l]:
+        l += 1
+        if l > 16:
+            raise ValueError("invalid JPEG Huffman code")
+        code = (code << 1) | bits.get(1)
+    return vals[valptr[l] + code - mincode[l]]
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _jpeg_destuff(b: bytes, pos: int):
+    """Split the entropy-coded bytes starting at ``pos`` into restart
+    segments (0xFF00 unstuffed to 0xFF, RSTn starts a new segment),
+    stopping at the first real marker.  Returns (segments, marker_pos)."""
+    segs = [bytearray()]
+    n = len(b)
+    while True:
+        j = b.find(0xFF, pos)
+        if j < 0:
+            segs[-1] += b[pos:]
+            return segs, n
+        segs[-1] += b[pos:j]
+        if j + 1 >= n:
+            return segs, n
+        m = b[j + 1]
+        if m == 0x00:
+            segs[-1].append(0xFF)
+            pos = j + 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytearray())
+            pos = j + 2
+        elif m == 0xFF:  # fill byte
+            pos = j + 1
+        else:
+            return segs, j
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG (SOF0/SOF1, Huffman, 8-bit) decoder:
+    marker parse, canonical Huffman entropy decode with restart
+    markers, dequantize, de-zigzag, float IDCT - pure stdlib+NumPy.
+    Returns the luma (Y) plane as (h, w) uint8.  Chroma components are
+    entropy-decoded in full (the bit-stream is sequential, so their
+    coefficients must be consumed) but not reconstructed:
+    ``decode_image``'s contract is Rec.601 luma, which for JFIF YCbCr
+    is exactly the Y component.  Progressive (SOF2), arithmetic-coded,
+    lossless, hierarchical, and 12-bit streams raise
+    ``NotImplementedError``; malformed payloads raise ``ValueError``."""
+    n = len(b)
+    pos = 2  # past SOI
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple] = {}
+    ri = 0  # restart interval (MCUs)
+    frame = None
+    y_plane = None
+
+    def read_seg(p):
+        if p + 2 > n:
+            raise ValueError("truncated JPEG segment")
+        ln = int.from_bytes(b[p:p + 2], "big")
+        if ln < 2 or p + ln > n:
+            raise ValueError("truncated JPEG segment")
+        return b[p + 2:p + ln], p + ln
+
+    while True:
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG (no EOI)")
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker misalignment")
+        pos += 1
+        while pos < n and b[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            raise ValueError("truncated JPEG (no EOI)")
+        m = b[pos]
+        pos += 1
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST
+            continue
+        if m == 0xD8:  # SOI has no length segment; a second one is bogus
+            raise ValueError("unexpected JPEG SOI inside stream")
+        if m == 0xC4:  # DHT
+            seg, pos = read_seg(pos)
+            o = 0
+            while o < len(seg):
+                if o + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT")
+                tc, th = seg[o] >> 4, seg[o] & 15
+                if tc > 1 or th > 3:
+                    raise ValueError("bad JPEG DHT id")
+                counts = list(seg[o + 1:o + 17])
+                nv = sum(counts)
+                if o + 17 + nv > len(seg):
+                    raise ValueError("truncated JPEG DHT")
+                htabs[(tc, th)] = _jpeg_huff_table(
+                    counts, seg[o + 17:o + 17 + nv]
+                )
+                o += 17 + nv
+        elif m == 0xDB:  # DQT
+            seg, pos = read_seg(pos)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                if pq > 1 or tq > 3:
+                    raise ValueError("bad JPEG DQT header")
+                width = 2 if pq else 1
+                if o + 1 + 64 * width > len(seg):
+                    raise ValueError("truncated JPEG DQT")
+                raw = seg[o + 1:o + 1 + 64 * width]
+                qtabs[tq] = (
+                    np.frombuffer(raw, ">u2").astype(np.float64)
+                    if pq
+                    else np.frombuffer(raw, np.uint8).astype(np.float64)
+                )
+                o += 1 + 64 * width
+        elif m == 0xDD:  # DRI
+            seg, pos = read_seg(pos)
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI")
+            ri = int.from_bytes(seg[:2], "big")
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            seg, pos = read_seg(pos)
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF")
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG: only 8-bit precision decodes here"
+                )
+            H = int.from_bytes(seg[1:3], "big")
+            W = int.from_bytes(seg[3:5], "big")
+            nf = seg[5]
+            if not H or not W or not nf:
+                raise ValueError("malformed JPEG SOF dimensions")
+            if W * H > (1 << 26):  # same 67 MP executor bound as PNG
+                raise ValueError(
+                    f"JPEG dimensions {W}x{H} exceed the 67-megapixel "
+                    "decoder limit"
+                )
+            if len(seg) < 6 + 3 * nf:
+                raise ValueError("truncated JPEG SOF")
+            comps = []
+            for ci in range(nf):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("bad JPEG sampling factors")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise NotImplementedError(
+                        "fractional JPEG chroma sampling ratios"
+                    )
+                c["w"] = -(-W * c["h"] // hmax)   # ceil comp width
+                c["hh"] = -(-H * c["v"] // vmax)  # ceil comp height
+                c["wb"] = -(-c["w"] // 8)
+                c["hb"] = -(-c["hh"] // 8)
+            frame = {"W": W, "H": H, "comps": comps,
+                     "hmax": hmax, "vmax": vmax}
+        elif m == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2): only baseline/extended-"
+                "sequential Huffman decodes here"
+            )
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{m:02X}: only baseline/extended-"
+                "sequential Huffman decodes here"
+            )
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            seg, pos = read_seg(pos)
+            ns = seg[0] if seg else 0
+            if not 1 <= ns <= 4 or len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("malformed JPEG SOS header")
+            scomps = []
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                matches = [c for c in frame["comps"] if c["id"] == cs]
+                if not matches:
+                    raise ValueError("JPEG SOS references unknown component")
+                c = matches[0]
+                td, ta = tt >> 4, tt & 15
+                if (0, td) not in htabs or (1, ta) not in htabs:
+                    raise ValueError("JPEG SOS references missing DHT")
+                if c["tq"] not in qtabs:
+                    raise ValueError("JPEG SOS references missing DQT")
+                scomps.append(
+                    {**c, "dc": htabs[(0, td)], "ac": htabs[(1, ta)],
+                     "q": qtabs[c["tq"]], "pred": 0}
+                )
+            segs, pos = _jpeg_destuff(b, pos)
+            y_new = _jpeg_decode_scan(frame, scomps, segs, ri)
+            if y_new is not None:
+                y_plane = y_new
+        else:  # APPn / COM / DNL / anything skippable
+            _, pos = read_seg(pos)
+
+    if y_plane is None:
+        raise ValueError("JPEG contains no luma scan")
+    return y_plane
+
+
+def _jpeg_decode_scan(frame, scomps, segs, ri):
+    """Entropy-decode one scan (interleaved if Ns>1, else single-
+    component per T.81 A.2).  Returns the reconstructed full-resolution
+    Y plane if the scan contains the frame's first (luma) component,
+    else None (chroma coefficients are consumed and discarded)."""
+    luma = frame["comps"][0]
+    interleaved = len(scomps) > 1
+    if interleaved:
+        mcus_x = -(-frame["W"] // (8 * frame["hmax"]))
+        mcus_y = -(-frame["H"] // (8 * frame["vmax"]))
+    else:
+        c = scomps[0]
+        mcus_x, mcus_y = c["wb"], c["hb"]
+    total_mcus = mcus_x * mcus_y
+
+    y_store = None
+    for c in scomps:
+        c["qzz"] = c["q"]  # quant table is stored in zigzag order
+        if c["id"] == luma["id"]:
+            y_store = np.zeros((c["hb"] * c["wb"], 64), np.float64)
+            c["store"] = y_store
+            c["sh"], c["sv"] = c["h"], c["v"]
+        else:
+            c["store"] = None
+
+    zz = _JPEG_ZZ
+    seg_i = 0
+    bits = _JpegBits(segs[0])
+    for mcu in range(total_mcus):
+        if ri and mcu and mcu % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing JPEG restart marker")
+            bits = _JpegBits(segs[seg_i])
+            for c in scomps:
+                c["pred"] = 0
+        mx, my = mcu % mcus_x, mcu // mcus_x
+        for c in scomps:
+            nh, nv = (c["h"], c["v"]) if interleaved else (1, 1)
+            for by in range(nv):
+                for bx in range(nh):
+                    if interleaved:
+                        bcol = mx * nh + bx
+                        brow = my * nv + by
+                    else:
+                        bcol, brow = mx, my
+                    store = c["store"]
+                    vec = None
+                    if store is not None and bcol < c["wb"] and brow < c["hb"]:
+                        vec = store[brow * c["wb"] + bcol]
+                    q = c["qzz"]
+                    t = _jpeg_huff_decode(bits, c["dc"])
+                    if t > 15:
+                        raise ValueError("bad JPEG DC category")
+                    diff = _jpeg_extend(bits.get(t), t) if t else 0
+                    c["pred"] += diff
+                    if vec is not None:
+                        vec[0] = c["pred"] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(bits, c["ac"])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        v = _jpeg_extend(bits.get(s), s)
+                        if vec is not None:
+                            vec[zz[k]] = v * q[k]
+                        k += 1
+
+    if y_store is None:
+        return None
+    c = next(c for c in scomps if c["store"] is not None)
+    blocks = y_store.reshape(-1, 8, 8)
+    spatial = _JPEG_A.T @ blocks @ _JPEG_A
+    hb, wb = c["hb"], c["wb"]
+    img = spatial.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(
+        hb * 8, wb * 8
+    )
+    img = np.clip(np.round(img) + 128.0, 0, 255).astype(np.uint8)
+    img = img[:c["hh"], :c["w"]]
+    rh, rw = frame["vmax"] // c["v"], frame["hmax"] // c["h"]
+    if rh > 1 or rw > 1:  # subsampled luma (legal, rare): replicate
+        img = np.repeat(np.repeat(img, rh, 0), rw, 1)
+    return np.ascontiguousarray(img[:frame["H"], :frame["W"]])
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode for the containers a pure stdlib+NumPy
     reader can handle: PPM (P6), PGM (P5), BMP (BITMAPINFOHEADER,
-    uncompressed, 8-bit palette or 24-bit BGR), and non-interlaced
+    uncompressed, 8-bit palette or 24-bit BGR), non-interlaced
     8-bit PNG (gray, gray+alpha, RGB, RGBA - stdlib zlib inflate +
-    the five spec filters).  Returns a (h, w) uint8 grayscale array
-    (color reduces via integer Rec.601 luma).  Any other CONTAINER -
-    JPEG, GIF, palette/interlaced/16-bit PNG, BITMAPCOREHEADER BMP -
-    raises ``NotImplementedError`` (those need codec libraries this
+    the five spec filters), and baseline-sequential JPEG (SOF0/SOF1
+    Huffman, 8-bit, any 1-4x sampling, restart markers - full T.81
+    entropy decode + float IDCT; the returned luma IS the Y plane).
+    Returns a (h, w) uint8 grayscale array (color reduces via
+    Rec.601 luma).  Any other CONTAINER - GIF, progressive JPEG,
+    palette/interlaced/16-bit PNG, BITMAPCOREHEADER BMP - raises
+    ``NotImplementedError`` (those need codec libraries this
     container does not ship); a truncated or malformed payload of a
     supported container raises ``ValueError``."""
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        return _decode_jpeg(b)
 
     def body(off, need):
         if len(b) - off < need:
@@ -726,6 +1114,210 @@ def _render_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
     )
 
 
+# Annex K (T.81) example quantization tables, natural order.  Public
+# spec constants - the de-facto default of every JPEG encoder.
+_JPEG_STD_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.float64)
+_JPEG_STD_CHR_Q = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32, np.float64)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 B.1.1.5)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.put(0x7F >> (7 - ((8 - self.n) % 8)), (8 - self.n) % 8)
+
+
+def _render_jpeg(
+    w: int,
+    h: int,
+    seed: int,
+    *,
+    gray: bool = False,
+    subsampling: str = "444",
+    quality: int = 75,
+    restart_interval: int = 0,
+    blocky: bool = False,
+) -> bytes:
+    """Genuine baseline JPEG encoder (pure NumPy): forward DCT over
+    Annex-K quant tables scaled by ``quality`` (libjpeg's public
+    50-point scaling), canonical Huffman entropy coding with simple
+    uniform code tables (valid per T.81; compression ratio is not the
+    point), single interleaved scan, optional 4:2:0 chroma
+    subsampling and restart markers.  ``blocky=True`` renders an
+    image that is constant within each 8x8 tile, for which the only
+    reconstruction error is DC quantization (tight analytic bound in
+    tests)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    rng = np.random.default_rng(seed)
+    if blocky:
+        tiles = rng.integers(16, 240, size=(-(-h // 8), -(-w // 8), 3))
+        rgb = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w].astype(
+            np.float64
+        )
+    else:
+        base = rng.integers(0, 256, size=(h, w, 3)).astype(np.float64)
+        ramp = np.add.outer(
+            np.linspace(0, 64, h), np.linspace(0, 64, w)
+        )[..., None]
+        rgb = np.clip(0.5 * base + ramp + 32, 0, 255)
+    r, g, bch = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * bch
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+
+    q = max(1, min(100, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    ql = np.clip((_JPEG_STD_LUM_Q * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_STD_CHR_Q * scale + 50) // 100, 1, 255)
+    ql_zz, qc_zz = ql[_JPEG_ZZ], qc[_JPEG_ZZ]
+
+    sub = subsampling == "420" and not gray
+    if gray:
+        planes = [(y, ql_zz, 1, 1)]
+    elif sub:
+        eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+        pad = np.pad(np.stack([cb, cr]), ((0, 0), (0, eh - h), (0, ew - w)),
+                     mode="edge")
+        ds = pad.reshape(2, eh // 2, 2, ew // 2, 2).mean(axis=(2, 4))
+        planes = [(y, ql_zz, 2, 2), (ds[0], qc_zz, 1, 1),
+                  (ds[1], qc_zz, 1, 1)]
+    else:
+        planes = [(y, ql_zz, 1, 1), (cb, qc_zz, 1, 1), (cr, qc_zz, 1, 1)]
+
+    hmax = max(p[2] for p in planes)
+    vmax = max(p[3] for p in planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # pad every plane to its MCU-aligned block grid (edge replication)
+    comp_blocks = []
+    for plane, qzz, ch, cv in planes:
+        ph, pw = plane.shape
+        th, tw = mcus_y * cv * 8, mcus_x * ch * 8
+        plane = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge")
+        # all blocks DCT'd + quantized in one vectorized pass
+        blk = plane.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
+        coef = _JPEG_A @ (blk - 128.0) @ _JPEG_A.T
+        zzc = coef.reshape(th // 8, tw // 8, 64)[..., _JPEG_ZZ]
+        qv = np.round(zzc / qzz).astype(np.int64)
+        comp_blocks.append(qv)
+
+    # uniform canonical Huffman tables: 12 DC symbols at length 5,
+    # 255 AC symbols at length 9 (code == symbol; none all-ones;
+    # 0xFF = run 15/size 15 can never be emitted since size <= 10)
+    dc_counts = [0] * 16
+    dc_counts[4] = 12
+    dc_vals = bytes(range(12))
+    ac_counts = [0] * 16
+    ac_counts[8] = 255
+    ac_vals = bytes(range(255))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    nf = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql_zz.astype(np.uint8)))
+    if nf > 1:
+        out += seg(0xDB, bytes([1]) + bytes(qc_zz.astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nf])
+    for ci, (_, _, ch, cv) in enumerate(planes):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_vals)
+    if nf > 1:
+        out += seg(0xC4, bytes([0x01]) + bytes(dc_counts) + dc_vals)
+        out += seg(0xC4, bytes([0x11]) + bytes(ac_counts) + ac_vals)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([nf])
+    for ci in range(nf):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    def put_coef(bw, v):
+        s = int(abs(v)).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    bw = _JpegBitWriter()
+    preds = [0] * nf
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _JpegBitWriter()
+            preds = [0] * nf
+        mx, my = mcu % mcus_x, mcu // mcus_x
+        for ci, (_, _, ch, cv) in enumerate(planes):
+            for by in range(cv):
+                for bx in range(ch):
+                    zzq = comp_blocks[ci][my * cv + by, mx * ch + bx]
+                    s, bits_v = put_coef(bw, int(zzq[0]) - preds[ci])
+                    preds[ci] = int(zzq[0])
+                    bw.put(s, 5)           # DC: length-5 code == category
+                    if s:
+                        bw.put(bits_v, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zzq[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            bw.put(0xF0, 9)  # ZRL
+                            run -= 16
+                        s, bits_v = put_coef(bw, v)
+                        bw.put((run << 4) | s, 9)
+                        bw.put(bits_v, s)
+                        run = 0
+                    if run:
+                        bw.put(0x00, 9)      # EOB
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _render_wav(sr: int, n_samples: int, seed: int) -> bytes:
     import io
     import wave
@@ -841,9 +1433,10 @@ def _render_avi(w: int, h: int, n_frames: int, seed: int) -> bytes:
 
 def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads are GENUINE encoded
-    containers (rotating PGM/PPM/BMP/PNG for images, PCM WAV for
-    audio, uncompressed 24-bit AVI for video) so the real decoders
-    run end to end with no external data."""
+    containers (rotating PGM/PPM/BMP/PNG/JPEG - incl. 4:2:0 with
+    restart markers and grayscale - for images, PCM WAV for audio,
+    uncompressed 24-bit AVI for video) so the real decoders run end
+    to end with no external data."""
 
     def gen(batches):
         for pdf in batches:
@@ -861,7 +1454,12 @@ def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
                         lambda w, h, s: _render_png(w, h, s, 2),
                         lambda w, h, s: _render_png(w, h, s, 0),
                         lambda w, h, s: _render_png(w, h, s, 6),
-                    )[(i // 3) % 6]
+                        lambda w, h, s: _render_jpeg(w, h, s),
+                        lambda w, h, s: _render_jpeg(
+                            w, h, s, subsampling="420", restart_interval=2
+                        ),
+                        lambda w, h, s: _render_jpeg(w, h, s, gray=True),
+                    )[(i // 3) % 9]
                     payload = renderer(w, h, seed + i)
                 elif kind == "audio":
                     payload = _render_wav(sr, 2000 + (i % 1000), seed + i)

@@ -248,8 +248,10 @@ def test_decode_image_unsupported_raises():
 
     with _pytest.raises(NotImplementedError, match="PPM"):
         decode_image(b"GIF89a" + b"\0" * 16)
-    with _pytest.raises(NotImplementedError, match="PPM"):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 16)  # JPEG SOI
+    # JPEG is a SUPPORTED container since round 5: a malformed stream
+    # (SOI + APP0 full of zeros, then nothing) is ValueError, not NIE
+    with _pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 16)
 
 
 def test_decode_image_png_roundtrip_all_color_types():
@@ -604,3 +606,219 @@ def test_decoder_malformed_input_contracts():
     wav[i + 12 : i + 16] = (0).to_bytes(4, "little")  # nSamplesPerSec=0
     with _pytest.raises(ValueError, match="malformed WAV"):
         decode_audio(bytes(wav))
+
+
+# --- JPEG -------------------------------------------------------------
+
+
+def _jpeg_expected_luma(seed, w, h, blocky):
+    """Regenerate _render_jpeg's source luma independently of the codec."""
+    rng = np.random.default_rng(seed)
+    if blocky:
+        tiles = rng.integers(16, 240, size=(-(-h // 8), -(-w // 8), 3))
+        rgb = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w].astype(float)
+    else:
+        base = rng.integers(0, 256, size=(h, w, 3)).astype(float)
+        ramp = np.add.outer(
+            np.linspace(0, 64, h), np.linspace(0, 64, w)
+        )[..., None]
+        rgb = np.clip(0.5 * base + ramp + 32, 0, 255)
+    return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+
+
+def test_decode_jpeg_dc_only_analytic():
+    """A hand-assembled (not via our encoder) single-block grayscale
+    baseline JPEG with quant table all-1s and one-code Huffman tables:
+    DC coefficient c makes every pixel round(c/8) + 128 exactly (the
+    orthonormal IDCT of a DC-only block is flat c/8)."""
+    from pg_cjk_parser_spark.ops.multimodal import decode_image
+
+    def dc_only(scan_bytes):
+        return bytes(
+            b"\xff\xd8"
+            # DQT: Pq/Tq=0, 64 x 1
+            + b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+            # SOF0: 8-bit, 8x8, 1 component (id 1, 1x1 sampling, q table 0)
+            + b"\xff\xc0" + (11).to_bytes(2, "big")
+            + b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + b"\x01" + b"\x01\x11\x00"
+            # DHT DC 0: one code of length 1 -> symbol 7 (category 7)
+            + b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x00"
+            + b"\x01" + b"\x00" * 15 + b"\x07"
+            # DHT AC 0: one code of length 1 -> symbol 0x00 (EOB)
+            + b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x10"
+            + b"\x01" + b"\x00" * 15 + b"\x00"
+            # SOS
+            + b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00"
+            + b"\x00\x3f\x00"
+            + scan_bytes
+            + b"\xff\xd9"
+        )
+
+    # DC diff +80 (category 7, bits 1010000): '0'+'1010000'+'0' then
+    # seven 1-pad bits -> 0x50 0x7F; pixels = 128 + round(80/8) = 138
+    img = decode_image(dc_only(b"\x50\x7f"))
+    assert img.shape == (8, 8)
+    assert (img == 138).all()
+    # DC diff -80: bits = -80 + 127 = 47 = 0b0101111 -> '0'+'0101111'+'0'
+    # +pad -> 0x2F 0x7F; pixels = 128 - 10 = 118
+    img = decode_image(dc_only(b"\x2f\x7f"))
+    assert (img == 118).all()
+
+
+def test_decode_jpeg_roundtrip_blocky_analytic_bound():
+    """8x8-aligned flat tiles reconstruct within DC-quantization error:
+    |err| <= q_dc/16 + 0.5 + rounding slop (q_dc = 8 at quality 75)."""
+    from pg_cjk_parser_spark.ops.multimodal import _render_jpeg, decode_image
+
+    for kwargs in (dict(gray=True), dict()):
+        got = decode_image(_render_jpeg(24, 17, seed=3, blocky=True, **kwargs))
+        want = _jpeg_expected_luma(3, 24, 17, blocky=True)
+        assert got.shape == (17, 24)
+        err = np.abs(got.astype(float) - want)
+        assert err.max() <= 1.5, kwargs
+
+
+def test_decode_jpeg_420_restarts_luma_identical():
+    """Chroma subsampling and restart markers change the stream layout
+    but not the Y plane: 4:2:0 with DRI=2 decodes the identical luma as
+    4:4:4 (luma blocks carry the same coefficients either way)."""
+    from pg_cjk_parser_spark.ops.multimodal import _render_jpeg, decode_image
+
+    a = decode_image(_render_jpeg(30, 22, seed=5))
+    b = decode_image(
+        _render_jpeg(30, 22, seed=5, subsampling="420", restart_interval=2)
+    )
+    assert (a == b).all()
+
+
+@pytest.fixture(scope="module")
+def jpeg_ref_helper(tmp_path_factory):
+    """Compile the libjpeg reference helper; skip if gcc/libjpeg are
+    unavailable (they are baked into this container, so in practice
+    this runs)."""
+    import shutil as _shutil
+    import subprocess
+
+    if not _shutil.which("gcc"):
+        pytest.skip("no gcc")
+    exe = tmp_path_factory.mktemp("jpegref") / "jpeg_ref_helper"
+    import os as _os
+
+    src = _os.path.join(_os.path.dirname(__file__), "jpeg_ref_helper.c")
+    r = subprocess.run(
+        ["gcc", "-O2", "-o", str(exe), src, "-ljpeg"], capture_output=True
+    )
+    if r.returncode != 0:
+        pytest.skip(f"libjpeg unavailable: {r.stderr.decode()[:200]}")
+    return str(exe)
+
+
+def test_decode_jpeg_libjpeg_cross_check(jpeg_ref_helper):
+    """Bidirectional cross-check against REAL libjpeg (not our own
+    encoder): (a) libjpeg decodes our encoder's streams to the same
+    luma we do, (b) we decode libjpeg-encoded streams (standard
+    Annex-K Huffman tables, its own subsampling decisions) to the same
+    luma libjpeg itself reconstructs.  +/-1 tolerance: libjpeg's
+    integer IDCT vs our float IDCT (T.81 allows implementation slop)."""
+    import subprocess
+
+    from pg_cjk_parser_spark.ops.multimodal import _render_jpeg, decode_image
+
+    def ref_decode(jpg):
+        p = subprocess.run(
+            [jpeg_ref_helper, "decode"], input=jpg, capture_output=True
+        )
+        assert p.returncode == 0, p.stderr
+        hdr, raw = p.stdout.split(b"\n", 1)
+        w, h = map(int, hdr.split())
+        return np.frombuffer(raw, np.uint8, h * w).reshape(h, w)
+
+    # (a) our encoder -> libjpeg
+    for kwargs in (
+        dict(gray=True),
+        dict(),
+        dict(subsampling="420", restart_interval=3),
+    ):
+        jpg = _render_jpeg(37, 25, seed=11, **kwargs)
+        d = np.abs(
+            ref_decode(jpg).astype(int) - decode_image(jpg).astype(int)
+        )
+        assert d.max() <= 1, kwargs
+
+    # (b) libjpeg encoder -> us
+    rng = np.random.default_rng(9)
+    w, h = 41, 29
+    rgb = np.clip(
+        rng.integers(0, 256, (h, w, 3)).astype(float) * 0.5
+        + np.add.outer(np.linspace(0, 90, h), np.linspace(0, 90, w))[
+            ..., None
+        ],
+        0,
+        255,
+    ).astype(np.uint8)
+    for mode in ("gray", "444", "420"):
+        src = rgb[:, :, 0].tobytes() if mode == "gray" else rgb.tobytes()
+        p = subprocess.run(
+            [jpeg_ref_helper, "encode", str(w), str(h), "85", mode],
+            input=src,
+            capture_output=True,
+        )
+        assert p.returncode == 0, p.stderr
+        jpg = p.stdout
+        d = np.abs(
+            ref_decode(jpg).astype(int) - decode_image(jpg).astype(int)
+        )
+        assert d.max() <= 1, mode
+
+
+def test_decode_jpeg_contracts():
+    """Unsupported JPEG variants raise NotImplementedError; malformed
+    payloads of the supported variant raise ValueError."""
+    import pytest as _pytest
+
+    from pg_cjk_parser_spark.ops.multimodal import _render_jpeg, decode_image
+
+    good = _render_jpeg(16, 12, seed=1, gray=True)
+
+    # progressive: flip SOF0 -> SOF2
+    prog = bytearray(good)
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_image(bytes(prog))
+
+    # arithmetic coding: SOF0 -> SOF9
+    arith = bytearray(good)
+    arith[i + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="0xFFC9"):
+        decode_image(bytes(arith))
+
+    # 12-bit precision
+    deep = bytearray(good)
+    deep[i + 4] = 12
+    with _pytest.raises(NotImplementedError, match="12-bit"):
+        decode_image(bytes(deep))
+
+    # truncated entropy data
+    with _pytest.raises(ValueError):
+        decode_image(good[: len(good) // 2])
+
+    # EOI before any scan
+    with _pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xd9")
+
+    # SOS referencing a Huffman table that was never defined
+    i_dht = good.index(b"\xff\xc4")
+    seglen = int.from_bytes(good[i_dht + 2 : i_dht + 4], "big")
+    nodht = good[:i_dht] + good[i_dht + 2 + seglen :]  # drop DC table
+    with _pytest.raises(ValueError, match="missing DHT"):
+        decode_image(nodht)
+
+    # dimension bomb: 16384 x 16384 > 67 MP must be rejected up front
+    bomb = bytearray(good)
+    j = bomb.index(b"\xff\xc0")
+    bomb[j + 5 : j + 7] = (16384).to_bytes(2, "big")
+    bomb[j + 7 : j + 9] = (16384).to_bytes(2, "big")
+    with _pytest.raises(ValueError, match="67-megapixel"):
+        decode_image(bytes(bomb))
