@@ -9,12 +9,13 @@ honestly stubbed where it does not (this container ships no codec
 libraries):
 
 * **images** - PPM (P6), PGM (P5), uncompressed BMP (8-bit palette /
-  24-bit BGR), non-interlaced 8-bit PNG (gray, gray+alpha, RGB,
-  RGBA - zlib is stdlib and the five PNG filters are public spec)
-  and baseline-sequential JPEG (full ITU-T T.81 Huffman entropy
-  decode, restart markers, any sampling, float IDCT - pure NumPy)
-  decode for real (:func:`decode_image`); GIF/progressive-JPEG/
-  palette-or-interlaced PNG raise ``NotImplementedError``.
+  24-bit BGR), non-interlaced PNG (gray at depths 1/2/4/8/16,
+  palette at 1/2/4/8, gray+alpha/RGB/RGBA at 8/16 - zlib is stdlib
+  and the five PNG filters are public spec) and baseline-sequential
+  JPEG (full ITU-T T.81 Huffman entropy decode, restart markers,
+  any sampling, float IDCT - pure NumPy) decode for real
+  (:func:`decode_image`); GIF, progressive JPEG and Adam7
+  interlaced PNG raise ``NotImplementedError``.
 * **audio** - PCM WAV decodes for real via the stdlib ``wave``
   module (:func:`decode_audio`); compressed codecs raise.
 * **video** - uncompressed 24-bit AVI frames decode for real via
@@ -169,7 +170,13 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
     decoded left bytes, so they loop - over Python LISTS, whose
     C-speed indexing measured ~11x faster than the same loop over
     numpy scalars (libpng emits filters 1/3/4 on nearly every row of
-    photographic images, so these paths carry real payloads)."""
+    photographic images, so these paths carry real payloads).
+
+    ``ch`` is really the filter's BYTES-PER-PIXEL (the spec's bpp:
+    the left-neighbor byte offset).  Callers with sub-byte or
+    multi-byte samples pass w=row-bytes/bpp accordingly: palette and
+    depth<8 rows are (rowbytes, bpp=1); 16-bit rows are
+    (w, bpp=2*channels)."""
     stride = w * ch
     arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
     ftypes = arr[:, 0]
@@ -235,14 +242,14 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise NotImplementedError(
             "Adam7-interlaced PNG: only interlace method 0 decodes here"
         )
-    if color == 3:
-        raise NotImplementedError(
-            "palette PNG: only gray/gray+alpha/RGB/RGBA decode here"
-        )
-    if depth != 8 or color not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} color type {color}: only 8-bit "
-            "gray/gray+alpha/RGB/RGBA decodes here"
+    valid_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }
+    if color not in valid_depths or depth not in valid_depths[color]:
+        raise ValueError(
+            f"malformed PNG: bit depth {depth} invalid for color "
+            f"type {color}"
         )
     if comp != 0 or filt != 0 or interlace != 0 or not w or not h:
         raise ValueError("malformed PNG IHDR")
@@ -250,13 +257,19 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError(
             f"PNG dimensions {w}x{h} exceed the 67-megapixel decoder limit"
         )
-    idat = b"".join(
-        data for t, data in chunks if t == b"IDAT"
-    )
+    plte = None
+    idat_parts = []
+    for t, data in chunks:
+        if t == b"IDAT":
+            idat_parts.append(data)
+        elif t == b"PLTE":
+            plte = data
+    idat = b"".join(idat_parts)
     if not idat:
         raise ValueError("PNG has no IDAT data")
-    ch = _PNG_CHANNELS[color]
-    expected = h * (1 + w * ch)
+    nch = 1 if color == 3 else _PNG_CHANNELS[color]
+    rowbytes = (w * nch * depth + 7) // 8
+    expected = h * (1 + rowbytes)
     # bounded inflate: the exact pixel-data size is known from IHDR, so
     # cap the decompressor there instead of trusting the stream - a
     # crafted ~1000:1 deflate bomb would otherwise allocate GBs inside
@@ -270,7 +283,32 @@ def _decode_png(b: bytes) -> np.ndarray:
         not dec.eof and dec.decompress(b"", 1)
     ):
         raise ValueError("PNG pixel data length mismatch")
-    px = _png_unfilter(raw, w, h, ch)
+    if depth < 8:  # sub-byte gray or palette indices: filter bpp is 1
+        rows = _png_unfilter(raw, rowbytes, h, 1).reshape(h, rowbytes)
+        bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        if color == 3:
+            if plte is None or len(plte) % 3 or not len(plte):
+                raise ValueError("palette PNG missing a valid PLTE chunk")
+            pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+            if vals.max() >= len(pal):
+                raise ValueError("PNG palette index out of range")
+            return _luma(pal[vals])
+        # grayscale: scale the sample range to 0..255 (spec 12.5)
+        return (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    bpp = nch * (depth // 8)
+    px = _png_unfilter(raw, w, h, bpp)
+    if depth == 16:  # big-endian samples: the high byte IS the 8-bit
+        px = px[:, :, ::2]  # reduction (v >> 8), per spec sample scaling
+    if color == 3:
+        if plte is None or len(plte) % 3 or not len(plte):
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idxs = px.reshape(h, w)
+        if int(idxs.max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return _luma(pal[idxs])
     if color == 0:
         return px.reshape(h, w).copy()
     if color == 4:  # gray + alpha: luminance is the gray channel
@@ -662,14 +700,16 @@ def _jpeg_decode_scan(frame, scomps, segs, ri):
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode for the containers a pure stdlib+NumPy
     reader can handle: PPM (P6), PGM (P5), BMP (BITMAPINFOHEADER,
-    uncompressed, 8-bit palette or 24-bit BGR), non-interlaced
-    8-bit PNG (gray, gray+alpha, RGB, RGBA - stdlib zlib inflate +
-    the five spec filters), and baseline-sequential JPEG (SOF0/SOF1
-    Huffman, 8-bit, any 1-4x sampling, restart markers - full T.81
-    entropy decode + float IDCT; the returned luma IS the Y plane).
-    Returns a (h, w) uint8 grayscale array (color reduces via
-    Rec.601 luma).  Any other CONTAINER - GIF, progressive JPEG,
-    palette/interlaced/16-bit PNG, BITMAPCOREHEADER BMP - raises
+    uncompressed, 8-bit palette or 24-bit BGR), non-interlaced PNG
+    (every legal depth/color combination except Adam7: gray
+    1/2/4/8/16, palette 1/2/4/8 via PLTE, gray+alpha/RGB/RGBA 8/16
+    - stdlib zlib inflate + the five spec filters), and
+    baseline-sequential JPEG (SOF0/SOF1 Huffman, 8-bit, any 1-4x
+    sampling, restart markers - full T.81 entropy decode + float
+    IDCT; the returned luma IS the Y plane).  Returns a (h, w)
+    uint8 grayscale array (color reduces via Rec.601 luma; 16-bit
+    samples reduce to their high byte).  Any other CONTAINER - GIF,
+    progressive JPEG, Adam7 PNG, BITMAPCOREHEADER BMP - raises
     ``NotImplementedError`` (those need codec libraries this
     container does not ship); a truncated or malformed payload of a
     supported container raises ``ValueError``."""

@@ -338,10 +338,26 @@ def test_decode_image_png_contracts():
 
     with _pytest.raises(NotImplementedError, match="interlace"):
         decode_image(ihdr_variant(interlace=1))
-    with _pytest.raises(NotImplementedError, match="palette"):
-        decode_image(ihdr_variant(color=3))
-    with _pytest.raises(NotImplementedError, match="bit depth 16"):
-        decode_image(ihdr_variant(depth=16))
+    # palette and 16-bit are SUPPORTED since round 5; what remains
+    # rejected is the INVALID depth/color combination (malformed, not
+    # unimplemented) and size mismatches against the new row geometry
+    with _pytest.raises(ValueError, match="invalid for color"):
+        decode_image(ihdr_variant(color=3, depth=16))
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_image(ihdr_variant(depth=16))  # rows sized for 8-bit
+    # palette stream with correct row bytes but no PLTE chunk
+    no_plte = (
+        _PNG_SIG
+        + _png_chunk(
+            b"IHDR",
+            (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 0]),
+        )
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_image(no_plte)
 
     # truncated mid-chunk
     with _pytest.raises(ValueError, match="truncated"):
@@ -822,3 +838,70 @@ def test_decode_jpeg_contracts():
     bomb[j + 7 : j + 9] = (16384).to_bytes(2, "big")
     with _pytest.raises(ValueError, match="67-megapixel"):
         decode_image(bytes(bomb))
+
+
+def test_decode_image_png_palette_and_deep_variants():
+    """Hand-assembled (not via our encoder) palette, sub-byte-gray and
+    16-bit PNGs decode to exactly predictable luma."""
+    import zlib
+
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_image,
+    )
+
+    def png(w, h, depth, color, rows, extra=b""):
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, color, 0, 0, 0])
+        )
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(rows))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 8-bit palette: indices [[0,1],[2,0]] over R/G/B palette ->
+    # Rec.601 lumas 76/149/29
+    plte = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    img = decode_image(
+        png(2, 2, 8, 3, b"\x00\x00\x01" + b"\x00\x02\x00", extra=plte)
+    )
+    assert img.tolist() == [[76, 149], [29, 76]]
+
+    # 4-bit palette, 3 px wide (odd -> padded nibble): row [0,1,2]
+    # packs MSB-first as 0x01 0x20
+    img = decode_image(png(3, 1, 4, 3, b"\x00\x01\x20", extra=plte))
+    assert img.tolist() == [[76, 149, 29]]
+
+    # 1-bit grayscale [[1,0,1]] -> 0xA0 packed; scales to 255/0/255
+    img = decode_image(png(3, 1, 1, 0, b"\x00\xa0"))
+    assert img.tolist() == [[255, 0, 255]]
+
+    # 2-bit grayscale [0,1,2,3] -> 0x1B; scale factor 85
+    img = decode_image(png(4, 1, 2, 0, b"\x00\x1b"))
+    assert img.tolist() == [[0, 85, 170, 255]]
+
+    # 16-bit grayscale: big-endian 0xABCD reduces to high byte 0xAB
+    img = decode_image(png(1, 1, 16, 0, b"\x00\xab\xcd"))
+    assert img.tolist() == [[0xAB]]
+
+    # 16-bit RGB with a Sub filter (bpp must be 6, not 2): second
+    # pixel stored as delta over the first
+    row = b"\x01" + bytes(
+        [0x40, 0x00, 0x80, 0x00, 0xC0, 0x00]  # pixel 1 raw
+        + [0x10, 0x00, 0x10, 0x00, 0x10, 0x00]  # pixel 2 delta
+    )
+    img = decode_image(png(2, 1, 16, 2, row))
+    r1 = (0x40 * 299 + 0x80 * 587 + 0xC0 * 114) // 1000
+    r2 = (0x50 * 299 + 0x90 * 587 + 0xD0 * 114) // 1000
+    assert img.tolist() == [[r1, r2]]
+
+    # out-of-range palette index is malformed, not a crash
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_image(png(1, 1, 8, 3, b"\x00\x09", extra=plte))
