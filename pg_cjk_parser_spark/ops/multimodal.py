@@ -132,8 +132,8 @@ def _luma(rgb: np.ndarray) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# channels per PNG color type at bit depth 8 (type 3 = palette is
-# rejected; see _decode_png)
+# samples per pixel for the non-palette PNG color types (type 3 =
+# palette carries 1 index sample; handled separately in _decode_png)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -283,18 +283,21 @@ def _decode_png(b: bytes) -> np.ndarray:
         not dec.eof and dec.decompress(b"", 1)
     ):
         raise ValueError("PNG pixel data length mismatch")
+    def palette_luma(idxs):
+        if plte is None or len(plte) % 3 or not len(plte):
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(idxs.max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return _luma(pal[idxs])
+
     if depth < 8:  # sub-byte gray or palette indices: filter bpp is 1
         rows = _png_unfilter(raw, rowbytes, h, 1).reshape(h, rowbytes)
         bits = np.unpackbits(rows, axis=1)[:, : w * depth]
         weights = 1 << np.arange(depth - 1, -1, -1)
         vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
         if color == 3:
-            if plte is None or len(plte) % 3 or not len(plte):
-                raise ValueError("palette PNG missing a valid PLTE chunk")
-            pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-            if vals.max() >= len(pal):
-                raise ValueError("PNG palette index out of range")
-            return _luma(pal[vals])
+            return palette_luma(vals)
         # grayscale: scale the sample range to 0..255 (spec 12.5)
         return (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
     bpp = nch * (depth // 8)
@@ -302,13 +305,7 @@ def _decode_png(b: bytes) -> np.ndarray:
     if depth == 16:  # big-endian samples: the high byte IS the 8-bit
         px = px[:, :, ::2]  # reduction (v >> 8), per spec sample scaling
     if color == 3:
-        if plte is None or len(plte) % 3 or not len(plte):
-            raise ValueError("palette PNG missing a valid PLTE chunk")
-        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        idxs = px.reshape(h, w)
-        if int(idxs.max()) >= len(pal):
-            raise ValueError("PNG palette index out of range")
-        return _luma(pal[idxs])
+        return palette_luma(px.reshape(h, w))
     if color == 0:
         return px.reshape(h, w).copy()
     if color == 4:  # gray + alpha: luminance is the gray channel
@@ -342,6 +339,13 @@ def _jpeg_dct_basis() -> np.ndarray:
 
 
 _JPEG_A = _jpeg_dct_basis()
+
+# Resource bound for executor tasks.  Tighter than PNG's 67 MP cap
+# because JPEG entropy decode runs a per-coefficient Python loop
+# (~5 s per 0.26 MP of dense content): 4 MP keeps a crafted
+# max-dimension payload under ~2 min of task time while covering
+# virtually all web imagery (thumbnails through full-size photos).
+_JPEG_MAX_PIXELS = 1 << 22
 
 
 class _JpegBits:
@@ -532,10 +536,10 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             nf = seg[5]
             if not H or not W or not nf:
                 raise ValueError("malformed JPEG SOF dimensions")
-            if W * H > (1 << 26):  # same 67 MP executor bound as PNG
+            if W * H > _JPEG_MAX_PIXELS:
                 raise ValueError(
-                    f"JPEG dimensions {W}x{H} exceed the 67-megapixel "
-                    "decoder limit"
+                    f"JPEG dimensions {W}x{H} exceed the "
+                    f"{_JPEG_MAX_PIXELS >> 20}-megapixel decoder limit"
                 )
             if len(seg) < 6 + 3 * nf:
                 raise ValueError("truncated JPEG SOF")
@@ -622,11 +626,9 @@ def _jpeg_decode_scan(frame, scomps, segs, ri):
 
     y_store = None
     for c in scomps:
-        c["qzz"] = c["q"]  # quant table is stored in zigzag order
         if c["id"] == luma["id"]:
             y_store = np.zeros((c["hb"] * c["wb"], 64), np.float64)
             c["store"] = y_store
-            c["sh"], c["sv"] = c["h"], c["v"]
         else:
             c["store"] = None
 
@@ -655,7 +657,7 @@ def _jpeg_decode_scan(frame, scomps, segs, ri):
                     vec = None
                     if store is not None and bcol < c["wb"] and brow < c["hb"]:
                         vec = store[brow * c["wb"] + bcol]
-                    q = c["qzz"]
+                    q = c["q"]  # DQT tables are zigzag-ordered, like k
                     t = _jpeg_huff_decode(bits, c["dc"])
                     if t > 15:
                         raise ValueError("bad JPEG DC category")
@@ -771,7 +773,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         "unsupported image container (supported without codec "
         "libraries: PPM/P6, PGM/P5, uncompressed 8/24-bit BMP, "
-        "non-interlaced 8-bit PNG)"
+        "non-interlaced PNG, baseline JPEG)"
     )
 
 
@@ -1312,7 +1314,8 @@ def _render_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
 
-    def put_coef(bw, v):
+    def coef_bits(v):
+        """(size category, value bits) for a coefficient (T.81 F.1.2)."""
         s = int(abs(v)).bit_length()
         return s, (v if v >= 0 else v + (1 << s) - 1)
 
@@ -1332,7 +1335,7 @@ def _render_jpeg(
             for by in range(cv):
                 for bx in range(ch):
                     zzq = comp_blocks[ci][my * cv + by, mx * ch + bx]
-                    s, bits_v = put_coef(bw, int(zzq[0]) - preds[ci])
+                    s, bits_v = coef_bits(int(zzq[0]) - preds[ci])
                     preds[ci] = int(zzq[0])
                     bw.put(s, 5)           # DC: length-5 code == category
                     if s:
@@ -1346,7 +1349,7 @@ def _render_jpeg(
                         while run > 15:
                             bw.put(0xF0, 9)  # ZRL
                             run -= 16
-                        s, bits_v = put_coef(bw, v)
+                        s, bits_v = coef_bits(v)
                         bw.put((run << 4) | s, 9)
                         bw.put(bits_v, s)
                         run = 0

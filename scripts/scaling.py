@@ -206,12 +206,21 @@ the 8M peak and the 200k floor (finer B x S per-cell fixed costs plus
 S=64 is 1.35 s (candidates-per-salt stays bounded; the extra salt
 shards cost per-query fan-out on fixed 32 threads - on a cluster the
 same S adds real cores, which is the documented lever).  EPOCH-INGEST
-at ladder scale: the same 16M corpus ingested as 4 x 4M streaming
-epochs takes 536.5 s (29.8k docs/s - per-epoch fixed costs vs one
-batch job), and a maintain_index pass folding all 4 epochs (801M
-postings) completes in **245.5 s** - compaction at ladder scale runs
-at ~65k docs/s, and the post-merge index serves のび太 in 0.72 s,
-indistinguishable from the batch-built 16M index (0.80 s).
+at ladder scale (remeasured after fixing the rung runner to
+materialize epoch slices UNTIMED - the first measurement had the
+corpus re-filter inside the timed window): the same 16M corpus
+ingested as 4 x 4M streaming epochs takes 473.0 s (33.8k docs/s,
+2.1% steal recorded in-window - 0.60x the one-job batch build, the
+price of per-epoch fixed costs), and a maintain_index pass folding
+all 4 epochs (801M postings) completes in **238.2 s** - compaction
+at ladder scale runs at ~67k docs/s, and the post-merge index
+serves のび太 in 0.65 s, indistinguishable from the batch-built 16M
+index (0.80 s).  Driver-memory note: the flat 162 MB column is the
+Py4J client process, where every piece of PYTHON-side builder state
+lives; the local-mode JVM (28.9 GB RSS at this rung under a 48 GB
+heap cap) hosts the 32 executor threads' working memory too, so it
+is bounded by configuration, not a driver-state signal - on a real
+cluster that memory is the executors'.
 
 **The B x S knob, measured at 4M docs (round-3 code):** rebuilding
 with B=256/S=16 (4x the cells) cut the 8-term CJK worst-case query

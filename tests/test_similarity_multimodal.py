@@ -831,12 +831,14 @@ def test_decode_jpeg_contracts():
     with _pytest.raises(ValueError, match="missing DHT"):
         decode_image(nodht)
 
-    # dimension bomb: 16384 x 16384 > 67 MP must be rejected up front
+    # dimension bomb: JPEG's cap is TIGHTER than PNG's 67 MP because
+    # entropy decode is a per-coefficient Python loop - 4 MP bounds a
+    # crafted max-dimension payload's task time
     bomb = bytearray(good)
     j = bomb.index(b"\xff\xc0")
-    bomb[j + 5 : j + 7] = (16384).to_bytes(2, "big")
-    bomb[j + 7 : j + 9] = (16384).to_bytes(2, "big")
-    with _pytest.raises(ValueError, match="67-megapixel"):
+    bomb[j + 5 : j + 7] = (4096).to_bytes(2, "big")
+    bomb[j + 7 : j + 9] = (4096).to_bytes(2, "big")
+    with _pytest.raises(ValueError, match="4-megapixel"):
         decode_image(bytes(bomb))
 
 
