@@ -9,13 +9,15 @@ honestly stubbed where it does not (this container ships no codec
 libraries):
 
 * **images** - PPM (P6), PGM (P5), uncompressed BMP (8-bit palette /
-  24-bit BGR), non-interlaced PNG (gray at depths 1/2/4/8/16,
-  palette at 1/2/4/8, gray+alpha/RGB/RGBA at 8/16 - zlib is stdlib
-  and the five PNG filters are public spec) and baseline-sequential
-  JPEG (full ITU-T T.81 Huffman entropy decode, restart markers,
-  any sampling, float IDCT - pure NumPy) decode for real
-  (:func:`decode_image`); GIF, progressive JPEG and Adam7
-  interlaced PNG raise ``NotImplementedError``.
+  24-bit BGR), PNG (every legal depth/color combination - gray
+  1/2/4/8/16, palette 1/2/4/8, gray+alpha/RGB/RGBA 8/16 -
+  including Adam7 interlacing; zlib is stdlib and the filters/pass
+  grids are public spec), GIF87a/89a (full variable-width LZW,
+  local/global palettes, 4-pass interlacing; first frame) and
+  baseline-sequential JPEG (full ITU-T T.81 Huffman entropy decode,
+  restart markers, any sampling, float IDCT - pure NumPy) decode
+  for real (:func:`decode_image`); progressive JPEG still raises
+  ``NotImplementedError``.
 * **audio** - PCM WAV decodes for real via the stdlib ``wave``
   module (:func:`decode_audio`); compressed codecs raise.
 * **video** - uncompressed 24-bit AVI frames decode for real via
@@ -136,6 +138,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # palette carries 1 index sample; handled separately in _decode_png)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec 8.2
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
 
 def _png_chunks(b: bytes):
     """Yield (type, data) for each chunk, CRC-verified.  Truncation
@@ -238,10 +246,6 @@ def _decode_png(b: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    if interlace == 1:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG: only interlace method 0 decodes here"
-        )
     valid_depths = {
         0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
         4: (8, 16), 6: (8, 16),
@@ -251,7 +255,7 @@ def _decode_png(b: bytes) -> np.ndarray:
             f"malformed PNG: bit depth {depth} invalid for color "
             f"type {color}"
         )
-    if comp != 0 or filt != 0 or interlace != 0 or not w or not h:
+    if comp != 0 or filt != 0 or interlace not in (0, 1) or not w or not h:
         raise ValueError("malformed PNG IHDR")
     if w * h > (1 << 26):  # 67 MP: resource bound for executor tasks
         raise ValueError(
@@ -269,7 +273,17 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError("PNG has no IDAT data")
     nch = 1 if color == 3 else _PNG_CHANNELS[color]
     rowbytes = (w * nch * depth + 7) // 8
-    expected = h * (1 + rowbytes)
+    if interlace:  # Adam7: 7 concatenated sub-images, each filtered
+        passes = []
+        for xs, ys, xst, yst in _PNG_ADAM7:
+            pw = (w - xs + xst - 1) // xst
+            ph = (h - ys + yst - 1) // yst
+            if pw > 0 and ph > 0:
+                passes.append((xs, ys, xst, yst, pw, ph,
+                               (pw * nch * depth + 7) // 8))
+        expected = sum(ph * (1 + prb) for *_, ph, prb in passes)
+    else:
+        expected = h * (1 + rowbytes)
     # bounded inflate: the exact pixel-data size is known from IHDR, so
     # cap the decompressor there instead of trusting the stream - a
     # crafted ~1000:1 deflate bomb would otherwise allocate GBs inside
@@ -291,26 +305,230 @@ def _decode_png(b: bytes) -> np.ndarray:
             raise ValueError("PNG palette index out of range")
         return _luma(pal[idxs])
 
-    if depth < 8:  # sub-byte gray or palette indices: filter bpp is 1
-        rows = _png_unfilter(raw, rowbytes, h, 1).reshape(h, rowbytes)
-        bits = np.unpackbits(rows, axis=1)[:, : w * depth]
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+    def reduce_pass(praw, pw, ph, prowbytes):
+        """Unfilter + reduce one (sub-)image to (ph, pw) uint8 luma."""
+        if depth < 8:  # sub-byte gray or palette indices: filter bpp 1
+            rows = _png_unfilter(praw, prowbytes, ph, 1).reshape(
+                ph, prowbytes
+            )
+            bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+            if color == 3:
+                return palette_luma(vals)
+            # grayscale: scale the sample range to 0..255 (spec 12.5)
+            return (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        bpp = nch * (depth // 8)
+        px = _png_unfilter(praw, pw, ph, bpp)
+        if depth == 16:  # big-endian: the high byte IS the 8-bit
+            px = px[:, :, ::2]  # reduction (v >> 8), spec sample scaling
         if color == 3:
-            return palette_luma(vals)
-        # grayscale: scale the sample range to 0..255 (spec 12.5)
-        return (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
-    bpp = nch * (depth // 8)
-    px = _png_unfilter(raw, w, h, bpp)
-    if depth == 16:  # big-endian samples: the high byte IS the 8-bit
-        px = px[:, :, ::2]  # reduction (v >> 8), per spec sample scaling
-    if color == 3:
-        return palette_luma(px.reshape(h, w))
-    if color == 0:
-        return px.reshape(h, w).copy()
-    if color == 4:  # gray + alpha: luminance is the gray channel
-        return px[:, :, 0].copy()
-    return _luma(px[:, :, :3])  # RGB / RGBA (alpha ignored for luma)
+            return palette_luma(px.reshape(ph, pw))
+        if color == 0:
+            return px.reshape(ph, pw).copy()
+        if color == 4:  # gray + alpha: luminance is the gray channel
+            return px[:, :, 0].copy()
+        return _luma(px[:, :, :3])  # RGB / RGBA (alpha ignored)
+
+    if interlace:
+        out = np.zeros((h, w), np.uint8)
+        off = 0
+        for xs, ys, xst, yst, pw, ph, prb in passes:
+            sz = ph * (1 + prb)
+            out[ys::yst, xs::xst] = reduce_pass(
+                raw[off:off + sz], pw, ph, prb
+            )
+            off += sz
+        return out
+    return reduce_pass(raw, w, h, rowbytes)
+
+
+# --- GIF (87a/89a, LZW, palette; first frame) ------------------------
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, max_pixels: int) -> bytearray:
+    """Variable-width LSB-first LZW per the GIF spec appendix.  Stops
+    after ``max_pixels`` outputs (frames are fixed-size; trailing
+    codes are padding) or at the End-Of-Information code."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"bad GIF LZW minimum code size {mcs}")
+    clear = 1 << mcs
+    eoi = clear + 1
+    # dictionary as (prefix_code, suffix_byte); literals are implicit
+    prefix = [0] * 4096
+    suffix = [0] * 4096
+    out = bytearray()
+    width = mcs + 1
+    next_code = eoi + 1
+    prev = -1
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    def expand(code):
+        stack = bytearray()
+        while code >= clear:  # walk the chain down to a literal
+            stack.append(suffix[code])
+            code = prefix[code]
+        stack.append(code)
+        stack.reverse()
+        return stack
+
+    while len(out) < max_pixels:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            width = mcs + 1
+            next_code = eoi + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:  # first code after clear must be a literal
+            if code >= clear:
+                raise ValueError("GIF LZW stream starts with a non-literal")
+            out.append(code)
+            prev = code
+            continue
+        if code < next_code:
+            chunk = expand(code)
+        elif code == next_code:  # the KwKwK case
+            chunk = expand(prev)
+            chunk.append(chunk[0])
+        else:
+            raise ValueError("GIF LZW code out of range")
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = chunk[0]
+            next_code += 1
+            # width grows when the NEXT code would not fit (12 max;
+            # a full table keeps emitting 12-bit codes until CLEAR)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out += chunk
+        prev = code
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a decoder (pure stdlib+NumPy): logical screen
+    descriptor, global/local color tables, full variable-width LZW,
+    4-pass interlacing.  Returns the FIRST frame's luma composed onto
+    the logical screen (later frames of an animation are ignored;
+    transparency reduces like any other palette entry - decode_image's
+    contract is luma, which has no alpha)."""
+    n = len(b)
+    if n < 13:
+        raise ValueError("truncated GIF header")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    if not sw or not sh:
+        raise ValueError("malformed GIF screen dimensions")
+    if sw * sh > (1 << 26):
+        raise ValueError(
+            f"GIF dimensions {sw}x{sh} exceed the 67-megapixel "
+            "decoder limit"
+        )
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        sz = 3 * (2 << (packed & 7))
+        if pos + sz > n:
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(b, np.uint8, sz, pos).reshape(-1, 3)
+        pos += sz
+    bg = b[11]
+
+    def sub_blocks(p):
+        parts = []
+        while True:
+            if p >= n:
+                raise ValueError("truncated GIF data sub-blocks")
+            ln = b[p]
+            p += 1
+            if ln == 0:
+                return b"".join(parts), p
+            if p + ln > n:
+                raise ValueError("truncated GIF data sub-blocks")
+            parts.append(b[p:p + ln])
+            p += ln
+
+    while True:
+        if pos >= n:
+            raise ValueError("GIF ended without an image or trailer")
+        tag = b[pos]
+        pos += 1
+        if tag == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if tag == 0x21:  # extension: label + sub-blocks, all skippable
+            if pos >= n:
+                raise ValueError("truncated GIF extension")
+            _, pos = sub_blocks(pos + 1)
+            continue
+        if tag != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{tag:02X}")
+        # image descriptor
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
+        ix = int.from_bytes(b[pos:pos + 2], "little")
+        iy = int.from_bytes(b[pos + 2:pos + 4], "little")
+        iw = int.from_bytes(b[pos + 4:pos + 6], "little")
+        ih = int.from_bytes(b[pos + 6:pos + 8], "little")
+        ipack = b[pos + 8]
+        pos += 9
+        if not iw or not ih or ix + iw > sw or iy + ih > sh:
+            raise ValueError("malformed GIF image descriptor")
+        pal = gct
+        if ipack & 0x80:  # local color table
+            sz = 3 * (2 << (ipack & 7))
+            if pos + sz > n:
+                raise ValueError("truncated GIF local color table")
+            pal = np.frombuffer(b, np.uint8, sz, pos).reshape(-1, 3)
+            pos += sz
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= n:
+            raise ValueError("truncated GIF image data")
+        mcs = b[pos]
+        lzw, pos = sub_blocks(pos + 1)
+        idx = _gif_lzw_decode(mcs, lzw, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF LZW stream ended short of the frame")
+        arr = np.frombuffer(bytes(idx), np.uint8, iw * ih).reshape(ih, iw)
+        if ipack & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = np.empty(ih, np.int64)
+            r = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                cnt = len(range(start, ih, step))
+                rows[start:ih:step] = np.arange(r, r + cnt)
+                r += cnt
+            arr = arr[rows]
+        if int(arr.max()) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        frame_luma = _luma(pal[arr])
+        # compose onto the logical screen (background elsewhere)
+        if (ix, iy, iw, ih) == (0, 0, sw, sh):
+            return frame_luma
+        screen = np.full(
+            (sh, sw),
+            _luma(pal[bg:bg + 1].reshape(1, 1, 3))[0, 0]
+            if bg < len(pal) else 0,
+            np.uint8,
+        )
+        screen[iy:iy + ih, ix:ix + iw] = frame_luma
+        return screen
 
 
 # --- JPEG (ITU-T T.81 baseline sequential DCT, pure NumPy) -----------
@@ -702,24 +920,29 @@ def _jpeg_decode_scan(frame, scomps, segs, ri):
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode for the containers a pure stdlib+NumPy
     reader can handle: PPM (P6), PGM (P5), BMP (BITMAPINFOHEADER,
-    uncompressed, 8-bit palette or 24-bit BGR), non-interlaced PNG
-    (every legal depth/color combination except Adam7: gray
-    1/2/4/8/16, palette 1/2/4/8 via PLTE, gray+alpha/RGB/RGBA 8/16
-    - stdlib zlib inflate + the five spec filters), and
-    baseline-sequential JPEG (SOF0/SOF1 Huffman, 8-bit, any 1-4x
-    sampling, restart markers - full T.81 entropy decode + float
-    IDCT; the returned luma IS the Y plane).  Returns a (h, w)
-    uint8 grayscale array (color reduces via Rec.601 luma; 16-bit
-    samples reduce to their high byte).  Any other CONTAINER - GIF,
-    progressive JPEG, Adam7 PNG, BITMAPCOREHEADER BMP - raises
-    ``NotImplementedError`` (those need codec libraries this
-    container does not ship); a truncated or malformed payload of a
-    supported container raises ``ValueError``."""
+    uncompressed, 8-bit palette or 24-bit BGR), PNG (every legal
+    depth/color combination: gray 1/2/4/8/16, palette 1/2/4/8 via
+    PLTE, gray+alpha/RGB/RGBA 8/16; interlace method 0 or Adam7 -
+    stdlib zlib inflate + the five spec filters), GIF87a/89a (full
+    variable-width LZW incl. the KwKwK case and deferred clears,
+    global/local palettes, 4-pass interlacing; FIRST frame of an
+    animation), and baseline-sequential JPEG (SOF0/SOF1 Huffman,
+    8-bit, any 1-4x sampling, restart markers - full T.81 entropy
+    decode + float IDCT; the returned luma IS the Y plane).
+    Returns a (h, w) uint8 grayscale array (color reduces via
+    Rec.601 luma; 16-bit samples reduce to their high byte).  Any
+    other CONTAINER - progressive JPEG, BITMAPCOREHEADER BMP, TIFF,
+    WebP - raises ``NotImplementedError`` (those need codec
+    libraries this container does not ship); a truncated or
+    malformed payload of a supported container raises
+    ``ValueError``."""
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
     if b[:2] == b"\xff\xd8":
         return _decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(b)
 
     def body(off, need):
         if len(b) - off < need:
@@ -1156,6 +1379,54 @@ def _render_png(w: int, h: int, seed: int, color_type: int = 2) -> bytes:
     )
 
 
+def _render_gif(w: int, h: int, seed: int, interlaced: bool = False) -> bytes:
+    """Genuine GIF89a encoder: 256-entry global color table and a
+    spec-valid LZW stream using the classic 'uncompressed' trick
+    (9-bit literal codes with a CLEAR every 254 codes so the width
+    never grows).  ``interlaced=True`` stores rows in the 4-pass
+    order and sets the interlace flag."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    rows = idx
+    if interlaced:
+        order = [y for start, step in _GIF_INTERLACE_PASSES
+                 for y in range(start, h, step)]
+        rows = idx[order]
+
+    codes = [256]  # CLEAR
+    for i, px in enumerate(rows.reshape(-1).tolist()):
+        if i and i % 254 == 0:
+            codes.append(256)
+        codes.append(px)
+    codes.append(257)  # EOI
+    acc = nb = 0
+    lzw = bytearray()
+    for c in codes:  # LSB-first 9-bit packing
+        acc |= c << nb
+        nb += 9
+        while nb >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        lzw.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries; bg 0
+    out += pal.tobytes()
+    out += bytes([0x2C]) + b"\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00])
+    out += bytes([8])  # LZW minimum code size
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 # Annex K (T.81) example quantization tables, natural order.  Public
 # spec constants - the de-facto default of every JPEG encoder.
 _JPEG_STD_LUM_Q = np.array([
@@ -1502,7 +1773,9 @@ def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
                             w, h, s, subsampling="420", restart_interval=2
                         ),
                         lambda w, h, s: _render_jpeg(w, h, s, gray=True),
-                    )[(i // 3) % 9]
+                        _render_gif,
+                        lambda w, h, s: _render_gif(w, h, s, interlaced=True),
+                    )[(i // 3) % 11]
                     payload = renderer(w, h, seed + i)
                 elif kind == "audio":
                     payload = _render_wav(sr, 2000 + (i % 1000), seed + i)

@@ -247,6 +247,9 @@ def test_decode_image_unsupported_raises():
     from pg_cjk_parser_spark.ops.multimodal import decode_image
 
     with _pytest.raises(NotImplementedError, match="PPM"):
+        decode_image(b"II*\x00" + b"\0" * 16)  # TIFF
+    # GIF is a SUPPORTED container since round 5: malformed = ValueError
+    with _pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\0" * 16)
     # JPEG is a SUPPORTED container since round 5: a malformed stream
     # (SOI + APP0 full of zeros, then nothing) is ValueError, not NIE
@@ -336,8 +339,11 @@ def test_decode_image_png_contracts():
             + _png_chunk(b"IEND", b"")
         )
 
-    with _pytest.raises(NotImplementedError, match="interlace"):
-        decode_image(ihdr_variant(interlace=1))
+    # Adam7 is SUPPORTED since round 5: a 1x1 interlaced PNG is a
+    # single pass-1 sub-image (full coverage in the dedicated test)
+    assert decode_image(ihdr_variant(interlace=1)).tolist() == [[0]]
+    with _pytest.raises(ValueError, match="IHDR"):
+        decode_image(ihdr_variant(interlace=2))
     # palette and 16-bit are SUPPORTED since round 5; what remains
     # rejected is the INVALID depth/color combination (malformed, not
     # unimplemented) and size mismatches against the new row geometry
@@ -907,3 +913,195 @@ def test_decode_image_png_palette_and_deep_variants():
 
     with _pytest.raises(ValueError, match="palette index"):
         decode_image(png(1, 1, 8, 3, b"\x00\x09", extra=plte))
+
+
+# --- GIF --------------------------------------------------------------
+
+
+def _gif_pack_codes(codes, width):
+    """Independent LSB-first packer used only by the tests.  ``codes``
+    may mix ints (packed at ``width``) and (code, width) pairs - GIF
+    LZW widens mid-stream once the table reaches 2^width entries."""
+    acc = nb = 0
+    out = bytearray()
+    for c in codes:
+        c, cw = c if isinstance(c, tuple) else (c, width)
+        acc |= c << nb
+        nb += cw
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_wrap(w, h, mcs, lzw, pal_rgb, interlaced=False):
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    n_entries = len(pal_rgb) // 3
+    size_field = max(0, (n_entries - 1).bit_length() - 1)
+    out += bytes([0x80 | size_field, 0, 0])
+    out += bytes(pal_rgb)
+    out += bytes([0x2C]) + b"\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00, mcs])
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_lzw_table_growth_and_kwkwk():
+    """Hand-assembled LZW streams (mcs=2: clear=4, eoi=5, first entry
+    6) hit real dictionary growth and the KwKwK special case - paths
+    the 'uncompressed trick' renderer never reaches."""
+    from pg_cjk_parser_spark.ops.multimodal import decode_image
+
+    # gray palette with distinct levels: index i -> luma 10*i
+    pal = bytes(v for i in range(4) for v in (10 * i,) * 3)
+
+    # codes [4,0,1,6,2,5]: 6 was added as "0"+"1"[0] -> expands to
+    # "01"; final indices 0,1,0,1,2.  Decoding 6 adds entry 7 and
+    # fills the 3-bit space, so the remaining codes widen to 4 bits.
+    lzw = _gif_pack_codes([4, 0, 1, 6, (2, 4), (5, 4)], 3)
+    img = decode_image(_gif_wrap(5, 1, 2, lzw, pal))
+    assert img.tolist() == [[0, 10, 0, 10, 20]]
+
+    # KwKwK: codes [4,1,6,5] where 6 == next_code at decode time ->
+    # output prev + prev[0] = "11"; indices 1,1,1
+    lzw = _gif_pack_codes([4, 1, 6, 5], 3)
+    img = decode_image(_gif_wrap(3, 1, 2, lzw, pal))
+    assert img.tolist() == [[10, 10, 10]]
+
+
+def test_decode_gif_roundtrip_and_interlace():
+    """Renderer/decoder roundtrip equals the palette luma of the
+    rendered indices; interlaced storage decodes to the same image."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _luma,
+        _render_gif,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    want = _luma(pal[idx]).tolist()
+    assert decode_image(_render_gif(23, 17, seed=4)).tolist() == want
+    assert (
+        decode_image(_render_gif(23, 17, seed=4, interlaced=True)).tolist()
+        == want
+    )
+
+
+def test_decode_gif_contracts():
+    """Malformed GIF payloads raise ValueError with the failure named."""
+    import pytest as _pytest
+
+    from pg_cjk_parser_spark.ops.multimodal import _render_gif, decode_image
+
+    good = _render_gif(8, 6, seed=1)
+
+    with _pytest.raises(ValueError, match="truncated GIF"):
+        decode_image(good[:10])
+    with _pytest.raises(ValueError, match="truncated GIF"):
+        decode_image(good[: len(good) // 2])
+    # trailer immediately after the screen descriptor: no image
+    hdr_end = 13 + 768
+    with _pytest.raises(ValueError, match="no image"):
+        decode_image(good[:hdr_end] + b"\x3b")
+    # unknown block tag
+    with _pytest.raises(ValueError, match="unknown GIF block"):
+        decode_image(good[:hdr_end] + b"\x7f")
+    # palette index out of range: 4-entry palette, literal 7 (mcs=3)
+    pal = bytes(12)
+    lzw = _gif_pack_codes([8, 7, 9], 4)  # clear, literal 7, eoi
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_image(_gif_wrap(1, 1, 3, lzw, pal))
+    # LZW code beyond the table is malformed, not a crash
+    lzw = _gif_pack_codes([4, 1, 7, 5], 3)  # 7 > next_code(6)
+    pal4 = bytes(v for i in range(4) for v in (10 * i,) * 3)
+    with _pytest.raises(ValueError, match="out of range"):
+        decode_image(_gif_wrap(3, 1, 2, lzw, pal4))
+    # dimension bomb
+    bomb = bytearray(good)
+    bomb[6:8] = (16384).to_bytes(2, "little")
+    bomb[8:10] = (16384).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="67-megapixel"):
+        decode_image(bytes(bomb))
+
+
+def test_decode_image_png_adam7():
+    """Hand-assembled Adam7 streams (pass extraction done independently
+    here, filter 0 rows) decode to the same luma as the progressive
+    image - RGB 8-bit with odd dims (partial/empty passes), palette,
+    and 16-bit gray."""
+    import zlib
+
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _PNG_SIG,
+        _luma,
+        _png_chunk,
+        decode_image,
+    )
+
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def interlace_bytes(sample_rows):
+        """sample_rows: (h, w, nbytes-per-px) uint8.  Returns the
+        concatenated filtered pass stream."""
+        h, w = sample_rows.shape[:2]
+        out = bytearray()
+        for xs, ys, xst, yst in ADAM7:
+            sub = sample_rows[ys::yst, xs::xst]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                out += b"\x00" + row.tobytes()
+        return bytes(out)
+
+    def wrap(w, h, depth, color, stream, extra=b""):
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, color, 0, 0, 1])
+        )
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(stream))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(21)
+
+    # RGB 8-bit, 9x10 (partial passes on both axes)
+    img = rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
+    got = decode_image(wrap(9, 10, 8, 2, interlace_bytes(img)))
+    assert got.tolist() == _luma(img).tolist()
+
+    # 8-bit palette, 5x3
+    pal_rgb = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(3, 5, 1), dtype=np.uint8)
+    plte = _png_chunk(b"PLTE", pal_rgb.tobytes())
+    got = decode_image(wrap(5, 3, 8, 3, interlace_bytes(idx), extra=plte))
+    assert got.tolist() == _luma(pal_rgb[idx[:, :, 0]]).tolist()
+
+    # 16-bit gray, 4x9: big-endian pairs reduce to the high byte
+    hi = rng.integers(0, 256, size=(9, 4), dtype=np.uint8)
+    pairs = np.stack([hi, np.full_like(hi, 0xCD)], axis=2)
+    got = decode_image(wrap(4, 9, 16, 0, interlace_bytes(pairs)))
+    assert got.tolist() == hi.tolist()
+
+    # truncated pass stream is malformed
+    import pytest as _pytest
+
+    full = interlace_bytes(img)
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_image(wrap(9, 10, 8, 2, full[:-5]))
