@@ -14,10 +14,11 @@ libraries):
   including Adam7 interlacing; zlib is stdlib and the filters/pass
   grids are public spec), GIF87a/89a (full variable-width LZW,
   local/global palettes, 4-pass interlacing; first frame) and
-  baseline-sequential JPEG (full ITU-T T.81 Huffman entropy decode,
-  restart markers, any sampling, float IDCT - pure NumPy) decode
-  for real (:func:`decode_image`); progressive JPEG still raises
-  ``NotImplementedError``.
+  JPEG - baseline AND progressive (full ITU-T T.81 Huffman entropy
+  decode incl. successive approximation and EOB runs, restart
+  markers, any sampling, float IDCT - pure NumPy) - decode for real
+  (:func:`decode_image`); what still raises ``NotImplementedError``
+  is down to arithmetic-coded JPEG, TIFF and WebP.
 * **audio** - PCM WAV decodes for real via the stdlib ``wave``
   module (:func:`decode_audio`); compressed codecs raise.
 * **video** - uncompressed 24-bit AVI frames decode for real via
@@ -740,7 +741,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             if len(seg) < 2:
                 raise ValueError("truncated JPEG DRI")
             ri = int.from_bytes(seg[:2], "big")
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             seg, pos = read_seg(pos)
             if len(seg) < 6:
                 raise ValueError("truncated JPEG SOF")
@@ -779,13 +780,13 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 c["hh"] = -(-H * c["v"] // vmax)  # ceil comp height
                 c["wb"] = -(-c["w"] // 8)
                 c["hb"] = -(-c["hh"] // 8)
+                if m == 0xC2:
+                    # progressive: coefficients accumulate across scans
+                    # (zigzag order, successive-approximation integers)
+                    c["coef"] = np.zeros((c["hb"] * c["wb"], 64), np.int32)
             frame = {"W": W, "H": H, "comps": comps,
-                     "hmax": hmax, "vmax": vmax}
-        elif m == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2): only baseline/extended-"
-                "sequential Huffman decodes here"
-            )
+                     "hmax": hmax, "vmax": vmax,
+                     "progressive": m == 0xC2}
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -799,6 +800,21 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             ns = seg[0] if seg else 0
             if not 1 <= ns <= 4 or len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("malformed JPEG SOS header")
+            prog = frame["progressive"]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if prog:
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive JPEG DC scan with Se != 0")
+                if ss > 0 and (ns != 1 or se < ss or se > 63):
+                    raise ValueError("malformed progressive JPEG AC scan")
+                if ah and ah != al + 1:
+                    raise ValueError("bad JPEG successive approximation")
+                need_dc = ss == 0 and ah == 0
+                need_ac = ss > 0
+            else:
+                need_dc = need_ac = True
             scomps = []
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
@@ -807,21 +823,39 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     raise ValueError("JPEG SOS references unknown component")
                 c = matches[0]
                 td, ta = tt >> 4, tt & 15
-                if (0, td) not in htabs or (1, ta) not in htabs:
+                if (need_dc and (0, td) not in htabs) or (
+                    need_ac and (1, ta) not in htabs
+                ):
                     raise ValueError("JPEG SOS references missing DHT")
                 if c["tq"] not in qtabs:
                     raise ValueError("JPEG SOS references missing DQT")
                 scomps.append(
-                    {**c, "dc": htabs[(0, td)], "ac": htabs[(1, ta)],
+                    {**c, "dc": htabs.get((0, td)), "ac": htabs.get((1, ta)),
                      "q": qtabs[c["tq"]], "pred": 0}
                 )
             segs, pos = _jpeg_destuff(b, pos)
-            y_new = _jpeg_decode_scan(frame, scomps, segs, ri)
-            if y_new is not None:
-                y_plane = y_new
+            if prog:
+                _jpeg_decode_scan_progressive(
+                    frame, scomps, segs, ri, ss, se, ah, al
+                )
+                frame["scanned"] = True
+            else:
+                y_new = _jpeg_decode_scan(frame, scomps, segs, ri)
+                if y_new is not None:
+                    y_plane = y_new
         else:  # APPn / COM / DNL / anything skippable
             _, pos = read_seg(pos)
 
+    if frame is not None and frame.get("progressive"):
+        luma = frame["comps"][0]
+        if not frame.get("scanned"):
+            raise ValueError("progressive JPEG contains no scan")
+        if luma["tq"] not in qtabs:
+            raise ValueError("progressive JPEG missing luma DQT")
+        coef = luma["coef"].astype(np.float64) * qtabs[luma["tq"]]
+        nat = np.zeros_like(coef)
+        nat[:, _JPEG_ZZ] = coef  # de-zigzag
+        return _jpeg_y_image(frame, luma, nat)
     if y_plane is None:
         raise ValueError("JPEG contains no luma scan")
     return y_plane
@@ -903,7 +937,13 @@ def _jpeg_decode_scan(frame, scomps, segs, ri):
     if y_store is None:
         return None
     c = next(c for c in scomps if c["store"] is not None)
-    blocks = y_store.reshape(-1, 8, 8)
+    return _jpeg_y_image(frame, c, y_store)
+
+
+def _jpeg_y_image(frame, c, store) -> np.ndarray:
+    """Vectorized IDCT + crop/replicate of a component's dequantized
+    NATURAL-order coefficient array into the full-resolution plane."""
+    blocks = store.reshape(-1, 8, 8)
     spatial = _JPEG_A.T @ blocks @ _JPEG_A
     hb, wb = c["hb"], c["wb"]
     img = spatial.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(
@@ -917,6 +957,129 @@ def _jpeg_decode_scan(frame, scomps, segs, ri):
     return np.ascontiguousarray(img[:frame["H"], :frame["W"]])
 
 
+def _jpeg_decode_scan_progressive(frame, scomps, segs, ri, ss, se, ah, al):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved
+    allowed), AC first/refine (single component) with EOB-run
+    semantics.  Coefficients accumulate into each component's
+    ``coef`` array (zigzag order, quantized successive-approximation
+    integers); reconstruction happens once at EOI."""
+    interleaved = len(scomps) > 1
+    if interleaved:
+        mcus_x = -(-frame["W"] // (8 * frame["hmax"]))
+        mcus_y = -(-frame["H"] // (8 * frame["vmax"]))
+    else:
+        mcus_x, mcus_y = scomps[0]["wb"], scomps[0]["hb"]
+    total_mcus = mcus_x * mcus_y
+    scratch = np.zeros(64, np.int32)  # interleaved padding blocks
+    p1, m1 = 1 << al, -1 << al
+
+    eobrun = 0
+    seg_i = 0
+    bits = _JpegBits(segs[0])
+    for mcu in range(total_mcus):
+        if ri and mcu and mcu % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing JPEG restart marker")
+            bits = _JpegBits(segs[seg_i])
+            eobrun = 0
+            for c in scomps:
+                c["pred"] = 0
+        mx, my = mcu % mcus_x, mcu // mcus_x
+        for c in scomps:
+            nh, nv = (c["h"], c["v"]) if interleaved else (1, 1)
+            for by in range(nv):
+                for bx in range(nh):
+                    if interleaved:
+                        bcol = mx * nh + bx
+                        brow = my * nv + by
+                    else:
+                        bcol, brow = mx, my
+                    if bcol < c["wb"] and brow < c["hb"]:
+                        coef = c["coef"][brow * c["wb"] + bcol]
+                    else:
+                        coef = scratch  # decoded but discarded
+                    if ss == 0 and ah == 0:  # DC first
+                        t = _jpeg_huff_decode(bits, c["dc"])
+                        if t > 15:
+                            raise ValueError("bad JPEG DC category")
+                        diff = _jpeg_extend(bits.get(t), t) if t else 0
+                        c["pred"] += diff
+                        coef[0] = c["pred"] << al
+                    elif ss == 0:  # DC refine: one raw bit per block
+                        if bits.get(1):
+                            coef[0] |= p1
+                    elif ah == 0:  # AC first
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _jpeg_huff_decode(bits, c["ac"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += bits.get(r)
+                                    break
+                                k += 16  # ZRL
+                            else:
+                                k += r
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG AC run past band end"
+                                    )
+                                coef[k] = _jpeg_extend(
+                                    bits.get(s), s
+                                ) << al
+                                k += 1
+                    else:  # AC refine (T.81 G.2.3 / jdphuff semantics)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = _jpeg_huff_decode(bits, c["ac"])
+                                r, s = rs >> 4, rs & 15
+                                val = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += bits.get(r)
+                                        break
+                                    # r == 15: pass 16 zero-history
+                                    # coefficients (corrections still
+                                    # read for nonzeros on the way)
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "bad JPEG AC refinement size"
+                                        )
+                                    val = p1 if bits.get(1) else m1
+                                while k <= se:
+                                    cv = coef[k]
+                                    if cv:
+                                        if bits.get(1) and not (cv & p1):
+                                            coef[k] = cv + (
+                                                p1 if cv >= 0 else m1
+                                            )
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    coef[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                cv = coef[k]
+                                if cv and bits.get(1) and not (cv & p1):
+                                    coef[k] = cv + (p1 if cv >= 0 else m1)
+                                k += 1
+                            eobrun -= 1
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode for the containers a pure stdlib+NumPy
     reader can handle: PPM (P6), PGM (P5), BMP (BITMAPINFOHEADER,
@@ -926,16 +1089,17 @@ def decode_image(payload: bytes) -> np.ndarray:
     stdlib zlib inflate + the five spec filters), GIF87a/89a (full
     variable-width LZW incl. the KwKwK case and deferred clears,
     global/local palettes, 4-pass interlacing; FIRST frame of an
-    animation), and baseline-sequential JPEG (SOF0/SOF1 Huffman,
-    8-bit, any 1-4x sampling, restart markers - full T.81 entropy
-    decode + float IDCT; the returned luma IS the Y plane).
-    Returns a (h, w) uint8 grayscale array (color reduces via
-    Rec.601 luma; 16-bit samples reduce to their high byte).  Any
-    other CONTAINER - progressive JPEG, BITMAPCOREHEADER BMP, TIFF,
-    WebP - raises ``NotImplementedError`` (those need codec
-    libraries this container does not ship); a truncated or
-    malformed payload of a supported container raises
-    ``ValueError``."""
+    animation), and Huffman JPEG - baseline (SOF0/SOF1) and
+    progressive (SOF2: DC/AC first + successive-approximation
+    refinement scans, EOB runs) - 8-bit, any 1-4x sampling, restart
+    markers: full T.81 entropy decode + float IDCT; the returned
+    luma IS the Y plane.  Returns a (h, w) uint8 grayscale array
+    (color reduces via Rec.601 luma; 16-bit samples reduce to their
+    high byte).  Any other CONTAINER - arithmetic-coded JPEG,
+    BITMAPCOREHEADER BMP, TIFF, WebP - raises
+    ``NotImplementedError`` (those need codec libraries this
+    container does not ship); a truncated or malformed payload of a
+    supported container raises ``ValueError``."""
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)

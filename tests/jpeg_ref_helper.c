@@ -6,7 +6,9 @@
  * Usage:
  *   jpeg_ref_helper decode            < in.jpg  > "W H\n" + raw gray
  *   jpeg_ref_helper encode W H Q MODE < raw     > out.jpg
- *     MODE: gray (raw = W*H gray), 444 or 420 (raw = W*H*3 RGB)
+ *     MODE: gray (raw = W*H gray), 444 or 420 (raw = W*H*3 RGB);
+ *     prefix "prog-" (prog-gray / prog-444 / prog-420) emits a
+ *     progressive (SOF2) stream via jpeg_simple_progression
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -55,7 +57,11 @@ static int do_decode(void) {
 static int do_encode(int w, int h, int q, const char *mode) {
     struct jpeg_compress_struct cinfo;
     struct jpeg_error_mgr jerr;
-    int gray = strcmp(mode, "gray") == 0;
+    int progressive = strncmp(mode, "prog-", 5) == 0;
+    int gray;
+    if (progressive)
+        mode += 5;
+    gray = strcmp(mode, "gray") == 0;
     int ch = gray ? 1 : 3;
     unsigned long need = (unsigned long)w * h * ch, n;
     unsigned char *raw = read_all(stdin, &n);
@@ -82,6 +88,8 @@ static int do_encode(int w, int h, int q, const char *mode) {
         cinfo.comp_info[2].h_samp_factor = 1;
         cinfo.comp_info[2].v_samp_factor = 1;
     }
+    if (progressive)
+        jpeg_simple_progression(&cinfo);
     jpeg_start_compress(&cinfo, TRUE);
     for (y = 0; y < h; y++) {
         JSAMPROW row = raw + (unsigned long)y * w * ch;

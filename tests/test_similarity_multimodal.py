@@ -768,7 +768,9 @@ def test_decode_jpeg_libjpeg_cross_check(jpeg_ref_helper):
         )
         assert d.max() <= 1, kwargs
 
-    # (b) libjpeg encoder -> us
+    # (b) libjpeg encoder -> us; prog-* modes emit real SOF2 streams
+    # via jpeg_simple_progression (DC refine + per-band AC first +
+    # AC refinement scans with EOB runs)
     rng = np.random.default_rng(9)
     w, h = 41, 29
     rgb = np.clip(
@@ -779,8 +781,10 @@ def test_decode_jpeg_libjpeg_cross_check(jpeg_ref_helper):
         0,
         255,
     ).astype(np.uint8)
-    for mode in ("gray", "444", "420"):
-        src = rgb[:, :, 0].tobytes() if mode == "gray" else rgb.tobytes()
+    for mode in ("gray", "444", "420", "prog-gray", "prog-444", "prog-420"):
+        src = (
+            rgb[:, :, 0].tobytes() if mode.endswith("gray") else rgb.tobytes()
+        )
         p = subprocess.run(
             [jpeg_ref_helper, "encode", str(w), str(h), "85", mode],
             input=src,
@@ -788,6 +792,8 @@ def test_decode_jpeg_libjpeg_cross_check(jpeg_ref_helper):
         )
         assert p.returncode == 0, p.stderr
         jpg = p.stdout
+        if mode.startswith("prog-"):
+            assert b"\xff\xc2" in jpg[:300]  # really SOF2
         d = np.abs(
             ref_decode(jpg).astype(int) - decode_image(jpg).astype(int)
         )
@@ -803,11 +809,13 @@ def test_decode_jpeg_contracts():
 
     good = _render_jpeg(16, 12, seed=1, gray=True)
 
-    # progressive: flip SOF0 -> SOF2
+    # progressive is SUPPORTED since round 5: flipping SOF0 -> SOF2 on
+    # a baseline stream leaves a scan header that is ILLEGAL for
+    # progressive (Ss=0 with Se=63), so it is malformed, not NIE
     prog = bytearray(good)
     i = prog.index(b"\xff\xc0")
     prog[i + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    with _pytest.raises(ValueError, match="DC scan with Se"):
         decode_image(bytes(prog))
 
     # arithmetic coding: SOF0 -> SOF9
@@ -1105,3 +1113,45 @@ def test_decode_image_png_adam7():
     full = interlace_bytes(img)
     with _pytest.raises(ValueError, match="length mismatch"):
         decode_image(wrap(9, 10, 8, 2, full[:-5]))
+
+
+def test_decode_jpeg_progressive_hand_built():
+    """Hand-assembled three-scan progressive stream (no encoder, no
+    libjpeg): DC-first at Al=1 (diff 40 -> coefficient 80), a DC
+    refinement scan contributing a 0 bit, and an AC-first scan that is
+    one EOB.  Quant all-1s, one-code Huffman tables: every pixel is
+    exactly round(80/8) + 128 = 138."""
+    from pg_cjk_parser_spark.ops.multimodal import decode_image
+
+    def dht(tc_th, sym):
+        return (
+            b"\xff\xc4" + (20).to_bytes(2, "big") + bytes([tc_th])
+            + b"\x01" + b"\x00" * 15 + bytes([sym])
+        )
+
+    def sos(ss, se, ahal, scan):
+        return (
+            b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00"
+            + bytes([ss, se, ahal]) + scan
+        )
+
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+        # SOF2: 8-bit, 8x8, 1 component
+        + b"\xff\xc2" + (11).to_bytes(2, "big")
+        + b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + b"\x01" + b"\x01\x11\x00"
+        + dht(0x00, 6)   # DC: one length-1 code -> category 6
+        + dht(0x10, 0)   # AC: one length-1 code -> EOB
+        # scan 1: DC first, Al=1; code '0' + 101000 (40) + pad -> 0x51
+        + sos(0, 0, 0x01, b"\x51")
+        # scan 2: DC refine Ah=1,Al=0; one raw 0 bit + pad -> 0x7f
+        + sos(0, 0, 0x10, b"\x7f")
+        # scan 3: AC first over 1..63; EOB code '0' + pad -> 0x7f
+        + sos(1, 63, 0x00, b"\x7f")
+        + b"\xff\xd9"
+    )
+    img = decode_image(jpg)
+    assert img.shape == (8, 8)
+    assert (img == 138).all()
