@@ -3481,10 +3481,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the FIRST 50 entries.  Positions 1-19 are the rows added in
     # rounds 3-4 that had never appeared in a committed CORRECTNESS
     # artifact before r05; positions 20-50 re-certify the structurally
-    # distinct earlier rows.  Positions 51-69 are variant rows whose
-    # hash-green certificates live in CORRECTNESS_r04.json (positions
-    # 11,18-21,23-29,31,39,43-46,48 of the r04 order).  The r04<->r05
-    # mapping is recorded in COVERAGE.md.
+    # distinct earlier rows (including term_suggest, whose round-5
+    # rewrite postdates its r04 certificate).  Positions 51-69 are
+    # variant rows whose hash-green certificates live in
+    # CORRECTNESS_r04.json (char_fingerprint moved there: unchanged
+    # since r04, tokenizer-independent).  The r04<->r05 mapping is
+    # recorded in COVERAGE.md.
     return {
         # --- never-driver-certified before r05 (19) ---
         "websearch_match": _q_websearch_match,
@@ -3516,7 +3518,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_counts": _q_token_counts,
-        "char_fingerprint": _q_fingerprint,
+        "term_suggest": _q_term_suggest,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "lang_id": _q_lang_id,
@@ -3557,7 +3559,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_cd_phrase": _q_ts_rank_cd_phrase,
         "ts_rank_weighted": _q_ts_rank_weighted,
         "ts_rank_filtered": _q_ts_rank_filtered,
-        "term_suggest": _q_term_suggest,
+        "char_fingerprint": _q_fingerprint,
     }
 
 

@@ -657,7 +657,7 @@ def _jpeg_destuff(b: bytes, pos: int):
             return segs, j
 
 
-def _decode_jpeg(b: bytes) -> np.ndarray:
+def _decode_jpeg(b: bytes, default_dht: bool = False) -> np.ndarray:
     """Baseline-sequential JPEG (SOF0/SOF1, Huffman, 8-bit) decoder:
     marker parse, canonical Huffman entropy decode with restart
     markers, dequantize, de-zigzag, float IDCT - pure stdlib+NumPy.
@@ -667,11 +667,18 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     ``decode_image``'s contract is Rec.601 luma, which for JFIF YCbCr
     is exactly the Y component.  Progressive (SOF2), arithmetic-coded,
     lossless, hierarchical, and 12-bit streams raise
-    ``NotImplementedError``; malformed payloads raise ``ValueError``."""
+    ``NotImplementedError``; malformed payloads raise ``ValueError``.
+
+    ``default_dht=True`` pre-loads the T.81 Annex-K typical Huffman
+    tables as destinations 0/1 (the MJPEG/OpenDML rule for AVI frames
+    that omit DHT); any DHT in the stream still overrides them."""
     n = len(b)
     pos = 2  # past SOI
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], tuple] = {}
+    if default_dht:
+        for key, (counts, vals) in _JPEG_STD_HUFF.items():
+            htabs[key] = _jpeg_huff_table(counts, vals)
     ri = 0  # restart interval (MCUs)
     frame = None
     y_plane = None
@@ -1164,11 +1171,83 @@ def decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def _g711_decode_table(law: str) -> np.ndarray:
+    """256-entry int16 expansion table for ITU-T G.711 ``"ulaw"`` /
+    ``"alaw"``, built from the spec's segment formulas (8 segments,
+    4-bit mantissa; mu-law carries a 0x84 bias, A-law XORs 0x55).
+    Bit-identical to the classic expansion tables - cross-checked
+    against stdlib ``audioop`` in tests."""
+    codes = np.arange(256, dtype=np.int64)
+    if law == "ulaw":
+        u = ~codes & 0xFF
+        t = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7))
+        out = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    elif law == "alaw":
+        a = codes ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a >> 4) & 7
+        mag = np.where(seg == 0, t + 8,
+                       (t + 0x108) << np.maximum(seg - 1, 0))
+        out = np.where(a & 0x80, mag, -mag)
+    else:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    return out.astype(np.int16)
+
+
+def _wav_chunks(b: bytes):
+    """RIFF/WAVE chunk walk: yields (fourcc, payload) pairs; returns
+    None entries implicitly by just not yielding on truncation."""
+    i = 12
+    n = len(b)
+    while i + 8 <= n:
+        fourcc = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        yield fourcc, b[i + 8:min(i + 8 + size, n)]
+        i += 8 + size + (size & 1)
+
+
+def _decode_wav_g711(b: bytes):
+    """Fallback for WAV formats the stdlib ``wave`` module rejects:
+    decodes G.711 mu-law (format tag 7) and A-law (tag 6) via the
+    expansion tables.  Returns ``(samples, sample_rate)`` or None if
+    this is not a RIFF/WAVE or not a G.711 format tag."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    for fourcc, payload in _wav_chunks(b):
+        if fourcc == b"fmt " and fmt is None:
+            fmt = payload
+        elif fourcc == b"data" and data is None:
+            data = payload
+    if fmt is None or len(fmt) < 16 or data is None:
+        return None
+    tag = int.from_bytes(fmt[0:2], "little")
+    law = {6: "alaw", 7: "ulaw"}.get(tag)
+    if law is None:
+        return None
+    ch = int.from_bytes(fmt[2:4], "little")
+    sr = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if sr <= 0 or ch <= 0:
+        raise ValueError(
+            f"malformed WAV header: sample_rate={sr} channels={ch}"
+        )
+    if bits != 8:
+        raise ValueError(f"G.711 WAV must be 8 bits/sample, got {bits}")
+    pcm = _g711_decode_table(law)[
+        np.frombuffer(data, np.uint8)
+    ].astype(np.float64) / (1 << 15)
+    if ch > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % ch].reshape(-1, ch).mean(axis=1)
+    return pcm, sr
+
+
 def decode_audio(payload: bytes):
-    """REAL audio decode for PCM WAV via the stdlib ``wave`` module:
-    returns ``(samples, sample_rate)`` with samples as float64 in
-    [-1, 1], channels mixed down by mean.  Non-PCM/WAV payloads raise
-    ``NotImplementedError``."""
+    """REAL audio decode: PCM WAV via the stdlib ``wave`` module, plus
+    G.711 mu-law/A-law WAV (format tags 7/6, which ``wave`` rejects)
+    via the spec expansion tables.  Returns ``(samples, sample_rate)``
+    with samples as float64 in [-1, 1], channels mixed down by mean.
+    Other codecs raise ``NotImplementedError``."""
     import io
     import wave
 
@@ -1179,9 +1258,12 @@ def decode_audio(payload: bytes):
             sw = wv.getsampwidth()
             raw = wv.readframes(wv.getnframes())
     except (wave.Error, EOFError) as ex:
+        g711 = _decode_wav_g711(bytes(payload))
+        if g711 is not None:
+            return g711
         raise NotImplementedError(
-            f"unsupported audio container ({ex}); only PCM WAV "
-            "decodes without codec libraries"
+            f"unsupported audio container ({ex}); only PCM and "
+            "G.711 WAV decode without codec libraries"
         ) from ex
     if sr <= 0 or ch <= 0:
         # wave only validates these on WRITE; a crafted header can
@@ -1198,6 +1280,9 @@ def decode_audio(payload: bytes):
     if ch > 1:
         pcm = pcm.reshape(-1, ch).mean(axis=1)
     return pcm, sr
+
+
+_AVI_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
 
 
 def _dib_frame_to_gray(
@@ -1217,16 +1302,22 @@ def _dib_frame_to_gray(
 
 
 def decode_video_frames(payload: bytes):
-    """REAL video decode for UNCOMPRESSED AVI (RIFF container,
-    'vids' stream, 24-bit frames, either row order): yields
-    (frame_index, (h, w) uint8 grayscale array) per '00db'/'00dc'
-    chunk.  The frame format comes from the strf chunk BOUND TO the
-    'vids' strh (an AVI may carry audio streams whose strf is a
-    WAVEFORMATEX, not a bitmap header).  Pure RIFF/chunk parsing -
-    no codec library - so compressed AVI and every other container
-    (MP4/MKV/WebM, which all need entropy decoders) raise
-    ``NotImplementedError``; that remains the declared environment
-    ceiling.  Truncated frame data raises ``ValueError``."""
+    """REAL video decode for AVI (RIFF container, 'vids' stream):
+    yields (frame_index, (h, w) uint8 grayscale array) per
+    '00db'/'00dc' chunk.  Two codecs decode for real:
+
+    - uncompressed 24-bit DIB frames (either row order), and
+    - **MJPEG** (biCompression 'MJPG'): every frame chunk is a
+      standalone baseline JPEG handed to :func:`_decode_jpeg` with
+      ``default_dht=True`` - the MJPEG/OpenDML rule that frames may
+      omit Huffman tables and imply the T.81 Annex-K defaults.
+
+    The frame format comes from the strf chunk BOUND TO the 'vids'
+    strh (an AVI may carry audio streams whose strf is a
+    WAVEFORMATEX, not a bitmap header).  Other codecs and containers
+    (MP4/MKV/WebM need inter-frame entropy decoders) raise
+    ``NotImplementedError``; truncated frame data raises
+    ``ValueError``."""
     b = bytes(payload)
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise NotImplementedError(
@@ -1280,14 +1371,20 @@ def decode_video_frames(payload: bytes):
             raise NotImplementedError(
                 "AVI 'vids' stream format header missing"
             )
-        if compression != 0 or bitcount != 24:
+        if compression == _AVI_MJPG_FOURCC:
+            chunk = b[data_lo:data_hi]
+            if chunk[:2] != b"\xff\xd8":
+                raise ValueError("MJPEG AVI frame chunk lacks JPEG SOI")
+            yield frame_idx, _decode_jpeg(chunk, default_dht=True)
+        elif compression == 0 and bitcount == 24:
+            yield frame_idx, _dib_frame_to_gray(
+                b[data_lo:data_hi], w, h, bottom_up
+            )
+        else:
             raise NotImplementedError(
                 f"AVI biCompression={compression} biBitCount={bitcount}: "
-                "only uncompressed 24-bit frames decode here"
+                "only uncompressed 24-bit and MJPEG frames decode here"
             )
-        yield frame_idx, _dib_frame_to_gray(
-            b[data_lo:data_hi], w, h, bottom_up
-        )
         frame_idx += 1
 
 
@@ -1609,6 +1706,92 @@ _JPEG_STD_CHR_Q = np.array(
      24, 26, 56, 99, 99, 99, 99, 99,
      47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32, np.float64)
 
+# T.81 Annex K "typical" Huffman tables (Tables K.3-K.6).  These are
+# ALSO the tables the MJPEG/OpenDML spec mandates for AVI streams whose
+# frames omit DHT segments, so the decoder can fall back to them
+# (``_decode_jpeg(default_dht=True)``) and the encoder can emit
+# streams that stay decodable without embedded tables.  Validated
+# against libjpeg in tests (cjpeg emits exactly these by default:
+# strip its DHT, decode with the fallback, compare).
+# key: (table class 0=DC/1=AC, destination 0=luma/1=chroma)
+_JPEG_STD_HUFF = {
+    (0, 0): (  # Table K.3 - DC luminance
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        bytes(range(12)),
+    ),
+    (0, 1): (  # Table K.4 - DC chrominance
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        bytes(range(12)),
+    ),
+    (1, 0): (  # Table K.5 - AC luminance
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+        bytes([
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+            0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+            0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+            0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+            0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+            0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+            0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+            0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+            0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+            0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+            0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+            0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+            0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+            0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ]),
+    ),
+    (1, 1): (  # Table K.6 - AC chrominance
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+        bytes([
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+            0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+            0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+            0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+            0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+            0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+            0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+            0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+            0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+            0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+            0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+            0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+            0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ]),
+    ),
+}
+
+
+def _jpeg_enc_table(counts, vals) -> dict:
+    """Canonical Huffman (counts, values) -> {symbol: (code, nbits)}
+    for the encoder side (decode side is ``_jpeg_huff_table``)."""
+    enc = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            enc[vals[vi]] = (code, ln)
+            code += 1
+            vi += 1
+        code <<= 1
+    return enc
+
 
 class _JpegBitWriter:
     """MSB-first bit writer with 0xFF byte stuffing (T.81 B.1.1.5)."""
@@ -1644,6 +1827,8 @@ def _render_jpeg(
     quality: int = 75,
     restart_interval: int = 0,
     blocky: bool = False,
+    tables: str = "uniform",
+    emit_dht: bool = True,
 ) -> bytes:
     """Genuine baseline JPEG encoder (pure NumPy): forward DCT over
     Annex-K quant tables scaled by ``quality`` (libjpeg's public
@@ -1653,9 +1838,19 @@ def _render_jpeg(
     subsampling and restart markers.  ``blocky=True`` renders an
     image that is constant within each 8x8 tile, for which the only
     reconstruction error is DC quantization (tight analytic bound in
-    tests)."""
+    tests).
+
+    ``tables="annexk"`` entropy-codes with the T.81 Annex-K typical
+    Huffman tables instead of the uniform ones; ``emit_dht=False``
+    (valid only with Annex-K tables) omits the DHT segments entirely,
+    producing the MJPEG-style stream that decoders must handle via
+    the spec-default tables."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if tables not in ("uniform", "annexk"):
+        raise ValueError("tables must be 'uniform' or 'annexk'")
+    if not emit_dht and tables != "annexk":
+        raise ValueError("emit_dht=False requires the Annex-K tables")
     rng = np.random.default_rng(seed)
     if blocky:
         tiles = rng.integers(16, 240, size=(-(-h // 8), -(-w // 8), 3))
@@ -1710,15 +1905,21 @@ def _render_jpeg(
         qv = np.round(zzc / qzz).astype(np.int64)
         comp_blocks.append(qv)
 
-    # uniform canonical Huffman tables: 12 DC symbols at length 5,
-    # 255 AC symbols at length 9 (code == symbol; none all-ones;
-    # 0xFF = run 15/size 15 can never be emitted since size <= 10)
-    dc_counts = [0] * 16
-    dc_counts[4] = 12
-    dc_vals = bytes(range(12))
-    ac_counts = [0] * 16
-    ac_counts[8] = 255
-    ac_vals = bytes(range(255))
+    if tables == "annexk":
+        dht_specs = {k: _JPEG_STD_HUFF[k] for k in _JPEG_STD_HUFF}
+    else:
+        # uniform canonical Huffman tables: 12 DC symbols at length 5,
+        # 255 AC symbols at length 9 (code == symbol; none all-ones;
+        # 0xFF = run 15/size 15 can never be emitted since size <= 10)
+        dc_counts = [0] * 16
+        dc_counts[4] = 12
+        dc_vals = bytes(range(12))
+        ac_counts = [0] * 16
+        ac_counts[8] = 255
+        ac_vals = bytes(range(255))
+        uni = {(0, 0): (dc_counts, dc_vals), (1, 0): (ac_counts, ac_vals)}
+        dht_specs = {**uni, (0, 1): uni[0, 0], (1, 1): uni[1, 0]}
+    enc_tabs = {k: _jpeg_enc_table(*spec) for k, spec in dht_specs.items()}
 
     def seg(marker, payload):
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
@@ -1735,11 +1936,14 @@ def _render_jpeg(
     for ci, (_, _, ch, cv) in enumerate(planes):
         sof += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)
-    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals)
-    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_vals)
-    if nf > 1:
-        out += seg(0xC4, bytes([0x01]) + bytes(dc_counts) + dc_vals)
-        out += seg(0xC4, bytes([0x11]) + bytes(ac_counts) + ac_vals)
+    if emit_dht:
+        for (tc, th) in ((0, 0), (1, 0)) if nf == 1 else (
+            (0, 0), (1, 0), (0, 1), (1, 1)
+        ):
+            counts, vals = dht_specs[tc, th]
+            out += seg(
+                0xC4, bytes([(tc << 4) | th]) + bytes(counts) + vals
+            )
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([nf])
@@ -1767,12 +1971,14 @@ def _render_jpeg(
             preds = [0] * nf
         mx, my = mcu % mcus_x, mcu // mcus_x
         for ci, (_, _, ch, cv) in enumerate(planes):
+            dc_tab = enc_tabs[0, 0 if ci == 0 else 1]
+            ac_tab = enc_tabs[1, 0 if ci == 0 else 1]
             for by in range(cv):
                 for bx in range(ch):
                     zzq = comp_blocks[ci][my * cv + by, mx * ch + bx]
                     s, bits_v = coef_bits(int(zzq[0]) - preds[ci])
                     preds[ci] = int(zzq[0])
-                    bw.put(s, 5)           # DC: length-5 code == category
+                    bw.put(*dc_tab[s])
                     if s:
                         bw.put(bits_v, s)
                     run = 0
@@ -1782,14 +1988,14 @@ def _render_jpeg(
                             run += 1
                             continue
                         while run > 15:
-                            bw.put(0xF0, 9)  # ZRL
+                            bw.put(*ac_tab[0xF0])  # ZRL
                             run -= 16
                         s, bits_v = coef_bits(v)
-                        bw.put((run << 4) | s, 9)
+                        bw.put(*ac_tab[(run << 4) | s])
                         bw.put(bits_v, s)
                         run = 0
                     if run:
-                        bw.put(0x00, 9)      # EOB
+                        bw.put(*ac_tab[0x00])      # EOB
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"
@@ -1816,11 +2022,55 @@ def _render_wav(sr: int, n_samples: int, seed: int) -> bytes:
     return buf.getvalue()
 
 
+def _g711_encode(pcm16: np.ndarray, law: str) -> np.ndarray:
+    """int16 -> G.711 code bytes by nearest decoded value (exact
+    segment search is not needed for a synth renderer; the decode
+    table IS the contract)."""
+    tab = _g711_decode_table(law).astype(np.int64)
+    order = np.argsort(tab, kind="stable")
+    sv = tab[order]
+    x = pcm16.astype(np.int64)
+    idx = np.clip(np.searchsorted(sv, x), 1, 255)
+    lo = idx - 1
+    pick = np.where(np.abs(sv[idx] - x) < np.abs(x - sv[lo]), idx, lo)
+    return order[pick].astype(np.uint8)
+
+
+def _render_wav_g711(sr: int, n_samples: int, seed: int, law: str) -> bytes:
+    """Genuine G.711 WAV (format tag 7 mu-law / 6 A-law, 8 bits per
+    sample, mono) with the same deterministic test signal as
+    :func:`_render_wav`; includes the 'fact' chunk the WAV spec
+    requires for non-PCM formats."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 100.0 + (seed % 400)
+    sig = 0.5 * np.sin(2 * np.pi * freq * t / sr) + 0.1 * rng.standard_normal(
+        n_samples
+    )
+    pcm = np.clip(sig * (1 << 14), -(1 << 15), (1 << 15) - 1).astype(np.int16)
+    codes = _g711_encode(pcm, law)
+    tag = 7 if law == "ulaw" else 6
+    fmt = (
+        tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + int(sr).to_bytes(4, "little") + int(sr).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")  # cbSize
+    )
+    body = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"fact", n_samples.to_bytes(4, "little"))
+        + _riff_chunk(b"data", codes.tobytes())
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def video_frame_features(
     media: DataFrame, every_n: int = 10
 ) -> DataFrame:
-    """Sample every ``every_n``-th frame of uncompressed-AVI video
-    rows and REALLY decode it (:func:`decode_video_frames`):
+    """Sample every ``every_n``-th frame of AVI video rows
+    (uncompressed or MJPEG) and REALLY decode it
+    (:func:`decode_video_frames`):
     (media_id, frame_idx, mean_intensity, std_intensity) per sampled
     frame, Arrow-batched like the other extractors."""
 
@@ -1865,30 +2115,53 @@ def _riff_list(fourcc: bytes, *parts: bytes) -> bytes:
     return b"LIST" + len(body).to_bytes(4, "little") + body
 
 
-def _render_avi(w: int, h: int, n_frames: int, seed: int) -> bytes:
-    """Minimal uncompressed 24-bit AVI: RIFF(hdrl(avih, strl(strh
-    'vids'/'DIB ', strf BITMAPINFOHEADER), movi('00db' frames)."""
+def _render_avi(
+    w: int,
+    h: int,
+    n_frames: int,
+    seed: int,
+    *,
+    codec: str = "dib",
+    emit_dht: bool = True,
+) -> bytes:
+    """Minimal AVI: RIFF(hdrl(avih, strl(strh 'vids', strf
+    BITMAPINFOHEADER), movi(frames)).  ``codec="dib"`` writes
+    uncompressed 24-bit '00db' frames; ``codec="mjpg"`` writes one
+    genuine baseline JPEG per '00dc' chunk (Annex-K entropy tables;
+    ``emit_dht=False`` omits per-frame DHT the way hardware MJPEG
+    encoders do, exercising the spec-default-table decode path)."""
+    if codec not in ("dib", "mjpg"):
+        raise ValueError("codec must be 'dib' or 'mjpg'")
     rng = np.random.default_rng(seed)
     stride = ((24 * w + 31) // 32) * 4
 
     def u32(x):
         return int(x).to_bytes(4, "little")
 
+    mjpg = codec == "mjpg"
+    fcc = b"MJPG" if mjpg else b"DIB "
     avih = b"".join(
         [u32(40000), u32(0), u32(0), u32(0), u32(n_frames), u32(0),
          u32(1), u32(stride * h), u32(w), u32(h)] + [u32(0)] * 4
     )
-    strh = b"vids" + b"DIB " + b"".join(
+    strh = b"vids" + fcc + b"".join(
         [u32(0), u32(0), u32(0), u32(1), u32(25), u32(0),
          u32(n_frames), u32(stride * h), u32(0), u32(0)]
     ) + (0).to_bytes(8, "little")
     strf = b"".join(
         [u32(40), u32(w), u32(h), (1).to_bytes(2, "little"),
-         (24).to_bytes(2, "little"), u32(0), u32(stride * h),
+         (24).to_bytes(2, "little"),
+         u32(_AVI_MJPG_FOURCC if mjpg else 0), u32(stride * h),
          u32(2835), u32(2835), u32(0), u32(0)]
     )
     frames = []
-    for _ in range(n_frames):
+    for fi in range(n_frames):
+        if mjpg:
+            frames.append(_riff_chunk(b"00dc", _render_jpeg(
+                w, h, seed + 7919 * fi,
+                tables="annexk", emit_dht=emit_dht,
+            )))
+            continue
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         rows = np.zeros((h, stride), np.uint8)
         rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
@@ -1912,9 +2185,10 @@ def _render_avi(w: int, h: int, n_frames: int, seed: int) -> bytes:
 def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads are GENUINE encoded
     containers (rotating PGM/PPM/BMP/PNG/JPEG - incl. 4:2:0 with
-    restart markers and grayscale - for images, PCM WAV for audio,
-    uncompressed 24-bit AVI for video) so the real decoders run end
-    to end with no external data."""
+    restart markers and grayscale - plus GIF for images; PCM and
+    G.711 mu-law/A-law WAV for audio; uncompressed 24-bit and MJPEG
+    AVI - incl. DHT-less frames - for video) so the real decoders
+    run end to end with no external data."""
 
     def gen(batches):
         for pdf in batches:
@@ -1942,10 +2216,24 @@ def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
                     )[(i // 3) % 11]
                     payload = renderer(w, h, seed + i)
                 elif kind == "audio":
-                    payload = _render_wav(sr, 2000 + (i % 1000), seed + i)
+                    ns = 2000 + (i % 1000)
+                    payload = (
+                        lambda: _render_wav(sr, ns, seed + i),
+                        lambda: _render_wav_g711(sr, ns, seed + i, "ulaw"),
+                        lambda: _render_wav_g711(sr, ns, seed + i, "alaw"),
+                    )[(i // 3) % 3]()
                 else:
                     n_frames = 6 + (i % 5)
-                    payload = _render_avi(w, h, n_frames, seed + i)
+                    payload = (
+                        lambda: _render_avi(w, h, n_frames, seed + i),
+                        lambda: _render_avi(
+                            w, h, n_frames, seed + i, codec="mjpg"
+                        ),
+                        lambda: _render_avi(
+                            w, h, n_frames, seed + i, codec="mjpg",
+                            emit_dht=False,
+                        ),
+                    )[(i // 3) % 3]()
                 rows.append(
                     (
                         i, kind, payload, w, h,

@@ -1155,3 +1155,154 @@ def test_decode_jpeg_progressive_hand_built():
     img = decode_image(jpg)
     assert img.shape == (8, 8)
     assert (img == 138).all()
+
+
+def test_g711_decode_tables_match_audioop():
+    """The spec-derived G.711 expansion tables are bit-identical to
+    the classic Sun tables as exposed by stdlib audioop (present on
+    this Python; skipped where removed)."""
+    audioop = pytest.importorskip("audioop")
+
+    from pg_cjk_parser_spark.ops.multimodal import _g711_decode_table
+
+    all_codes = bytes(range(256))
+    for law, fn in (("ulaw", audioop.ulaw2lin), ("alaw", audioop.alaw2lin)):
+        ref = np.frombuffer(fn(all_codes, 2), "<i2")
+        assert np.array_equal(_g711_decode_table(law), ref), law
+
+
+def test_decode_audio_g711_wav():
+    """G.711 WAV decodes through the fallback parser: same duration
+    and sample rate as PCM, values within companding quantization of
+    the PCM rendering of the same signal."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _render_wav,
+        _render_wav_g711,
+        decode_audio,
+    )
+
+    ref, _ = decode_audio(_render_wav(8000, 1500, 21))
+    for law in ("ulaw", "alaw"):
+        s, sr = decode_audio(_render_wav_g711(8000, 1500, 21, law))
+        assert sr == 8000 and len(s) == 1500
+        # signal peaks ~0.56 FS -> worst segment step ~512/32768
+        assert np.abs(s - ref).max() < 0.02, law
+        assert np.abs(s - ref).max() > 0, law  # really re-quantized
+
+
+def test_decode_audio_g711_contracts():
+    """Malformed G.711 WAVs raise ValueError; non-G.711 compressed
+    tags still raise NotImplementedError; stereo mixes down."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _g711_decode_table,
+        _riff_chunk,
+        decode_audio,
+    )
+
+    def wav_of(tag, ch, sr, bits, data):
+        fmt = (
+            tag.to_bytes(2, "little") + ch.to_bytes(2, "little")
+            + sr.to_bytes(4, "little") + sr.to_bytes(4, "little")
+            + ch.to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        body = b"WAVE" + _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", data)
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    tab = _g711_decode_table("ulaw").astype(np.float64) / (1 << 15)
+    # stereo mixdown by mean, odd trailing byte dropped
+    s, sr = decode_audio(wav_of(7, 2, 8000, 8, bytes([0, 255, 10, 10, 3])))
+    assert sr == 8000 and len(s) == 2
+    assert s[0] == pytest.approx((tab[0] + tab[255]) / 2)
+    assert s[1] == pytest.approx(tab[10])
+    with pytest.raises(ValueError, match="8 bits"):
+        decode_audio(wav_of(7, 1, 8000, 16, b"\x00\x00"))
+    with pytest.raises(ValueError, match="sample_rate"):
+        decode_audio(wav_of(6, 1, 0, 8, b"\x00"))
+    with pytest.raises(NotImplementedError):  # MS ADPCM: still the ceiling
+        decode_audio(wav_of(2, 1, 8000, 4, b"\x00\x00"))
+
+
+def test_decode_video_mjpeg_avi():
+    """MJPEG AVI: every '00dc' chunk is a standalone baseline JPEG;
+    frames with and without embedded DHT decode identically (the
+    OpenDML default-table rule), and match decoding the same JPEG
+    standalone."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _decode_jpeg,
+        _render_avi,
+        _render_jpeg,
+        decode_video_frames,
+    )
+
+    w, h, n = 24, 18, 4
+    with_dht = [
+        f for _, f in decode_video_frames(
+            _render_avi(w, h, n, 99, codec="mjpg")
+        )
+    ]
+    no_dht = [
+        f for _, f in decode_video_frames(
+            _render_avi(w, h, n, 99, codec="mjpg", emit_dht=False)
+        )
+    ]
+    assert len(with_dht) == len(no_dht) == n
+    assert all(np.array_equal(a, b) for a, b in zip(with_dht, no_dht))
+    assert all(f.shape == (h, w) for f in with_dht)
+    ref0 = _decode_jpeg(_render_jpeg(w, h, 99, tables="annexk"))
+    assert np.array_equal(with_dht[0], ref0)
+    # frames differ over time (per-frame seeds)
+    assert not np.array_equal(with_dht[0], with_dht[1])
+
+    # a DHT-less stream really has no 0xFFC4 before the first scan
+    avi = _render_avi(w, h, 1, 99, codec="mjpg", emit_dht=False)
+    soi = avi.index(b"\xff\xd8")
+    assert b"\xff\xc4" not in avi[soi:avi.index(b"\xff\xda", soi)]
+
+    # frame chunk that is not a JPEG -> ValueError (supported codec,
+    # malformed payload)
+    bad = avi.replace(b"\xff\xd8", b"\x00\x00", 1)
+    with pytest.raises(ValueError, match="SOI"):
+        list(decode_video_frames(bad))
+
+
+def test_jpeg_default_dht_tables_match_libjpeg(jpeg_ref_helper):
+    """Validates the built-in Annex-K default Huffman tables against
+    libjpeg's: take a libjpeg-ENCODED stream (cjpeg emits exactly the
+    spec's typical tables), STRIP its DHT segments, and decode via
+    default_dht=True - pixel-identical to decoding the intact
+    stream."""
+    import subprocess
+
+    from pg_cjk_parser_spark.ops.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(3)
+    w, h = 40, 24
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for mode in ("gray", "444", "420"):
+        src = rgb[:, :, 0].tobytes() if mode == "gray" else rgb.tobytes()
+        p = subprocess.run(
+            [jpeg_ref_helper, "encode", str(w), str(h), "80", mode],
+            input=src,
+            capture_output=True,
+        )
+        assert p.returncode == 0, p.stderr
+        jpg = p.stdout
+
+        # strip every DHT segment (marker walk, entropy data untouched)
+        out = bytearray(b"\xff\xd8")
+        pos = 2
+        while True:
+            assert jpg[pos] == 0xFF
+            m = jpg[pos + 1]
+            ln = int.from_bytes(jpg[pos + 2:pos + 4], "big")
+            seg = jpg[pos:pos + 2 + ln]
+            pos += 2 + ln
+            if m != 0xC4:
+                out += seg
+            if m == 0xDA:
+                out += jpg[pos:]  # entropy-coded data + EOI
+                break
+        assert b"\xff\xc4" not in out[: out.index(b"\xff\xda")]
+        got = _decode_jpeg(bytes(out), default_dht=True)
+        want = _decode_jpeg(jpg)
+        assert np.array_equal(got, want), mode
