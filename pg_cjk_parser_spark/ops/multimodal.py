@@ -1194,6 +1194,74 @@ def _g711_decode_table(law: str) -> np.ndarray:
     return out.astype(np.int16)
 
 
+_IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int64
+)
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+], np.int64)
+
+
+def _ima_decode_nibbles(nibbles, pred: int, index: int):
+    """IMA ADPCM inner loop: 4-bit codes -> int16 samples given the
+    (predictor, step index) state; returns (samples list, pred,
+    index).  The quantizer-step reconstruction is the standard IMA
+    formula (diff = step/8 + bit-selected step/4, step/2, step)."""
+    out = []
+    for n in nibbles:
+        step = int(_IMA_STEP_TABLE[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        out.append(pred)
+        index = max(0, min(88, index + int(_IMA_INDEX_TABLE[n])))
+    return out, pred, index
+
+
+def _ima_adpcm_decode_block(block: bytes, ch: int):
+    """One IMA ADPCM WAV block -> per-channel int16 sample lists.
+    Block layout: a 4-byte header per channel (int16 predictor = the
+    block's FIRST output sample, uint8 step index, reserved), then
+    4-byte-per-channel interleaved nibble words, LOW nibble first."""
+    if len(block) < 4 * ch:
+        raise ValueError("truncated IMA ADPCM block header")
+    chans, preds, idxs = [], [], []
+    for c in range(ch):
+        pred = int.from_bytes(block[4 * c:4 * c + 2], "little", signed=True)
+        index = block[4 * c + 2]
+        if index > 88:
+            raise ValueError(f"IMA ADPCM step index {index} out of range")
+        chans.append([pred])
+        preds.append(pred)
+        idxs.append(index)
+    data = block[4 * ch:]
+    for word_i in range(0, len(data), 4 * ch):
+        for c in range(ch):
+            word = data[word_i + 4 * c:word_i + 4 * (c + 1)]
+            nibbles = []
+            for byte in word:
+                nibbles.append(byte & 0x0F)
+                nibbles.append(byte >> 4)
+            out, preds[c], idxs[c] = _ima_decode_nibbles(
+                nibbles, preds[c], idxs[c]
+            )
+            chans[c].extend(out)
+    return chans
+
+
 def _wav_chunks(b: bytes):
     """RIFF/WAVE chunk walk: yields (fourcc, payload) pairs; returns
     None entries implicitly by just not yielding on truncation."""
@@ -1206,24 +1274,27 @@ def _wav_chunks(b: bytes):
         i += 8 + size + (size & 1)
 
 
-def _decode_wav_g711(b: bytes):
+def _decode_wav_fallback(b: bytes):
     """Fallback for WAV formats the stdlib ``wave`` module rejects:
-    decodes G.711 mu-law (format tag 7) and A-law (tag 6) via the
-    expansion tables.  Returns ``(samples, sample_rate)`` or None if
-    this is not a RIFF/WAVE or not a G.711 format tag."""
+    G.711 mu-law (format tag 7) / A-law (tag 6) via the expansion
+    tables, and IMA ADPCM (tag 0x11) via the block decoder.  Returns
+    ``(samples, sample_rate)`` or None if this is not a RIFF/WAVE or
+    not one of those format tags."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     fmt = data = None
+    fact_len = None  # dwSampleLength: true per-channel sample count
     for fourcc, payload in _wav_chunks(b):
         if fourcc == b"fmt " and fmt is None:
             fmt = payload
         elif fourcc == b"data" and data is None:
             data = payload
+        elif fourcc == b"fact" and len(payload) >= 4:
+            fact_len = int.from_bytes(payload[:4], "little") or None
     if fmt is None or len(fmt) < 16 or data is None:
         return None
     tag = int.from_bytes(fmt[0:2], "little")
-    law = {6: "alaw", 7: "ulaw"}.get(tag)
-    if law is None:
+    if tag not in (6, 7, 0x11):
         return None
     ch = int.from_bytes(fmt[2:4], "little")
     sr = int.from_bytes(fmt[4:8], "little")
@@ -1232,6 +1303,35 @@ def _decode_wav_g711(b: bytes):
         raise ValueError(
             f"malformed WAV header: sample_rate={sr} channels={ch}"
         )
+    if tag == 0x11:
+        if bits != 4:
+            raise ValueError(
+                f"IMA ADPCM WAV must be 4 bits/sample, got {bits}"
+            )
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if block_align < 4 * ch:
+            raise ValueError(
+                f"IMA ADPCM block_align {block_align} below header size"
+            )
+        spb = None  # wSamplesPerBlock caps per-block output when present
+        if len(fmt) >= 20:
+            spb = int.from_bytes(fmt[18:20], "little") or None
+        chans = [[] for _ in range(ch)]
+        for lo in range(0, len(data), block_align):
+            block = _ima_adpcm_decode_block(data[lo:lo + block_align], ch)
+            for c in range(ch):
+                chans[c].extend(block[c][:spb])
+        # a truncated final word can leave channels unequal - clip;
+        # the fact chunk then bounds the true length (final-block
+        # nibble padding decodes to samples past dwSampleLength)
+        nmin = min(len(c) for c in chans)
+        if fact_len is not None:
+            nmin = min(nmin, fact_len)
+        pcm = np.asarray(
+            [c[:nmin] for c in chans], np.float64
+        ).mean(axis=0) / (1 << 15)
+        return pcm, sr
+    law = {6: "alaw", 7: "ulaw"}[tag]
     if bits != 8:
         raise ValueError(f"G.711 WAV must be 8 bits/sample, got {bits}")
     pcm = _g711_decode_table(law)[
@@ -1244,10 +1344,11 @@ def _decode_wav_g711(b: bytes):
 
 def decode_audio(payload: bytes):
     """REAL audio decode: PCM WAV via the stdlib ``wave`` module, plus
-    G.711 mu-law/A-law WAV (format tags 7/6, which ``wave`` rejects)
-    via the spec expansion tables.  Returns ``(samples, sample_rate)``
-    with samples as float64 in [-1, 1], channels mixed down by mean.
-    Other codecs raise ``NotImplementedError``."""
+    G.711 mu-law/A-law WAV (format tags 7/6) and IMA ADPCM WAV (tag
+    0x11), which ``wave`` rejects, via spec decoders.  Returns
+    ``(samples, sample_rate)`` with samples as float64 in [-1, 1],
+    channels mixed down by mean.  Other codecs raise
+    ``NotImplementedError``."""
     import io
     import wave
 
@@ -1258,12 +1359,12 @@ def decode_audio(payload: bytes):
             sw = wv.getsampwidth()
             raw = wv.readframes(wv.getnframes())
     except (wave.Error, EOFError) as ex:
-        g711 = _decode_wav_g711(bytes(payload))
-        if g711 is not None:
-            return g711
+        fb = _decode_wav_fallback(bytes(payload))
+        if fb is not None:
+            return fb
         raise NotImplementedError(
-            f"unsupported audio container ({ex}); only PCM and "
-            "G.711 WAV decode without codec libraries"
+            f"unsupported audio container ({ex}); only PCM, G.711, "
+            "and IMA ADPCM WAV decode without codec libraries"
         ) from ex
     if sr <= 0 or ch <= 0:
         # wave only validates these on WRITE; a crafted header can
@@ -2036,6 +2137,84 @@ def _g711_encode(pcm16: np.ndarray, law: str) -> np.ndarray:
     return order[pick].astype(np.uint8)
 
 
+def _ima_encode(pcm16: np.ndarray, index: int = 0) -> tuple:
+    """Standard IMA ADPCM encoder for one block (mono): int16 samples
+    -> (first sample, block step index, nibble codes for samples[1:],
+    final step index).  The caller carries the running step index
+    across blocks (that is what the block header is for - resetting
+    it would re-run the adaptation transient every block).  The
+    encoder mirrors the decoder's reconstruction so state never
+    drifts."""
+    pred = int(pcm16[0])
+    start_index = index
+    codes = []
+    for x in pcm16[1:]:
+        step = int(_IMA_STEP_TABLE[index])
+        diff = int(x) - pred
+        n = 0
+        if diff < 0:
+            n = 8
+            diff = -diff
+        if diff >= step:
+            n |= 4
+            diff -= step
+        if diff >= step >> 1:
+            n |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            n |= 1
+        # reconstruct exactly as the decoder will
+        out, pred, index = _ima_decode_nibbles([n], pred, index)
+        codes.append(n)
+    return int(pcm16[0]), start_index, codes, index
+
+
+def _render_wav_ima_adpcm(sr: int, n_samples: int, seed: int) -> bytes:
+    """Genuine IMA ADPCM WAV (format tag 0x11, mono): 4-byte block
+    header (predictor, step index) + low-nibble-first codes, 505
+    samples per 256-byte block, same deterministic signal as
+    :func:`_render_wav`."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 100.0 + (seed % 400)
+    sig = 0.5 * np.sin(2 * np.pi * freq * t / sr) + 0.1 * rng.standard_normal(
+        n_samples
+    )
+    pcm = np.clip(sig * (1 << 14), -(1 << 15), (1 << 15) - 1).astype(np.int16)
+    block_align = 256
+    spb = (block_align - 4) * 2 + 1  # 505
+    blocks = []
+    total = 0
+    run_index = 0
+    for lo in range(0, n_samples, spb):
+        chunk = pcm[lo:lo + spb]
+        first, index, codes, run_index = _ima_encode(chunk, run_index)
+        codes += [0] * ((block_align - 4) * 2 - len(codes))  # pad block
+        packed = bytes(
+            (codes[i] & 0x0F) | (codes[i + 1] << 4)
+            for i in range(0, len(codes), 2)
+        )
+        blocks.append(
+            int(first).to_bytes(2, "little", signed=True)
+            + bytes([index, 0]) + packed
+        )
+        total += len(chunk)
+    fmt = (
+        (0x11).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + int(sr).to_bytes(4, "little")
+        + (int(sr) * block_align // spb).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + spb.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"fact", total.to_bytes(4, "little"))
+        + _riff_chunk(b"data", b"".join(blocks))
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def _render_wav_g711(sr: int, n_samples: int, seed: int, law: str) -> bytes:
     """Genuine G.711 WAV (format tag 7 mu-law / 6 A-law, 8 bits per
     sample, mono) with the same deterministic test signal as
@@ -2185,10 +2364,10 @@ def _render_avi(
 def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads are GENUINE encoded
     containers (rotating PGM/PPM/BMP/PNG/JPEG - incl. 4:2:0 with
-    restart markers and grayscale - plus GIF for images; PCM and
-    G.711 mu-law/A-law WAV for audio; uncompressed 24-bit and MJPEG
-    AVI - incl. DHT-less frames - for video) so the real decoders
-    run end to end with no external data."""
+    restart markers and grayscale - plus GIF for images; PCM, G.711
+    mu-law/A-law, and IMA ADPCM WAV for audio; uncompressed 24-bit
+    and MJPEG AVI - incl. DHT-less frames - for video) so the real
+    decoders run end to end with no external data."""
 
     def gen(batches):
         for pdf in batches:
@@ -2221,7 +2400,8 @@ def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
                         lambda: _render_wav(sr, ns, seed + i),
                         lambda: _render_wav_g711(sr, ns, seed + i, "ulaw"),
                         lambda: _render_wav_g711(sr, ns, seed + i, "alaw"),
-                    )[(i // 3) % 3]()
+                        lambda: _render_wav_ima_adpcm(sr, ns, seed + i),
+                    )[(i // 3) % 4]()
                 else:
                     n_frames = 6 + (i % 5)
                     payload = (

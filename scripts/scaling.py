@@ -157,8 +157,15 @@ live-docs line (q_cjk_nobita_tombstoned with half the query's
 candidates deleted: overhead is VM-noise-level, ratio ~0.8-1.2x).
 Round 4 added ops_media_decode (3,000 genuine PGM/PPM/BMP/WAV/AVI
 payloads through the real pure-NumPy/stdlib decoders + feature
-extractors).  Like-for-like numbers (build docs/s, per-query medians)
-all improved or held; compare those, not the suite total.
+extractors).  Round 5 made that mix strictly HEAVIER: images rotate
+through 11 encodings (PNG incl. palette/16-bit/Adam7, baseline +
+progressive JPEG, GIF), audio rotates PCM / G.711 mu-law / A-law, and
+video rotates uncompressed AVI / MJPEG / DHT-less MJPEG - an MJPEG row
+full-JPEG-decodes 6-10 frames where a DIB row was a memcpy.  So
+ops_media_decode_rows_per_sec is NOT like-for-like across r4->r5; the
+per-payload decoders only gained work.  Like-for-like numbers (build
+docs/s, per-query medians) are the comparison basis, not the suite
+total.
 
 ## Scale ladder (same job, local[32]; corpus size x20)
 
