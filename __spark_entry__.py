@@ -3476,6 +3476,171 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over documents.  The corpus has no native PII, so
+    each doc is deterministically enriched with synthetic email/IP/
+    phone fragments keyed off doc_id (identically in the oracle);
+    the scrubber itself is the real JVM-side operator."""
+    from pg_cjk_parser_spark.ops.web import pii_scrub
+
+    d = F.col("doc_id")
+    enriched = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" contact user"), d, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" from 10."), d % 200, F.lit(".3."), d % 250
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" tel +1 555 "),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                    F.lit(" 999"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(enriched)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "text_scrubbed",
+    ).orderBy("doc_id")
+
+
+_PII_SCRUB_SQL = r"""
+WITH enr AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+       THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+       THEN ' from 10.' || (doc_id % 200) || '.3.' || (doc_id % 250)
+       ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+       THEN ' tel +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            || ' 999' ELSE '' END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS no_email
+  FROM enr
+),
+m2 AS (
+  SELECT doc_id, t, no_email,
+         regexp_replace(no_email, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>',
+                        'g') AS no_ip
+  FROM m
+)
+SELECT doc_id,
+  len(regexp_extract_all(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(no_email,
+      '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ips,
+  len(regexp_extract_all(no_ip,
+      '\+\d([ -]?\d){7,14}'))::BIGINT AS n_phones,
+  regexp_replace(no_ip, '\+\d([ -]?\d){7,14}', '<PHONE>',
+                 'g') AS text_scrubbed
+FROM m2 ORDER BY doc_id
+"""
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministic doc_id-keyed URLs (the
+    corpus has no URL column) covering the operator's whole contract:
+    case folding, default-port strip, fragment drop, tracking-param
+    removal, empty-path normalization."""
+    from pg_cjk_parser_spark.ops.web import canonicalize_urls
+
+    d = F.col("doc_id")
+    urls = _docs(spark, sf_dir).select(
+        d,
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("HTTP://Example"), d % 7, F.lit(".COM:80/Path"),
+                d % 13, F.lit("?utm_source=s&id="), d,
+                F.lit("&utm_campaign=c#f"), d,
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("https://Host"), d % 5, F.lit(".NET:443")),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("https://sub.Domain"), d % 3,
+                F.lit(".org:8443/a/b?gclid="), d, F.lit("&q="), d % 9,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://plain"), d % 11, F.lit(".com/p"), d % 17,
+                F.lit("/?fbclid="), d,
+            ),
+        )
+        .alias("url"),
+    )
+    return canonicalize_urls(urls).orderBy("doc_id")
+
+
+_URL_CANON_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 4 = 0 THEN 'HTTP://Example' || (doc_id % 7)
+        || '.COM:80/Path' || (doc_id % 13) || '?utm_source=s&id='
+        || doc_id || '&utm_campaign=c#f' || doc_id
+      WHEN doc_id % 4 = 1 THEN 'https://Host' || (doc_id % 5) || '.NET:443'
+      WHEN doc_id % 4 = 2 THEN 'https://sub.Domain' || (doc_id % 3)
+        || '.org:8443/a/b?gclid=' || doc_id || '&q=' || (doc_id % 9)
+      ELSE 'http://plain' || (doc_id % 11) || '.com/p' || (doc_id % 17)
+        || '/?fbclid=' || doc_id
+    END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
+  FROM u
+),
+canon AS (
+  SELECT doc_id, url, scheme, path,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+         ELSE hostport END AS host,
+    coalesce(array_to_string(
+      list_filter(string_split(query, '&'),
+        p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)')
+             AND p <> ''),
+      '&'), '') AS clean_q
+  FROM parts
+)
+SELECT doc_id, url,
+  scheme || '://' || host
+    || CASE WHEN path = '' THEN '/' ELSE path END
+    || CASE WHEN clean_q = '' THEN '' ELSE '?' || clean_q END AS canon_url
+FROM canon ORDER BY doc_id
+"""
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver hash-checks
     # only the FIRST 50 entries.  Positions 1-19 are the rows added in
@@ -3560,6 +3725,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_weighted": _q_ts_rank_weighted,
         "ts_rank_filtered": _q_ts_rank_filtered,
         "char_fingerprint": _q_fingerprint,
+        # --- round-5 additions (pytest-oracled; next round's gate
+        #     window rotates them into a driver certificate) ---
+        "pii_scrub": _q_pii_scrub,
+        "url_canonicalize": _q_url_canonicalize,
     }
 
 
@@ -3613,6 +3782,8 @@ def oracle_sql() -> dict[str, str]:
         "ts_rank_filtered": _TS_RANK_FILTERED_SQL,
         "trgm_pairs": _TRGM_PAIRS_SQL,
         "term_suggest": _TERM_SUGGEST_SQL,
+        "pii_scrub": _PII_SCRUB_SQL,
+        "url_canonicalize": _URL_CANON_SQL,
         "bm25_deleted": _BM25_DELETED_SQL,
         "bm25_upserted": _BM25_UPSERTED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,

@@ -425,3 +425,77 @@ def test_edit_distance_band_matches_full_dp():
                 assert _edit_distance_at_most(a, b, k) == (lev(a, b) <= k), (
                     a, b, k,
                 )
+
+
+def test_pii_scrub_edge_cases(spark):
+    """Email/IP/phone masking: boundaries, ordering (emails before
+    IPs before phones), idempotence (masks contain no digits)."""
+    from pg_cjk_parser_spark.ops.web import pii_scrub
+
+    rows = [
+        (1, "a.b+tag@sub.ex-ample.co.uk wrote from 192.168.0.1"),
+        (2, "+1 555 123 4567 and +447911123456 but not +12 (too short)"),
+        (3, "v1.2.3 release (not an IP), 10.0.0.1.5 has a dotted tail"),
+        (4, "bob@x.io@y.io double-at"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_ips == 1
+    assert "<EMAIL>" in out[1].text_scrubbed
+    assert "<IP>" in out[1].text_scrubbed
+    assert out[2].n_phones == 2
+    assert "+12 (too short)" in out[2].text_scrubbed
+    # version strings are not IPs; a 5-part dotted run matches its
+    # first 4 parts (syntactic scrubbing, documented behavior)
+    assert out[3].n_ips == 1
+    assert out[3].text_scrubbed.startswith("v1.2.3 release")
+    assert out[4].n_emails == 1  # greedy local part eats up to last TLD
+    assert out[5].n_emails == out[5].n_ips == out[5].n_phones == 0
+    # idempotent: masks contain no digits/@, so a second pass is a no-op
+    again = pii_scrub(
+        pii_scrub(df).select(
+            "doc_id", F.col("text_scrubbed").alias("text")
+        )
+    ).collect()
+    for r in again:
+        assert r.n_emails == r.n_ips == r.n_phones == 0
+
+
+def test_canonicalize_urls_edge_cases(spark):
+    """Scheme/host folding, default-port strip only for the matching
+    scheme, tracking-param removal incl. valueless params, fragment
+    drop, empty-path normalization."""
+    from pg_cjk_parser_spark.ops.web import canonicalize_urls
+
+    rows = [
+        (1, "HTTPS://A.B:80/x"),        # :80 is NOT default for https
+        (2, "http://a.b:8080/x"),       # non-default port preserved
+        (3, "http://A.B/Path?utm_source"),  # valueless tracking param
+        (4, "https://a.b/#only-frag"),
+        (5, "http://a.b?utm_a=1&utm_b=2"),  # all params tracked
+        (6, "http://a.b/p?z=1&a=2"),    # param ORDER preserved
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.canon_url for r in canonicalize_urls(df).collect()}
+    assert got[1] == "https://a.b:80/x"
+    assert got[2] == "http://a.b:8080/x"
+    assert got[3] == "http://a.b/Path"
+    assert got[4] == "https://a.b/"
+    assert got[5] == "http://a.b/"
+    assert got[6] == "http://a.b/p?z=1&a=2"
+
+
+def test_web_ops_plan_no_exchange(spark):
+    """Both web-hygiene operators must stay narrow projections: no
+    Exchange in the physical plan (at 100 TB they run at scan
+    speed)."""
+    from pg_cjk_parser_spark.ops.web import canonicalize_urls, pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "x bob@x.io", "http://A.B/p")],
+        "doc_id long, text string, url string",
+    )
+    for out in (pii_scrub(df), canonicalize_urls(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
