@@ -3611,32 +3611,41 @@ WITH u AS (
     END AS url
   FROM documents
 ),
-parts AS (
+auths AS (
   SELECT doc_id, url,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_extract(url,
-          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
     regexp_extract(url,
           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
     regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
   FROM u
 ),
+parts AS (
+  SELECT doc_id, url, scheme, path, query,
+    regexp_extract(auth, '^(.*@)', 1) AS userinfo,
+    lower(regexp_extract(auth, '([^@]*)$', 1)) AS hostport
+  FROM auths
+),
 canon AS (
-  SELECT doc_id, url, scheme, path,
+  SELECT doc_id, url, scheme, userinfo, path,
     CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
          ELSE hostport END AS host,
     coalesce(array_to_string(
       list_filter(string_split(query, '&'),
-        p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)')
+        p -> NOT regexp_matches(p,
+               '(?i)^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)')
              AND p <> ''),
       '&'), '') AS clean_q
   FROM parts
 )
 SELECT doc_id, url,
-  scheme || '://' || host
-    || CASE WHEN path = '' THEN '/' ELSE path END
-    || CASE WHEN clean_q = '' THEN '' ELSE '?' || clean_q END AS canon_url
+  CASE WHEN scheme = '' THEN url
+       ELSE scheme || '://' || userinfo || host
+         || CASE WHEN path = '' THEN '/' ELSE path END
+         || CASE WHEN clean_q = '' THEN '' ELSE '?' || clean_q END
+  END AS canon_url
 FROM canon ORDER BY doc_id
 """
 

@@ -25,14 +25,12 @@ PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 PII_PHONE_RE = r"\+\d([ -]?\d){7,14}"
 
 
-def pii_scrub(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Detect and mask common PII (emails, IPv4 addresses,
-    international-format phone numbers) in a text column:
-    (id, n_emails, n_ips, n_phones, text_scrubbed).
+    international-format phone numbers) in a text column, APPENDING
+    n_emails / n_ips / n_phones / text_scrubbed to the input frame
+    (all other columns pass through, so chaining with other hygiene
+    operators is order-independent).
 
     All three passes are JVM regexp built-ins over one scan - the
     plan is a narrow projection with no exchange, so at cluster scale
@@ -43,18 +41,20 @@ def pii_scrub(
     no_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
     no_ip = F.regexp_replace(no_email, PII_IPV4_RE, "<IP>")
     clean = F.regexp_replace(no_ip, PII_PHONE_RE, "<PHONE>")
-    return docs.select(
-        F.col(id_col),
-        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(no_email, F.lit(PII_IPV4_RE)).alias("n_ips"),
-        F.regexp_count(no_ip, F.lit(PII_PHONE_RE)).alias("n_phones"),
-        clean.alias("text_scrubbed"),
+    return docs.withColumns(
+        {
+            "n_emails": F.regexp_count(t, F.lit(PII_EMAIL_RE)),
+            "n_ips": F.regexp_count(no_email, F.lit(PII_IPV4_RE)),
+            "n_phones": F.regexp_count(no_ip, F.lit(PII_PHONE_RE)),
+            "text_scrubbed": clean,
+        }
     )
 
 
-# tracking parameters dropped during canonicalization (anchored match
-# against one 'key=value' query element)
-URL_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)"
+# tracking parameters dropped during canonicalization (anchored,
+# case-insensitive match against one 'key=value' query element -
+# UTM_SOURCE= must not escape dedup just by casing)
+URL_TRACKING_PARAM_RE = r"(?i)^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)"
 
 
 def canonicalize_urls(
@@ -64,12 +64,19 @@ def canonicalize_urls(
 ) -> DataFrame:
     """Append a canonicalized form of a URL column:
 
-    - scheme and host lowercased (path/query case preserved),
+    - scheme and host lowercased (userinfo/path/query case preserved
+      - RFC 3986 makes only scheme and host case-insensitive),
     - fragment removed,
     - default ports stripped (http:80, https:443),
     - tracking query parameters removed (utm_*, fbclid, gclid,
-      msclkid), dropping the '?' when none survive,
+      msclkid, case-insensitively), dropping the '?' when none
+      survive,
     - empty path normalized to '/'.
+
+    URLs without a ``scheme://`` prefix (schemeless, protocol-
+    relative, mailto:, malformed) pass through UNCHANGED - collapsing
+    them to a shared garbage key would wrongly merge unrelated
+    documents in canonical-key dedup.
 
     Composition of JVM regexp/higher-order-function built-ins - one
     narrow projection, no shuffle, whole-stage-codegen friendly - so
@@ -78,9 +85,9 @@ def canonicalize_urls(
     """
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    )
+    auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)  # case-SENSITIVE
+    hostport = F.lower(F.regexp_extract(auth, r"([^@]*)$", 1))
     host = (
         F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
         .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
@@ -93,13 +100,16 @@ def canonicalize_urls(
         lambda p: ~p.rlike(URL_TRACKING_PARAM_RE) & (p != ""),
     )
     clean_q = F.array_join(kept, "&")
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        F.when(path == "", F.lit("/")).otherwise(path),
-        F.when(clean_q == "", F.lit("")).otherwise(
-            F.concat(F.lit("?"), clean_q)
-        ),
+    canon = F.when(scheme == "", u).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            userinfo,
+            host,
+            F.when(path == "", F.lit("/")).otherwise(path),
+            F.when(clean_q == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), clean_q)
+            ),
+        )
     )
     return df.withColumn(out_col, canon)
