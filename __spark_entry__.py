@@ -3549,8 +3549,8 @@ SELECT doc_id,
   len(regexp_extract_all(no_email,
       '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ips,
   len(regexp_extract_all(no_ip,
-      '\+\d([ -]?\d){7,14}'))::BIGINT AS n_phones,
-  regexp_replace(no_ip, '\+\d([ -]?\d){7,14}', '<PHONE>',
+      '\+\d([ -]?\d){7,}'))::BIGINT AS n_phones,
+  regexp_replace(no_ip, '\+\d([ -]?\d){7,}', '<PHONE>',
                  'g') AS text_scrubbed
 FROM m2 ORDER BY doc_id
 """
@@ -3597,7 +3597,7 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _URL_CANON_SQL = r"""
-WITH u AS (
+WITH u0 AS (
   SELECT doc_id,
     CASE
       WHEN doc_id % 4 = 0 THEN 'HTTP://Example' || (doc_id % 7)
@@ -3610,6 +3610,11 @@ WITH u AS (
         || '/?fbclid=' || doc_id
     END AS url
   FROM documents
+),
+u AS (
+  -- WHATWG pre-parse: strip tab/CR/LF, trim (mirrors the operator)
+  SELECT doc_id, trim(regexp_replace(url, '[\t\r\n]', '', 'g')) AS url
+  FROM u0
 ),
 auths AS (
   SELECT doc_id, url,

@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, functions as F
 # cannot match inside earlier replacements.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
-PII_PHONE_RE = r"\+\d([ -]?\d){7,14}"
+# Unbounded tail on purpose: E.164 caps at 15 digits, but a bounded
+# quantifier would HALF-mask a longer run ('+1 234...678' ->
+# '<PHONE>678', leaking the tail next to the mask) and RE2 has no
+# lookahead to forbid a trailing digit - over-masking the whole run
+# is the safe failure mode for a scrubber.
+PII_PHONE_RE = r"\+\d([ -]?\d){7,}"
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -74,16 +79,23 @@ def canonicalize_urls(
     - empty path normalized to '/'.
 
     URLs without a ``scheme://`` prefix (schemeless, protocol-
-    relative, mailto:, malformed) pass through UNCHANGED - collapsing
-    them to a shared garbage key would wrongly merge unrelated
-    documents in canonical-key dedup.
+    relative, mailto:, malformed) pass through unchanged (modulo the
+    whitespace strip below) - collapsing them to a shared garbage key
+    would wrongly merge unrelated documents in canonical-key dedup.
 
     Composition of JVM regexp/higher-order-function built-ins - one
     narrow projection, no shuffle, whole-stage-codegen friendly - so
     canonical-URL dedup at corpus scale stays a scan + one groupBy on
     the canonical key.
+
+    Per the WHATWG URL parsing rule, ASCII tab/CR/LF are stripped and
+    the URL trimmed before parsing (scraped URLs carry them; they are
+    never valid URL codepoints).  This also keeps the '$'-anchored
+    patterns in the Java-regex/RE2 common subset: Java '$' matches
+    before a final newline, RE2 '$' only at end of text, so the
+    anchors only agree once no newline can reach the match window.
     """
-    u = F.col(url_col)
+    u = F.trim(F.regexp_replace(F.col(url_col), r"[\t\r\n]", ""))
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     userinfo = F.regexp_extract(auth, r"^(.*@)", 1)  # case-SENSITIVE

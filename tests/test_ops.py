@@ -436,6 +436,7 @@ def test_pii_scrub_edge_cases(spark):
         (1, "a.b+tag@sub.ex-ample.co.uk wrote from 192.168.0.1"),
         (0, "keep@me.com"),  # metadata columns must survive the scrub
         (2, "+1 555 123 4567 and +447911123456 but not +12 (too short)"),
+        (6, "overlong +1 23456789012345678 masks the WHOLE run"),
         (3, "v1.2.3 release (not an IP), 10.0.0.1.5 has a dotted tail"),
         (4, "bob@x.io@y.io double-at"),
         (5, ""),
@@ -455,8 +456,14 @@ def test_pii_scrub_edge_cases(spark):
     # first 4 parts (syntactic scrubbing, documented behavior)
     assert out[3].n_ips == 1
     assert out[3].text_scrubbed.startswith("v1.2.3 release")
-    assert out[4].n_emails == 1  # greedy local part eats up to last TLD
+    # leftmost match is bob@x.io (domain chars exclude "@");
+    # the residual "@y.io" SURVIVES - pinned so nobody assumes
+    # the scrubber consumed through the last TLD
+    assert out[4].n_emails == 1
+    assert out[4].text_scrubbed == "<EMAIL>@y.io double-at"
     assert out[5].n_emails == out[5].n_ips == out[5].n_phones == 0
+    # >15-digit run: fully masked, no digit tail leaks past the mask
+    assert out[6].text_scrubbed == "overlong <PHONE> masks the WHOLE run"
     # idempotent: masks contain no digits/@, so a second pass is a no-op
     again = pii_scrub(
         pii_scrub(df).select(
@@ -487,6 +494,8 @@ def test_canonicalize_urls_edge_cases(spark):
         (9, "www.example.com/page?x=1"),        # schemeless: pass through
         (10, "//cdn.host/a.js"),                # protocol-relative: ditto
         (11, "mailto:bob@x.io"),                # non-hierarchical: ditto
+        (12, "http://a.b:80/x\n"),              # scraped trailing newline
+        (13, " htt\np://a.b/x "),               # WHATWG tab/CR/LF strip
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r.doc_id: r.canon_url for r in canonicalize_urls(df).collect()}
@@ -501,6 +510,8 @@ def test_canonicalize_urls_edge_cases(spark):
     assert got[9] == "www.example.com/page?x=1"
     assert got[10] == "//cdn.host/a.js"
     assert got[11] == "mailto:bob@x.io"
+    assert got[12] == "http://a.b/x"  # newline stripped, then :80 dropped
+    assert got[13] == "http://a.b/x"  # interior newline stripped pre-parse
 
 
 def test_web_ops_plan_no_exchange(spark):
