@@ -1194,6 +1194,10 @@ def _g711_decode_table(law: str) -> np.ndarray:
     return out.astype(np.int16)
 
 
+# ~8.4M samples/channel (= ~17 min at 8 kHz) keeps the interpreted
+# per-nibble loop under ~10 s of executor CPU per payload
+_IMA_MAX_SAMPLES = 1 << 23
+
 _IMA_INDEX_TABLE = np.array(
     [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int64
 )
@@ -1313,6 +1317,14 @@ def _decode_wav_fallback(b: bytes):
             raise ValueError(
                 f"IMA ADPCM block_align {block_align} below header size"
             )
+        if 2 * len(data) > _IMA_MAX_SAMPLES * ch:
+            # the nibble loop is interpreted Python (~1 s per 1M
+            # samples): bound executor CPU like the image decoders'
+            # megapixel caps do
+            raise ValueError(
+                f"IMA ADPCM data decodes to > {_IMA_MAX_SAMPLES} "
+                "samples/channel, over the decoder resource bound"
+            )
         spb = None  # wSamplesPerBlock caps per-block output when present
         if len(fmt) >= 20:
             spb = int.from_bytes(fmt[18:20], "little") or None
@@ -1423,7 +1435,7 @@ def decode_video_frames(payload: bytes):
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise NotImplementedError(
             "unsupported video container (supported without codec "
-            "libraries: uncompressed 24-bit AVI)"
+            "libraries: uncompressed 24-bit AVI and MJPEG AVI)"
         )
 
     w = h = None
@@ -1472,6 +1484,12 @@ def decode_video_frames(payload: bytes):
             raise NotImplementedError(
                 "AVI 'vids' stream format header missing"
             )
+        if data_lo == data_hi:
+            # zero-size frame chunk: the standard dropped/duplicate-
+            # frame placeholder in capture AVIs - it occupies a frame
+            # slot (timing) but carries no image
+            frame_idx += 1
+            continue
         if compression == _AVI_MJPG_FOURCC:
             chunk = b[data_lo:data_hi]
             if chunk[:2] != b"\xff\xd8":
@@ -2103,17 +2121,27 @@ def _render_jpeg(
     return bytes(out)
 
 
-def _render_wav(sr: int, n_samples: int, seed: int) -> bytes:
-    import io
-    import wave
-
+def _synth_pcm16(sr: int, n_samples: int, seed: int) -> np.ndarray:
+    """Shared deterministic test signal (sine + noise) for ALL WAV
+    renderers: the codec-accuracy tests compare G.711/ADPCM decodes
+    against the PCM rendering of the same (sr, n, seed), so the
+    signal must stay bit-identical across renderers."""
     rng = np.random.default_rng(seed)
     t = np.arange(n_samples, dtype=np.float64)
     freq = 100.0 + (seed % 400)
     sig = 0.5 * np.sin(2 * np.pi * freq * t / sr) + 0.1 * rng.standard_normal(
         n_samples
     )
-    pcm = np.clip(sig * (1 << 14), -(1 << 15), (1 << 15) - 1).astype("<i2")
+    return np.clip(
+        sig * (1 << 14), -(1 << 15), (1 << 15) - 1
+    ).astype("<i2")
+
+
+def _render_wav(sr: int, n_samples: int, seed: int) -> bytes:
+    import io
+    import wave
+
+    pcm = _synth_pcm16(sr, n_samples, seed)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wv:
         wv.setnchannels(1)
@@ -2174,13 +2202,7 @@ def _render_wav_ima_adpcm(sr: int, n_samples: int, seed: int) -> bytes:
     header (predictor, step index) + low-nibble-first codes, 505
     samples per 256-byte block, same deterministic signal as
     :func:`_render_wav`."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(n_samples, dtype=np.float64)
-    freq = 100.0 + (seed % 400)
-    sig = 0.5 * np.sin(2 * np.pi * freq * t / sr) + 0.1 * rng.standard_normal(
-        n_samples
-    )
-    pcm = np.clip(sig * (1 << 14), -(1 << 15), (1 << 15) - 1).astype(np.int16)
+    pcm = _synth_pcm16(sr, n_samples, seed)
     block_align = 256
     spb = (block_align - 4) * 2 + 1  # 505
     blocks = []
@@ -2220,13 +2242,7 @@ def _render_wav_g711(sr: int, n_samples: int, seed: int, law: str) -> bytes:
     sample, mono) with the same deterministic test signal as
     :func:`_render_wav`; includes the 'fact' chunk the WAV spec
     requires for non-PCM formats."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(n_samples, dtype=np.float64)
-    freq = 100.0 + (seed % 400)
-    sig = 0.5 * np.sin(2 * np.pi * freq * t / sr) + 0.1 * rng.standard_normal(
-        n_samples
-    )
-    pcm = np.clip(sig * (1 << 14), -(1 << 15), (1 << 15) - 1).astype(np.int16)
+    pcm = _synth_pcm16(sr, n_samples, seed)
     codes = _g711_encode(pcm, law)
     tag = 7 if law == "ulaw" else 6
     fmt = (

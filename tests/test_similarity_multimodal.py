@@ -1380,3 +1380,133 @@ def test_decode_audio_ima_adpcm_contracts():
     # good stream still decodes after the contract probes
     s, _ = decode_audio(_render_wav_ima_adpcm(8000, 600, 3))
     assert len(s) == 600
+
+
+def test_ima_adpcm_stereo_decode():
+    """Stereo IMA ADPCM: per-channel 4-byte headers then 4-byte
+    interleaved nibble words; decode_audio mixes the two channels by
+    mean.  Expected values computed per channel via the (audioop-
+    verified) inner loop."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _ima_decode_nibbles,
+        _riff_chunk,
+        decode_audio,
+    )
+
+    rng = np.random.default_rng(11)
+    nib = {c: rng.integers(0, 16, 8).tolist() for c in (0, 1)}
+    hdr = {0: (1000, 5), 1: (-2000, 30)}
+
+    def pack(ns):
+        return bytes((ns[i] & 0x0F) | (ns[i + 1] << 4)
+                     for i in range(0, len(ns), 2))
+
+    block = b"".join(
+        int(hdr[c][0]).to_bytes(2, "little", signed=True)
+        + bytes([hdr[c][1], 0]) for c in (0, 1)
+    ) + pack(nib[0]) + pack(nib[1])  # one 4-byte word per channel
+    fmt = (
+        (0x11).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + len(block).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    )
+    body = b"WAVE" + _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", block)
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    got, sr = decode_audio(wav)
+    assert sr == 8000 and len(got) == 9  # header sample + 8 nibbles
+    exp = {}
+    for c in (0, 1):
+        out, _, _ = _ima_decode_nibbles(nib[c], *hdr[c])
+        exp[c] = [hdr[c][0]] + out
+    want = (np.array(exp[0], float) + np.array(exp[1], float)) / 2 / (1 << 15)
+    assert np.allclose(got, want)
+
+
+def test_ima_adpcm_resource_bound():
+    """A data chunk that would decode past the sample cap is rejected
+    before the interpreted nibble loop runs."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _IMA_MAX_SAMPLES,
+        _riff_chunk,
+        decode_audio,
+    )
+
+    # header claims a huge data chunk; only 8 real bytes follow, but
+    # the bound must trip on the DECLARED size before decoding
+    big = (_IMA_MAX_SAMPLES // 2) + 256
+    fmt = (
+        (0x11).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (256).to_bytes(2, "little") + (4).to_bytes(2, "little")
+    )
+    data = b"\x00" * 4096  # actual bytes present
+    body = (
+        b"WAVE" + _riff_chunk(b"fmt ", fmt)
+        + b"data" + big.to_bytes(4, "little") + data
+    )
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    # _wav_chunks clips payload to what is PRESENT; craft the present
+    # bytes over the cap instead to trip the bound for real
+    over = b"\x00" * (_IMA_MAX_SAMPLES // 2 + 512)
+    body2 = b"WAVE" + _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", over)
+    wav2 = b"RIFF" + len(body2).to_bytes(4, "little") + body2
+    with pytest.raises(ValueError, match="resource bound"):
+        decode_audio(wav2)
+    # the clipped small one just decodes
+    s, _ = decode_audio(wav)
+    assert len(s) > 0
+
+
+def test_mjpeg_avi_dropped_frame_placeholder():
+    """Zero-size frame chunks (the standard dropped-frame marker in
+    capture AVIs) are skipped but still consume a frame index."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _render_avi,
+        decode_video_frames,
+    )
+
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _render_jpeg,
+        _riff_chunk,
+        _riff_list,
+    )
+
+    def u32(x):
+        return int(x).to_bytes(4, "little")
+
+    w, h = 16, 12
+    strh = b"vids" + b"MJPG" + u32(0) * 10
+    strf = b"".join([
+        u32(40), u32(w), u32(h), (1).to_bytes(2, "little"),
+        (24).to_bytes(2, "little"),
+        u32(int.from_bytes(b"MJPG", "little")), u32(0), u32(0), u32(0),
+        u32(0), u32(0),
+    ])
+    jpgs = [
+        _render_jpeg(w, h, 7 + i, tables="annexk") for i in range(2)
+    ]
+    body = (
+        b"AVI "
+        + _riff_list(
+            b"hdrl",
+            _riff_chunk(b"avih", u32(0) * 14),
+            _riff_list(b"strl", _riff_chunk(b"strh", strh),
+                       _riff_chunk(b"strf", strf)),
+        )
+        + _riff_list(
+            b"movi",
+            _riff_chunk(b"00dc", b""),      # dropped-frame placeholder
+            _riff_chunk(b"00dc", jpgs[0]),
+            _riff_chunk(b"00dc", b""),      # another drop mid-stream
+            _riff_chunk(b"00dc", jpgs[1]),
+        )
+    )
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+    frames = list(decode_video_frames(avi))
+    assert [i for i, _ in frames] == [1, 3]  # drops consume slots 0, 2
+    from pg_cjk_parser_spark.ops.multimodal import _decode_jpeg
+
+    assert all(
+        np.array_equal(f, _decode_jpeg(j))
+        for (_, f), j in zip(frames, jpgs)
+    )
