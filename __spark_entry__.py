@@ -3556,16 +3556,16 @@ FROM m2 ORDER BY doc_id
 """
 
 
-def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization over deterministic doc_id-keyed URLs (the
-    corpus has no URL column) covering the operator's whole contract:
-    case folding, default-port strip, fragment drop, tracking-param
-    removal, empty-path normalization."""
-    from pg_cjk_parser_spark.ops.web import canonicalize_urls
-
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc_id-keyed URLs over documents (the corpus has
+    no URL column): 4 shapes covering case folding, default ports,
+    fragments, tracking params, bare hosts.  Shared by the
+    url_canonicalize and domain_stats rows; `_SYNTH_URL_CASE` is the
+    SQL twin."""
     d = F.col("doc_id")
-    urls = _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir).select(
         d,
+        F.col("n_chars"),
         F.when(
             d % 4 == 0,
             F.concat(
@@ -3593,12 +3593,9 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("url"),
     )
-    return canonicalize_urls(urls).orderBy("doc_id")
 
 
-_URL_CANON_SQL = r"""
-WITH u0 AS (
-  SELECT doc_id,
+_SYNTH_URL_CASE = """
     CASE
       WHEN doc_id % 4 = 0 THEN 'HTTP://Example' || (doc_id % 7)
         || '.COM:80/Path' || (doc_id % 13) || '?utm_source=s&id='
@@ -3608,7 +3605,26 @@ WITH u0 AS (
         || '.org:8443/a/b?gclid=' || doc_id || '&q=' || (doc_id % 9)
       ELSE 'http://plain' || (doc_id % 11) || '.com/p' || (doc_id % 17)
         || '/?fbclid=' || doc_id
-    END AS url
+    END"""
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministic doc_id-keyed URLs
+    covering the operator's whole contract: case folding,
+    default-port strip, fragment drop, tracking-param removal,
+    empty-path normalization."""
+    from pg_cjk_parser_spark.ops.web import canonicalize_urls
+
+    return (
+        canonicalize_urls(_synth_urls(spark, sf_dir))
+        .select("doc_id", "url", "canon_url")
+        .orderBy("doc_id")
+    )
+
+
+_URL_CANON_SQL = r"""
+WITH u0 AS (
+  SELECT doc_id, """ + _SYNTH_URL_CASE + r""" AS url
   FROM documents
 ),
 u AS (
@@ -3652,6 +3668,64 @@ SELECT doc_id, url,
          || CASE WHEN clean_q = '' THEN '' ELSE '?' || clean_q END
   END AS canon_url
 FROM canon ORDER BY doc_id
+"""
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain rollup over the synthetic URL corpus
+    (counts + distinct paths + exact char sum; the operator's
+    float avg_chars is excluded from the certified columns so the
+    compare stays integer-exact)."""
+    from pg_cjk_parser_spark.ops.web import domain_stats
+
+    return (
+        domain_stats(_synth_urls(spark, sf_dir), chars_col="n_chars")
+        .select(
+            "domain",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_paths").cast("long").alias("n_paths"),
+            F.col("sum_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
+_DOMAIN_STATS_SQL = r"""
+WITH u0 AS (
+  SELECT doc_id, n_chars, """ + _SYNTH_URL_CASE + r""" AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id, n_chars, url,
+    regexp_replace(
+      lower(regexp_extract(trim(regexp_replace(url, '[\t\r\n]', '', 'g')),
+        '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)),
+      '^www\.', '') AS host,
+    regexp_extract(trim(regexp_replace(url, '[\t\r\n]', '', 'g')),
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+  FROM u0
+),
+d AS (
+  SELECT doc_id, n_chars, path,
+    CASE
+      WHEN len(string_split(host, '.')) >= 3
+           AND length(string_split(host, '.')[-1]) = 2
+           AND string_split(host, '.')[-2] IN
+               ('co', 'com', 'net', 'org', 'gov', 'ac', 'edu')
+      THEN string_split(host, '.')[-3] || '.'
+           || string_split(host, '.')[-2] || '.'
+           || string_split(host, '.')[-1]
+      WHEN len(string_split(host, '.')) >= 2
+      THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+      ELSE host
+    END AS domain
+  FROM h
+)
+SELECT domain,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT path)::BIGINT AS n_paths,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM d GROUP BY domain ORDER BY domain
 """
 
 
@@ -3743,6 +3817,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     window rotates them into a driver certificate) ---
         "pii_scrub": _q_pii_scrub,
         "url_canonicalize": _q_url_canonicalize,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -3798,6 +3873,7 @@ def oracle_sql() -> dict[str, str]:
         "term_suggest": _TERM_SUGGEST_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "url_canonicalize": _URL_CANON_SQL,
+        "domain_stats": _DOMAIN_STATS_SQL,
         "bm25_deleted": _BM25_DELETED_SQL,
         "bm25_upserted": _BM25_UPSERTED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,

@@ -13,7 +13,7 @@ verbatim in the SQL oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # Patterns valid with identical semantics in Java regex and RE2.
 # Order of application matters: emails first (they contain digit runs
@@ -125,3 +125,79 @@ def canonicalize_urls(
         )
     )
     return df.withColumn(out_col, canon)
+
+
+# second-level labels that act like public suffixes under 2-letter
+# ccTLDs (example.co.uk -> example.co.uk, not co.uk).  The full
+# public-suffix list is external data; this closed generic-SLD set is
+# the standard offline approximation.
+_GENERIC_SLDS = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def registrable_domain(url: Column) -> Column:
+    """Registrable-domain heuristic from an absolute URL column:
+    lowercased host (userinfo/port stripped, leading 'www.' dropped),
+    reduced to its last two labels - or three when the TLD is a
+    2-letter country code and the label before it is a generic SLD
+    (co/com/net/org/gov/ac/edu), so 'a.example.co.uk' ->
+    'example.co.uk'.  Non-absolute URLs yield ''."""
+    host = F.regexp_replace(
+        F.lower(
+            F.regexp_extract(
+                url,
+                r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)",
+                1,
+            )
+        ),
+        r"^www\.",
+        "",
+    )
+    lab = F.split(host, r"\.")
+    n = F.size(lab)
+    last = F.element_at(lab, -1)
+    dom3 = F.concat_ws(
+        ".", F.element_at(lab, -3), F.element_at(lab, -2), last
+    )
+    dom2 = F.concat_ws(".", F.element_at(lab, -2), last)
+    return (
+        F.when(
+            (n >= 3)
+            & (F.length(last) == 2)
+            & F.element_at(lab, -2).isin(*_GENERIC_SLDS),
+            dom3,
+        )
+        .when(n >= 2, dom2)
+        .otherwise(host)
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    chars_col: str | None = None,
+) -> DataFrame:
+    """Per-domain corpus rollup - the aggregation behind domain-level
+    quality filtering (FineWeb/RefinedWeb-style allow/deny decisions
+    are made per registrable domain, not per page):
+    (domain, n_docs[, n_paths, avg_chars]).
+
+    ONE hash aggregation on the domain key (partial/map-side combine
+    applies, so the shuffle carries one row per domain per task, not
+    per document); domain cardinality is tiny relative to docs, so at
+    100 TB this is a scan + a near-broadcast-sized exchange.
+    """
+    u = F.trim(F.regexp_replace(F.col(url_col), r"[\t\r\n]", ""))
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if chars_col is not None:
+        aggs += [
+            F.countDistinct(path.alias("p")).alias("n_paths"),
+            F.sum(F.col(chars_col)).alias("sum_chars"),
+            F.round(F.avg(F.col(chars_col)), 4).alias("avg_chars"),
+        ]
+    return (
+        df.groupBy(registrable_domain(u).alias("domain"))
+        .agg(*aggs)
+    )

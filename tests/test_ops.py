@@ -527,3 +527,56 @@ def test_web_ops_plan_no_exchange(spark):
     for out in (pii_scrub(df), canonicalize_urls(df)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_registrable_domain_heuristic(spark):
+    """Generic-SLD handling (co.uk), www strip, userinfo/port strip,
+    single-label hosts, non-absolute URLs."""
+    from pg_cjk_parser_spark.ops.web import registrable_domain
+
+    rows = [
+        (1, "http://a.example.co.uk/x"),
+        (2, "https://WWW.Example.COM/y"),
+        (3, "http://user:pw@deep.sub.host.org:8080/z"),
+        (4, "http://localhost/x"),
+        (5, "not a url"),
+        (6, "http://www.gov.uk/"),     # 2 labels after www strip
+        (7, "http://cdn.co/x"),        # 'co' is the TLD here, 2 labels
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: r.dom
+        for r in df.select(
+            "doc_id", registrable_domain(F.col("url")).alias("dom")
+        ).collect()
+    }
+    assert got[1] == "example.co.uk"
+    assert got[2] == "example.com"
+    assert got[3] == "host.org"
+    assert got[4] == "localhost"
+    assert got[5] == ""
+    assert got[6] == "gov.uk"
+    assert got[7] == "cdn.co"
+
+
+def test_domain_stats_rollup(spark):
+    """Counts, distinct paths, and char sums roll up per registrable
+    domain; plan has exactly one aggregation exchange."""
+    from pg_cjk_parser_spark.ops.web import domain_stats
+
+    rows = [
+        (1, "http://www.a.com/p1", 10),
+        (2, "http://A.COM/p1", 20),       # same domain+path, diff case host
+        (3, "https://sub.a.com/p2", 30),
+        (4, "http://b.net/q", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    got = {r.domain: r for r in domain_stats(df, chars_col="n_chars").collect()}
+    assert got["a.com"].n_docs == 3
+    assert got["a.com"].n_paths == 2
+    assert got["a.com"].sum_chars == 60
+    assert got["a.com"].avg_chars == 20.0
+    assert got["b.net"].n_docs == 1
+    plan = domain_stats(df, chars_col="n_chars")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # distinct-agg expand + final agg
