@@ -456,6 +456,35 @@ def main() -> None:
                 synth_n / queries[name], 1
             )
 
+        # web-hygiene suite over the same corpus: PII scrub (3 chained
+        # JVM regexp passes forced via aggregates - a bare count()
+        # would let Catalyst prune the computed columns) + URL
+        # canonicalize -> per-domain rollup on the corpus's real urls
+        from pg_cjk_parser_spark.ops.web import (
+            canonicalize_urls,
+            domain_stats,
+            pii_scrub,
+        )
+
+        timed(
+            "ops_web_hygiene",
+            lambda: (
+                pii_scrub(corpus).agg(
+                    F.sum("n_emails"),
+                    F.sum("n_ips"),
+                    F.sum("n_phones"),
+                    F.sum(F.length("text_scrubbed")),
+                ).collect(),
+                domain_stats(
+                    canonicalize_urls(corpus), url_col="canon_url"
+                ).count(),
+            ),
+            reset=_noop,
+        )
+        extras["ops_web_hygiene_docs_per_sec"] = round(
+            synth_n / queries["ops_web_hygiene"], 1
+        )
+
         # real multimodal decode throughput: genuine PGM/PPM/BMP/WAV/
         # AVI payloads (materialized untimed, like the corpus) through
         # the pure-NumPy/stdlib decoders + Arrow feature extractors
