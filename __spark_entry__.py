@@ -3695,19 +3695,35 @@ WITH u0 AS (
   SELECT doc_id, n_chars, """ + _SYNTH_URL_CASE + r""" AS url
   FROM documents
 ),
-h AS (
-  SELECT doc_id, n_chars, url,
-    regexp_replace(
-      lower(regexp_extract(trim(regexp_replace(url, '[\t\r\n]', '', 'g')),
-        '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)),
-      '^www\.', '') AS host,
-    regexp_extract(trim(regexp_replace(url, '[\t\r\n]', '', 'g')),
-        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+pre AS (
+  SELECT doc_id, n_chars,
+    trim(regexp_replace(coalesce(url, ''), '[\t\r\n]', '', 'g')) AS uc
   FROM u0
+),
+hp AS (
+  SELECT doc_id, n_chars,
+    regexp_extract(uc,
+      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1) AS hp,
+    regexp_extract(uc,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+  FROM pre
+),
+hosts AS (
+  SELECT doc_id, n_chars, path,
+    CASE WHEN hp LIKE '[%'
+         THEN lower(regexp_extract(hp, '^(\[[^\]]*\])', 1))
+         ELSE regexp_replace(regexp_replace(
+                lower(regexp_replace(hp, ':\d*$', '')), '\.$', ''),
+              '^www\.', '')
+    END AS host
+  FROM hp
 ),
 d AS (
   SELECT doc_id, n_chars, path,
     CASE
+      WHEN host LIKE '[%'
+           OR regexp_matches(host, '^(\d{1,3}\.){3}\d{1,3}$')
+      THEN host
       WHEN len(string_split(host, '.')) >= 3
            AND length(string_split(host, '.')[-1]) = 2
            AND string_split(host, '.')[-2] IN
@@ -3719,7 +3735,7 @@ d AS (
       THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
       ELSE host
     END AS domain
-  FROM h
+  FROM hosts
 )
 SELECT domain,
        count(*)::BIGINT AS n_docs,

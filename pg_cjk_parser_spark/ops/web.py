@@ -56,6 +56,23 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# -- shared URL-parsing pieces (single source of truth: the three
+# operators and their DuckDB oracle twins must not drift apart) --
+# WHATWG pre-parse: tab/CR/LF stripped anywhere, then trim
+_URL_WS_RE = r"[\t\r\n]"
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+# authority with userinfo dropped: host[:port], or [v6literal][:port]
+_URL_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)"
+_IPV4_HOST_RE = r"^(\d{1,3}\.){3}\d{1,3}$"
+
+
+def _url_preparse(col: Column) -> Column:
+    """NULL-safe WHATWG pre-parse (strip tab/CR/LF, trim)."""
+    return F.trim(F.regexp_replace(F.coalesce(col, F.lit("")), _URL_WS_RE, ""))
+
+
 # tracking parameters dropped during canonicalization (anchored,
 # case-insensitive match against one 'key=value' query element -
 # UTM_SOURCE= must not escape dedup just by casing)
@@ -95,9 +112,9 @@ def canonicalize_urls(
     before a final newline, RE2 '$' only at end of text, so the
     anchors only agree once no newline can reach the match window.
     """
-    u = F.trim(F.regexp_replace(F.col(url_col), r"[\t\r\n]", ""))
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    u = _url_preparse(F.col(url_col))
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    auth = F.regexp_extract(u, _URL_AUTH_RE, 1)
     userinfo = F.regexp_extract(auth, r"^(.*@)", 1)  # case-SENSITIVE
     hostport = F.lower(F.regexp_extract(auth, r"([^@]*)$", 1))
     host = (
@@ -105,7 +122,7 @@ def canonicalize_urls(
         .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
         .otherwise(hostport)
     )
-    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_extract(u, _URL_PATH_RE, 1)
     query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
     kept = F.filter(
         F.split(query, "&"),
@@ -136,21 +153,31 @@ _GENERIC_SLDS = ("co", "com", "net", "org", "gov", "ac", "edu")
 
 def registrable_domain(url: Column) -> Column:
     """Registrable-domain heuristic from an absolute URL column:
-    lowercased host (userinfo/port stripped, leading 'www.' dropped),
-    reduced to its last two labels - or three when the TLD is a
-    2-letter country code and the label before it is a generic SLD
+    WHATWG-stripped, lowercased host (userinfo/port stripped,
+    trailing FQDN dot and leading 'www.' dropped), reduced to its
+    last two labels - or three when the TLD is a 2-letter country
+    code and the label before it is a generic SLD
     (co/com/net/org/gov/ac/edu), so 'a.example.co.uk' ->
-    'example.co.uk'.  Non-absolute URLs yield ''."""
-    host = F.regexp_replace(
-        F.lower(
-            F.regexp_extract(
-                url,
-                r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)",
-                1,
-            )
-        ),
-        r"^www\.",
-        "",
+    'example.co.uk'.
+
+    IP-literal hosts (IPv4 dotted quads, bracketed IPv6) are their
+    OWN keys - label-splitting an IP would merge unrelated servers
+    that share trailing octets under one garbage domain.
+    Non-absolute and NULL URLs yield ''."""
+    u = _url_preparse(url)
+    hp = F.regexp_extract(u, _URL_HOSTPORT_RE, 1)
+    bracketed = hp.startswith("[")
+    host = F.when(
+        bracketed, F.lower(F.regexp_extract(hp, r"^(\[[^\]]*\])", 1))
+    ).otherwise(
+        # strip :port, lower, drop trailing FQDN dot, drop www.
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_replace(hp, r":\d*$", "")), r"\.$", ""
+            ),
+            r"^www\.",
+            "",
+        )
     )
     lab = F.split(host, r"\.")
     n = F.size(lab)
@@ -160,7 +187,8 @@ def registrable_domain(url: Column) -> Column:
     )
     dom2 = F.concat_ws(".", F.element_at(lab, -2), last)
     return (
-        F.when(
+        F.when(bracketed | host.rlike(_IPV4_HOST_RE), host)
+        .when(
             (n >= 3)
             & (F.length(last) == 2)
             & F.element_at(lab, -2).isin(*_GENERIC_SLDS),
@@ -175,29 +203,37 @@ def domain_stats(
     df: DataFrame,
     url_col: str = "url",
     chars_col: str | None = None,
+    approx_paths: bool = False,
 ) -> DataFrame:
     """Per-domain corpus rollup - the aggregation behind domain-level
     quality filtering (FineWeb/RefinedWeb-style allow/deny decisions
     are made per registrable domain, not per page):
-    (domain, n_docs[, n_paths, avg_chars]).
+    (domain, n_docs[, n_paths, sum_chars, avg_chars]).
 
-    ONE hash aggregation on the domain key (partial/map-side combine
-    applies, so the shuffle carries one row per domain per task, not
-    per document); domain cardinality is tiny relative to docs, so at
-    100 TB this is a scan + a near-broadcast-sized exchange.
+    Scale contract, honestly: n_docs/sum_chars aggregate with
+    map-side combine, so that exchange is domain-cardinality.  The
+    EXACT n_paths distinct count, however, shuffles one row per
+    distinct (domain, path) pair - at web scale that is roughly one
+    per URL, i.e. corpus-sized.  Pass ``approx_paths=True`` to use
+    approx_count_distinct (HLL) instead, which folds n_paths into the
+    same single domain-cardinality exchange; the exact default exists
+    for the oracle-checked driver row at test scale.
     """
-    u = F.trim(F.regexp_replace(F.col(url_col), r"[\t\r\n]", ""))
-    path = F.regexp_extract(
-        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
-    )
+    u = _url_preparse(F.col(url_col))
+    path = F.regexp_extract(u, _URL_PATH_RE, 1)
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if chars_col is not None:
+        paths_agg = (
+            F.approx_count_distinct(path.alias("p"))
+            if approx_paths
+            else F.countDistinct(path.alias("p"))
+        )
         aggs += [
-            F.countDistinct(path.alias("p")).alias("n_paths"),
+            paths_agg.alias("n_paths"),
             F.sum(F.col(chars_col)).alias("sum_chars"),
             F.round(F.avg(F.col(chars_col)), 4).alias("avg_chars"),
         ]
     return (
-        df.groupBy(registrable_domain(u).alias("domain"))
+        df.groupBy(registrable_domain(F.col(url_col)).alias("domain"))
         .agg(*aggs)
     )

@@ -542,6 +542,11 @@ def test_registrable_domain_heuristic(spark):
         (5, "not a url"),
         (6, "http://www.gov.uk/"),     # 2 labels after www strip
         (7, "http://cdn.co/x"),        # 'co' is the TLD here, 2 labels
+        (8, "http://example.com./x"),  # FQDN trailing dot
+        (9, "http://192.168.0.1:8080/x"),   # IPv4 literal: own key
+        (10, "http://[2001:DB8::1]:443/x"),  # IPv6 literal: own key
+        (11, None),                    # NULL url
+        (12, "  http://pad.example.com/x"),  # leading whitespace
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {
@@ -557,6 +562,11 @@ def test_registrable_domain_heuristic(spark):
     assert got[5] == ""
     assert got[6] == "gov.uk"
     assert got[7] == "cdn.co"
+    assert got[8] == "example.com"
+    assert got[9] == "192.168.0.1"
+    assert got[10] == "[2001:db8::1]"
+    assert got[11] == ""
+    assert got[12] == "example.com"
 
 
 def test_domain_stats_rollup(spark):
@@ -577,6 +587,18 @@ def test_domain_stats_rollup(spark):
     assert got["a.com"].sum_chars == 60
     assert got["a.com"].avg_chars == 20.0
     assert got["b.net"].n_docs == 1
+    # HLL path: one exchange fewer, counts still exact at this scale
+    approx = {
+        r.domain: r
+        for r in domain_stats(
+            df, chars_col="n_chars", approx_paths=True
+        ).collect()
+    }
+    assert approx["a.com"].n_docs == 3 and approx["a.com"].n_paths == 2
+    aplan = domain_stats(
+        df, chars_col="n_chars", approx_paths=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert aplan.count("Exchange") == 1  # single domain-keyed shuffle
     plan = domain_stats(df, chars_col="n_chars")._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange") <= 2  # distinct-agg expand + final agg
