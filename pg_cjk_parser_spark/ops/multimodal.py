@@ -1280,10 +1280,11 @@ def _wav_chunks(b: bytes):
 
 def _decode_wav_fallback(b: bytes):
     """Fallback for WAV formats the stdlib ``wave`` module rejects:
-    G.711 mu-law (format tag 7) / A-law (tag 6) via the expansion
-    tables, and IMA ADPCM (tag 0x11) via the block decoder.  Returns
-    ``(samples, sample_rate)`` or None if this is not a RIFF/WAVE or
-    not one of those format tags."""
+    IEEE-float (format tag 3, 32/64-bit), G.711 mu-law (tag 7) /
+    A-law (tag 6) via the expansion tables, and IMA ADPCM (tag 0x11)
+    via the block decoder.  Returns ``(samples, sample_rate)`` or
+    None if this is not a RIFF/WAVE or not one of those format
+    tags."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     fmt = data = None
@@ -1298,7 +1299,7 @@ def _decode_wav_fallback(b: bytes):
     if fmt is None or len(fmt) < 16 or data is None:
         return None
     tag = int.from_bytes(fmt[0:2], "little")
-    if tag not in (6, 7, 0x11):
+    if tag not in (3, 6, 7, 0x11):
         return None
     ch = int.from_bytes(fmt[2:4], "little")
     sr = int.from_bytes(fmt[4:8], "little")
@@ -1307,6 +1308,24 @@ def _decode_wav_fallback(b: bytes):
         raise ValueError(
             f"malformed WAV header: sample_rate={sr} channels={ch}"
         )
+    if tag == 3:  # WAVE_FORMAT_IEEE_FLOAT
+        if bits == 32:
+            pcm = np.frombuffer(
+                data[: len(data) - len(data) % 4], "<f4"
+            ).astype(np.float64)
+        elif bits == 64:
+            pcm = np.frombuffer(
+                data[: len(data) - len(data) % 8], "<f8"
+            ).astype(np.float64)
+        else:
+            raise ValueError(
+                f"IEEE-float WAV must be 32 or 64 bits/sample, got {bits}"
+            )
+        # nominal float range is [-1, 1]; clamp non-finite/overdriven
+        pcm = np.clip(np.nan_to_num(pcm), -1.0, 1.0)
+        if ch > 1:
+            pcm = pcm[: len(pcm) - len(pcm) % ch].reshape(-1, ch).mean(axis=1)
+        return pcm, sr
     if tag == 0x11:
         if bits != 4:
             raise ValueError(
@@ -1355,9 +1374,10 @@ def _decode_wav_fallback(b: bytes):
 
 
 def decode_audio(payload: bytes):
-    """REAL audio decode: PCM WAV via the stdlib ``wave`` module, plus
-    G.711 mu-law/A-law WAV (format tags 7/6) and IMA ADPCM WAV (tag
-    0x11), which ``wave`` rejects, via spec decoders.  Returns
+    """REAL audio decode: integer PCM WAV (8/16/24/32-bit) via the
+    stdlib ``wave`` module, plus IEEE-float WAV (format tag 3),
+    G.711 mu-law/A-law WAV (tags 7/6), and IMA ADPCM WAV (tag 0x11),
+    which ``wave`` rejects, via spec decoders.  Returns
     ``(samples, sample_rate)`` with samples as float64 in [-1, 1],
     channels mixed down by mean.  Other codecs raise
     ``NotImplementedError``."""
@@ -1388,6 +1408,13 @@ def decode_audio(payload: bytes):
         pcm = np.frombuffer(raw, "<i2").astype(np.float64) / (1 << 15)
     elif sw == 1:  # WAV 8-bit is unsigned
         pcm = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 128
+    elif sw == 3:  # 24-bit packed little-endian
+        raw = raw[: len(raw) - len(raw) % 3]
+        b3 = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        pcm = (v - ((v & (1 << 23)) << 1)).astype(np.float64) / (1 << 23)
+    elif sw == 4:
+        pcm = np.frombuffer(raw, "<i4").astype(np.float64) / (1 << 31)
     else:
         raise NotImplementedError(f"{8 * sw}-bit PCM WAV not supported")
     if ch > 1:

@@ -602,3 +602,39 @@ def test_domain_stats_rollup(spark):
     plan = domain_stats(df, chars_col="n_chars")._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange") <= 2  # distinct-agg expand + final agg
+
+
+def test_web_ops_streaming_compatible(spark, tmp_path):
+    """The hygiene operators are stateless projections, so they run
+    unchanged on a streaming DataFrame (readStream -> memory sink)
+    and emit the same rows as the batch path."""
+    from pg_cjk_parser_spark.ops.web import canonicalize_urls, pii_scrub
+
+    batch = spark.createDataFrame(
+        [
+            (1, "mail bob@x.io now", "HTTP://A.B:80/p?utm_source=1&q=2"),
+            (2, "no pii", "https://C.D:443"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = canonicalize_urls(pii_scrub(stream))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("web_hygiene_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.doc_id: r
+        for r in spark.sql("SELECT * FROM web_hygiene_stream").collect()
+    }
+    want = {r.doc_id: r for r in canonicalize_urls(pii_scrub(batch)).collect()}
+    assert len(got) == 2
+    for k in got:
+        assert got[k].asDict() == want[k].asDict()
+    assert got[1].text_scrubbed == "mail <EMAIL> now"
+    assert got[1].canon_url == "http://a.b/p?q=2"

@@ -1510,3 +1510,61 @@ def test_mjpeg_avi_dropped_frame_placeholder():
         np.array_equal(f, _decode_jpeg(j))
         for (_, f), j in zip(frames, jpgs)
     )
+
+
+def test_decode_audio_deep_pcm_and_float_wav():
+    """24/32-bit integer PCM (via wave) and IEEE-float WAV (tag 3,
+    via the fallback parser) decode with exact sample values."""
+    import io
+    import wave
+
+    from pg_cjk_parser_spark.ops.multimodal import _riff_chunk, decode_audio
+
+    def pcm_wav(sw, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(sw)
+            wv.setframerate(8000)
+            wv.writeframes(frames)
+        return buf.getvalue()
+
+    # 24-bit: values (+2^23-1, -2^23, +1) packed little-endian
+    frames24 = (
+        (0x7FFFFF).to_bytes(3, "little")
+        + (0x800000).to_bytes(3, "little")  # -2^23 in two's complement
+        + (1).to_bytes(3, "little")
+    )
+    s, sr = decode_audio(pcm_wav(3, frames24))
+    assert sr == 8000
+    assert s.tolist() == [(2**23 - 1) / 2**23, -1.0, 1 / 2**23]
+
+    # 32-bit int
+    frames32 = np.array([2**31 - 1, -(2**31), 0], "<i4").tobytes()
+    s32, _ = decode_audio(pcm_wav(4, frames32))
+    assert s32.tolist() == [(2**31 - 1) / 2**31, -1.0, 0.0]
+
+    # IEEE float32 (tag 3), stereo mixdown + overdrive clamp
+    def float_wav(bits, ch, data):
+        fmt = (
+            (3).to_bytes(2, "little") + ch.to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+            + (4 * ch).to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        body = (
+            b"WAVE" + _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", data)
+        )
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    f32 = np.array([0.5, -0.25, 1.5, float("nan")], "<f4").tobytes()
+    sf_, _ = decode_audio(float_wav(32, 1, f32))
+    assert sf_.tolist() == [0.5, -0.25, 1.0, 0.0]  # clamp + nan->0
+    st, _ = decode_audio(
+        float_wav(32, 2, np.array([0.5, -0.5, 0.25, 0.25], "<f4").tobytes())
+    )
+    assert st.tolist() == [0.0, 0.25]
+    f64 = np.array([0.125, -0.125], "<f8").tobytes()
+    s64, _ = decode_audio(float_wav(64, 1, f64))
+    assert s64.tolist() == [0.125, -0.125]
+    with pytest.raises(ValueError, match="32 or 64"):
+        decode_audio(float_wav(16, 1, b"\x00\x00"))
