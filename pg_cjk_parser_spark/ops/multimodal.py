@@ -1087,6 +1087,135 @@ def _jpeg_decode_scan_progressive(frame, scomps, segs, ri, ss, se, ah, al):
                             eobrun -= 1
 
 
+def _packbits_decode(src: bytes, expect: int) -> bytes:
+    """TIFF PackBits RLE (Apple spec, TIFF 6.0 §9): n in 0..127 copies
+    n+1 literal bytes, n in -127..-1 repeats the next byte 1-n times,
+    -128 is a no-op.  Output is clamped at ``expect`` bytes."""
+    out = bytearray()
+    i = 0
+    ln = len(src)
+    while i < ln and len(out) < expect:
+        n = src[i] - 256 if src[i] > 127 else src[i]
+        i += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            if i + n + 1 > ln:
+                raise ValueError("truncated TIFF PackBits literal run")
+            out += src[i:i + n + 1]
+            i += n + 1
+        else:
+            if i >= ln:
+                raise ValueError("truncated TIFF PackBits repeat run")
+            out += bytes([src[i]]) * (1 - n)
+            i += 1
+    if len(out) < expect:
+        raise ValueError("TIFF PackBits strip shorter than declared")
+    return bytes(out[:expect])
+
+
+def _decode_tiff(b: bytes) -> np.ndarray:
+    """Baseline TIFF (6.0): both byte orders (II/MM), first IFD,
+    8-bit grayscale (photometric 0/1) or chunky RGB(A), strips,
+    compression none (1) or PackBits (32773).  Tiled, planar,
+    palette, LZW/JPEG/deflate-compressed, and non-8-bit variants
+    raise ``NotImplementedError``; malformed structures raise
+    ``ValueError``.  Returns (h, w) uint8 luma like the other
+    decoders."""
+    bo = "little" if b[:2] == b"II" else "big"
+
+    def u(lo, n):
+        if lo + n > len(b):
+            raise ValueError("truncated TIFF structure")
+        return int.from_bytes(b[lo:lo + n], bo)
+
+    ifd = u(4, 4)
+    n_entries = u(ifd, 2)
+    if n_entries == 0:
+        raise ValueError("empty TIFF IFD")
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        lo = ifd + 2 + 12 * e
+        tag, typ, cnt = u(lo, 2), u(lo + 2, 2), u(lo + 4, 4)
+        if typ not in _SZ:  # RATIONAL etc.: not needed for decode
+            continue
+        w_ = _SZ[typ]
+        total = w_ * cnt
+        vlo = lo + 8 if total <= 4 else u(lo + 8, 4)
+        if vlo + total > len(b):
+            raise ValueError("TIFF tag value out of bounds")
+        tags[tag] = [u(vlo + i * w_, w_) for i in range(cnt)]
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise ValueError("malformed TIFF dimensions")
+    if w * h > (1 << 26):
+        raise ValueError(
+            f"TIFF dimensions {w}x{h} exceed the 67-megapixel decoder limit"
+        )
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [1])
+    rows_per_strip = one(278, h)
+    planar = one(284, 1)
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp}: only uncompressed and PackBits "
+            "decode without codec libraries"
+        )
+    if planar != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photo}: only gray/RGB decode here"
+        )
+    if any(x != 8 for x in bits) or (photo == 2 and spp < 3) or (
+        photo != 2 and spp != 1
+    ):
+        raise NotImplementedError(
+            "only 8-bit gray and 8-bit chunky RGB(A) TIFF decode here"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/byte-counts missing or unequal")
+    row_bytes = w * spp
+    raw = bytearray()
+    remaining = h
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError("TIFF strip out of bounds")
+        strip_rows = min(rows_per_strip, remaining)
+        expect = strip_rows * row_bytes
+        chunk = b[off:off + cnt]
+        if comp == 32773:
+            raw += _packbits_decode(chunk, expect)
+        else:
+            if cnt < expect:
+                raise ValueError("truncated TIFF strip")
+            raw += chunk[:expect]
+        remaining -= strip_rows
+    if remaining > 0:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    px = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(
+        h, w, spp
+    )
+    if photo == 2:
+        return _luma(px[..., :3])
+    gray = px[..., 0]
+    return (255 - gray) if photo == 0 else gray.copy()
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode for the containers a pure stdlib+NumPy
     reader can handle: PPM (P6), PGM (P5), BMP (BITMAPINFOHEADER,
@@ -1100,13 +1229,15 @@ def decode_image(payload: bytes) -> np.ndarray:
     progressive (SOF2: DC/AC first + successive-approximation
     refinement scans, EOB runs) - 8-bit, any 1-4x sampling, restart
     markers: full T.81 entropy decode + float IDCT; the returned
-    luma IS the Y plane.  Returns a (h, w) uint8 grayscale array
-    (color reduces via Rec.601 luma; 16-bit samples reduce to their
-    high byte).  Any other CONTAINER - arithmetic-coded JPEG,
-    BITMAPCOREHEADER BMP, TIFF, WebP - raises
-    ``NotImplementedError`` (those need codec libraries this
-    container does not ship); a truncated or malformed payload of a
-    supported container raises ``ValueError``."""
+    luma IS the Y plane - and baseline TIFF (II/MM byte orders,
+    8-bit gray/RGB(A) strips, uncompressed or PackBits).  Returns a
+    (h, w) uint8 grayscale array (color reduces via Rec.601 luma;
+    16-bit samples reduce to their high byte).  Any other CONTAINER
+    - arithmetic-coded JPEG, BITMAPCOREHEADER BMP, LZW/tiled TIFF,
+    WebP - raises ``NotImplementedError`` (those need codec
+    libraries this container does not ship); a truncated or
+    malformed payload of a supported container raises
+    ``ValueError``."""
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
@@ -1114,6 +1245,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(b)
 
     def body(off, need):
         if len(b) - off < need:
@@ -2164,6 +2297,127 @@ def _synth_pcm16(sr: int, n_samples: int, seed: int) -> np.ndarray:
     ).astype("<i2")
 
 
+def _packbits_encode(row: bytes) -> bytes:
+    """Per-row TIFF PackBits encoder: runs of >= 3 identical bytes as
+    repeat packets, everything else as literal packets."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and len(row) - i >= 0 and i - lit_start < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and row[i + nxt] == row[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def _render_tiff(
+    w: int,
+    h: int,
+    seed: int,
+    *,
+    rgb: bool = True,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Genuine baseline TIFF: header + one IFD + strips.  Covers both
+    byte orders, gray/RGB, multi-strip layouts, and PackBits."""
+    rng = np.random.default_rng(seed)
+    spp = 3 if rgb else 1
+    px = rng.integers(0, 256, size=(h, w, spp), dtype=np.uint8)
+    bo = "big" if big_endian else "little"
+    rps = rows_per_strip or h
+    row_bytes = w * spp
+
+    strips = []
+    for lo in range(0, h, rps):
+        chunk = px[lo:lo + rps].tobytes()
+        if packbits:
+            # encode row-at-a-time per the spec recommendation
+            enc = bytearray()
+            for r in range(0, len(chunk), row_bytes):
+                enc += _packbits_encode(chunk[r:r + row_bytes])
+            strips.append(bytes(enc))
+        else:
+            strips.append(chunk)
+
+    def u(x, n):
+        return int(x).to_bytes(n, bo)
+
+    n_strips = len(strips)
+    entries = []  # (tag, type, count, values)
+    # IFD layout: header(8) + ifd; strip data after all IFD machinery
+    def add(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [8] * spp)
+    add(259, 3, [32773 if packbits else 1])
+    add(262, 3, [2 if rgb else 1])
+    add(273, 4, [0] * n_strips)  # patched below
+    add(277, 3, [spp])
+    add(278, 4, [rps])
+    add(279, 4, [len(s) for s in strips])
+    add(284, 3, [1])  # chunky planar (explicit so tests can patch it)
+    entries.sort()
+    _SZ = {3: 2, 4: 4}
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    # external value areas for entries whose payload exceeds 4 bytes
+    ext_off = ifd_off + ifd_size
+    ext = bytearray()
+    locs = {}
+    for tag, typ, vals in entries:
+        total = _SZ[typ] * len(vals)
+        if total > 4:
+            locs[tag] = ext_off + len(ext)
+            ext += b"".join(u(v, _SZ[typ]) for v in vals)
+    data_off = ext_off + len(ext)
+    offs = []
+    pos = data_off
+    for s_ in strips:
+        offs.append(pos)
+        pos += len(s_)
+
+    def entry_bytes(tag, typ, vals):
+        if tag == 273:
+            vals = offs
+        total = _SZ[typ] * len(vals)
+        out = u(tag, 2) + u(typ, 2) + u(len(vals), 4)
+        if total <= 4:
+            return out + (
+                b"".join(u(v, _SZ[typ]) for v in vals) + b"\x00" * 4
+            )[:4]
+        return out + u(locs[tag] if tag != 273 else locs[273], 4)
+
+    if 273 in locs:  # write real offsets into the external area
+        # (the placeholder zeros were appended in the first pass, so
+        # data_off and offs are already consistent)
+        rel = locs[273] - ext_off
+        ext[rel:rel + 4 * n_strips] = b"".join(u(o, 4) for o in offs)
+
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + u(ifd_off, 4)
+    ifd = u(len(entries), 2) + b"".join(
+        entry_bytes(t, ty, v) for t, ty, v in entries
+    ) + u(0, 4)
+    return hdr + ifd + bytes(ext) + b"".join(strips)
+
+
 def _render_wav(sr: int, n_samples: int, seed: int) -> bytes:
     import io
     import wave
@@ -2435,7 +2689,11 @@ def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
                         lambda w, h, s: _render_jpeg(w, h, s, gray=True),
                         _render_gif,
                         lambda w, h, s: _render_gif(w, h, s, interlaced=True),
-                    )[(i // 3) % 11]
+                        lambda w, h, s: _render_tiff(w, h, s, rows_per_strip=5),
+                        lambda w, h, s: _render_tiff(
+                            w, h, s, rgb=False, packbits=True, big_endian=True
+                        ),
+                    )[(i // 3) % 13]
                     payload = renderer(w, h, seed + i)
                 elif kind == "audio":
                     ns = 2000 + (i % 1000)

@@ -246,8 +246,11 @@ def test_decode_image_unsupported_raises():
 
     from pg_cjk_parser_spark.ops.multimodal import decode_image
 
+    # TIFF is a SUPPORTED container since round 5: malformed = ValueError
+    with _pytest.raises(ValueError):
+        decode_image(b"II*\x00" + b"\0" * 16)
     with _pytest.raises(NotImplementedError, match="PPM"):
-        decode_image(b"II*\x00" + b"\0" * 16)  # TIFF
+        decode_image(b"RIFFxxxxWEBP" + b"\0" * 16)  # WebP
     # GIF is a SUPPORTED container since round 5: malformed = ValueError
     with _pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\0" * 16)
@@ -1568,3 +1571,97 @@ def test_decode_audio_deep_pcm_and_float_wav():
     assert s64.tolist() == [0.125, -0.125]
     with pytest.raises(ValueError, match="32 or 64"):
         decode_audio(float_wav(16, 1, b"\x00\x00"))
+
+
+def test_decode_tiff_roundtrip_all_configs():
+    """Baseline TIFF decode against the renderer's known pixel
+    arrays: both byte orders, gray/RGB, single/multi strip,
+    uncompressed/PackBits."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _luma,
+        _render_tiff,
+        decode_image,
+    )
+
+    for kw in (
+        dict(),
+        dict(rgb=False),
+        dict(packbits=True),
+        dict(big_endian=True),
+        dict(rows_per_strip=3),
+        dict(packbits=True, big_endian=True, rows_per_strip=2, rgb=False),
+    ):
+        t = _render_tiff(17, 11, 5, **kw)
+        img = decode_image(t)
+        spp = 3 if kw.get("rgb", True) else 1
+        px = np.random.default_rng(5).integers(
+            0, 256, size=(11, 17, spp), dtype=np.uint8
+        )
+        want = _luma(px) if spp == 3 else px[..., 0]
+        assert np.array_equal(img, want), kw
+
+
+def test_decode_tiff_packbits_semantics():
+    """PackBits edge cases straight from the spec: -128 no-op,
+    128-byte max runs, literal/repeat mixing; white-is-zero
+    photometric inverts."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    # spec example shapes
+    assert _packbits_decode(bytes([0x80, 0x00, ord("A")]), 1) == b"A"
+    assert _packbits_decode(bytes([257 - 128]) + b"x", 128) == b"x" * 128
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        row = bytes(
+            rng.choice([0, 1, 7], p=[0.5, 0.3, 0.2], size=rng.integers(1, 400))
+            .astype(np.uint8)
+        )
+        assert _packbits_decode(_packbits_encode(row), len(row)) == row
+    with pytest.raises(ValueError, match="truncated"):
+        _packbits_decode(bytes([5, 1, 2]), 6)  # literal run cut short
+
+
+def test_decode_tiff_contracts():
+    """Unsupported TIFF variants raise NotImplementedError; malformed
+    structures raise ValueError; photometric 0 inverts."""
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _render_tiff,
+        decode_image,
+    )
+
+    good = _render_tiff(8, 6, 1, rgb=False)
+
+    def patch_tag(t, tag, word):
+        # II layout: find the 12-byte entry for `tag` in the IFD and
+        # overwrite its inline value word
+        n = int.from_bytes(t[8:10], "little")
+        out = bytearray(t)
+        for e in range(n):
+            lo = 10 + 12 * e
+            if int.from_bytes(t[lo:lo + 2], "little") == tag:
+                out[lo + 8:lo + 12] = word
+                return bytes(out)
+        raise AssertionError("tag not found")
+
+    # LZW compression -> loud NotImplementedError
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_image(patch_tag(good, 259, (5).to_bytes(4, "little")))
+    # planar config 2
+    with pytest.raises(NotImplementedError, match="planar"):
+        decode_image(patch_tag(good, 284, (2).to_bytes(4, "little")))
+    # photometric 0 = white-is-zero inverts
+    inv = decode_image(patch_tag(good, 262, (0).to_bytes(4, "little")))
+    assert np.array_equal(inv, 255 - decode_image(good))
+    # truncated strip data
+    with pytest.raises(ValueError):
+        decode_image(good[:-10])
+    # absurd dimensions trip the resource bound
+    with pytest.raises(ValueError, match="megapixel"):
+        decode_image(patch_tag(good, 256, (1 << 26).to_bytes(4, "little")))
+    # zero entries
+    with pytest.raises(ValueError):
+        decode_image(b"II*\x00" + (8).to_bytes(4, "little")
+                     + (0).to_bytes(2, "little") + b"\x00" * 4)
