@@ -1149,6 +1149,8 @@ def _decode_tiff(b: bytes) -> np.ndarray:
 
     def one(tag, default=None):
         v = tags.get(tag)
+        if v is not None and not v:  # present but count=0: malformed
+            raise ValueError(f"TIFF tag {tag} has count 0")
         if v is None:
             if default is None:
                 raise ValueError(f"TIFF missing required tag {tag}")
@@ -1166,7 +1168,17 @@ def _decode_tiff(b: bytes) -> np.ndarray:
     photo = one(262)
     spp = one(277, 1)
     bits = tags.get(258, [1])
+    if not bits:
+        raise ValueError("TIFF BitsPerSample has count 0")
     rows_per_strip = one(278, h)
+    if not 1 <= spp <= 8:
+        raise ValueError(f"TIFF SamplesPerPixel {spp} out of range")
+    if w * h * spp > (1 << 27):
+        # the PIXEL cap alone is bypassable via a huge SamplesPerPixel:
+        # bound the decoded BYTES too (strips are decoded eagerly)
+        raise ValueError(
+            f"TIFF decoded size {w}x{h}x{spp} exceeds the 128 MiB bound"
+        )
     planar = one(284, 1)
     if comp not in (1, 32773):
         raise NotImplementedError(
@@ -1299,8 +1311,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _luma(bgr[..., ::-1])
     raise NotImplementedError(
         "unsupported image container (supported without codec "
-        "libraries: PPM/P6, PGM/P5, uncompressed 8/24-bit BMP, "
-        "non-interlaced PNG, baseline JPEG)"
+        "libraries: PPM/P6, PGM/P5, uncompressed 8/24-bit BMP, PNG "
+        "incl. Adam7, GIF, baseline+progressive JPEG, baseline TIFF)"
     )
 
 
@@ -2313,7 +2325,7 @@ def _packbits_encode(row: bytes) -> bytes:
             continue
         lit_start = i
         i += run
-        while i < n and len(row) - i >= 0 and i - lit_start < 128:
+        while i < n and i - lit_start < 128:
             nxt = 1
             while i + nxt < n and nxt < 3 and row[i + nxt] == row[i]:
                 nxt += 1
@@ -2403,7 +2415,7 @@ def _render_tiff(
             return out + (
                 b"".join(u(v, _SZ[typ]) for v in vals) + b"\x00" * 4
             )[:4]
-        return out + u(locs[tag] if tag != 273 else locs[273], 4)
+        return out + u(locs[tag], 4)
 
     if 273 in locs:  # write real offsets into the external area
         # (the placeholder zeros were appended in the first pass, so
@@ -2661,7 +2673,8 @@ def _render_avi(
 def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads are GENUINE encoded
     containers (rotating PGM/PPM/BMP/PNG/JPEG - incl. 4:2:0 with
-    restart markers and grayscale - plus GIF for images; PCM, G.711
+    restart markers and grayscale - plus GIF and baseline TIFF
+    (multi-strip and PackBits/big-endian slots) for images; PCM, G.711
     mu-law/A-law, and IMA ADPCM WAV for audio; uncompressed 24-bit
     and MJPEG AVI - incl. DHT-less frames - for video) so the real
     decoders run end to end with no external data."""

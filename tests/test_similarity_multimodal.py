@@ -1665,3 +1665,37 @@ def test_decode_tiff_contracts():
     with pytest.raises(ValueError):
         decode_image(b"II*\x00" + (8).to_bytes(4, "little")
                      + (0).to_bytes(2, "little") + b"\x00" * 4)
+
+
+def test_decode_tiff_adversarial_resource_and_count0():
+    """Review regressions: a huge SamplesPerPixel must not bypass the
+    pixel cap (decoded BYTES are bounded), and count=0 tags raise
+    ValueError, not IndexError."""
+    from pg_cjk_parser_spark.ops.multimodal import _render_tiff, decode_image
+
+    good = _render_tiff(8, 6, 1, rgb=False)
+
+    def patch(t, tag, *, count=None, value=None):
+        n = int.from_bytes(t[8:10], "little")
+        out = bytearray(t)
+        for e in range(n):
+            lo = 10 + 12 * e
+            if int.from_bytes(t[lo:lo + 2], "little") == tag:
+                if count is not None:
+                    out[lo + 4:lo + 8] = count.to_bytes(4, "little")
+                if value is not None:
+                    out[lo + 8:lo + 12] = value.to_bytes(4, "little")
+                return bytes(out)
+        raise AssertionError("tag not found")
+
+    # spp=65535 with small w/h: pixel cap passes, byte bound must trip
+    with pytest.raises(ValueError, match="SamplesPerPixel|MiB"):
+        decode_image(patch(good, 277, value=65535))
+    # moderate spp that passes the sanity range but overflows bytes
+    big_dims = patch(patch(good, 256, value=1 << 13), 257, value=1 << 12)
+    with pytest.raises(ValueError, match="MiB"):
+        decode_image(patch(big_dims, 277, value=8))
+    # count=0 on required and defaulted tags: ValueError, never IndexError
+    for tag in (256, 262, 277, 258):
+        with pytest.raises(ValueError, match="count 0|BitsPerSample"):
+            decode_image(patch(good, tag, count=0))
