@@ -167,6 +167,20 @@ per-payload decoders only gained work.  Like-for-like numbers (build
 docs/s, per-query medians) are the comparison basis, not the suite
 total.
 
+
+Round-5 closing measurement (same-session, exclusive, local[32],
+sf0.1/200k): build 26,281 docs/s at suite steal-share 0.031 (the one
+steal-hit section self-flagged `index_build_documents_steal_
+contaminated` - the r4-built flagging machinery working as intended);
+query medians back in the 0.36-0.65 s band; ops_web_hygiene (r5 PII
+scrub + URL canonicalize + domain rollup) 57.5k docs/s;
+ops_media_decode 1,773 rows/s on the strictly heavier 13-image-slot /
+MJPEG / G.711+ADPCM mix.  Earlier same-day exclusive run: 22.3k
+docs/s with build attempts at 9.6-16.6% steal discarded by
+best-of-N - absolute build numbers on this VM remain
+steal-lottery; the embedded per-section steal shares are the
+defensibility evidence.
+
 ## Scale ladder (same job, local[32]; corpus size x20)
 
 | docs | postings | build | docs/s | index | driver RSS | notes |
