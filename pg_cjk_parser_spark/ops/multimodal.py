@@ -1114,14 +1114,73 @@ def _packbits_decode(src: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+def _tiff_lzw_decode(src: bytes, expect: int) -> bytes:
+    """TIFF LZW (TIFF 6.0 §13): MSB-first bit packing, 9->12-bit
+    codes, ClearCode 256 / EOI 257, and the spec's EARLY CHANGE (the
+    code width bumps one code sooner than the table size strictly
+    requires - libtiff-compatible).  Distinct from GIF's LZW, which
+    packs LSB-first with a variable minimum code size."""
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+    ln = len(src)
+    table: list[bytes] = []
+    width = 9
+    prev = b""
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = b""
+
+    reset()
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= ln:
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | src[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            break
+        if not prev:
+            if code > 255:
+                raise ValueError("bad first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code beyond table")
+        out += entry
+        prev = entry
+        # early change: widen when the NEXT append would reach 2^w - 1
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expect:
+        raise ValueError("TIFF LZW strip shorter than declared")
+    return bytes(out[:expect])
+
+
 def _decode_tiff(b: bytes) -> np.ndarray:
     """Baseline TIFF (6.0): both byte orders (II/MM), first IFD,
     8-bit grayscale (photometric 0/1) or chunky RGB(A), strips,
-    compression none (1) or PackBits (32773).  Tiled, planar,
-    palette, LZW/JPEG/deflate-compressed, and non-8-bit variants
-    raise ``NotImplementedError``; malformed structures raise
+    compression none (1), LZW (5, incl. the horizontal-differencing
+    predictor), or PackBits (32773).  Tiled, planar, palette,
+    JPEG/deflate-compressed, and non-8-bit variants raise
+    ``NotImplementedError``; malformed structures raise
     ``ValueError``.  Returns (h, w) uint8 luma like the other
-    decoders."""
+    decoders.  Cross-checked against real libtiff in tests (helper
+    compiled on demand against the system libtiff.so)."""
     bo = "little" if b[:2] == b"II" else "big"
 
     def u(lo, n):
@@ -1180,10 +1239,16 @@ def _decode_tiff(b: bytes) -> np.ndarray:
             f"TIFF decoded size {w}x{h}x{spp} exceeds the 128 MiB bound"
         )
     planar = one(284, 1)
-    if comp not in (1, 32773):
+    predictor = one(317, 1)
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp}: only uncompressed and PackBits "
-            "decode without codec libraries"
+            f"TIFF compression {comp}: only uncompressed, LZW, and "
+            "PackBits decode without codec libraries"
+        )
+    if predictor not in (1, 2) or (predictor == 2 and comp == 1):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} with compression {comp} "
+            "not supported"
         )
     if planar != 1:
         raise NotImplementedError("planar TIFF not supported")
@@ -1212,6 +1277,8 @@ def _decode_tiff(b: bytes) -> np.ndarray:
         chunk = b[off:off + cnt]
         if comp == 32773:
             raw += _packbits_decode(chunk, expect)
+        elif comp == 5:
+            raw += _tiff_lzw_decode(chunk, expect)
         else:
             if cnt < expect:
                 raise ValueError("truncated TIFF strip")
@@ -1222,6 +1289,10 @@ def _decode_tiff(b: bytes) -> np.ndarray:
     px = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(
         h, w, spp
     )
+    if predictor == 2:
+        # horizontal differencing: each sample stores the delta from
+        # the same sample one pixel to the left; undo with a cumsum
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
     if photo == 2:
         return _luma(px[..., :3])
     gray = px[..., 0]

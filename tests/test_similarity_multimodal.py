@@ -1646,8 +1646,12 @@ def test_decode_tiff_contracts():
                 return bytes(out)
         raise AssertionError("tag not found")
 
-    # LZW compression -> loud NotImplementedError
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    # JPEG-in-TIFF compression -> loud NotImplementedError (LZW is
+    # SUPPORTED since round 5; a raw strip mislabeled as LZW is a
+    # malformed stream, i.e. ValueError)
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        decode_image(patch_tag(good, 259, (7).to_bytes(4, "little")))
+    with pytest.raises(ValueError):
         decode_image(patch_tag(good, 259, (5).to_bytes(4, "little")))
     # planar config 2
     with pytest.raises(NotImplementedError, match="planar"):
@@ -1699,3 +1703,129 @@ def test_decode_tiff_adversarial_resource_and_count0():
     for tag in (256, 262, 277, 258):
         with pytest.raises(ValueError, match="count 0|BitsPerSample"):
             decode_image(patch(good, tag, count=0))
+
+
+@pytest.fixture(scope="session")
+def tiff_ref_helper(tmp_path_factory):
+    """Compile the libtiff reference helper (hand-declared public-ABI
+    prototypes linked directly against the system libtiff.so.N - the
+    container ships the library but not the dev headers); skip when
+    gcc or the library is unavailable."""
+    import glob as _glob
+    import shutil as _shutil
+    import subprocess
+
+    if not _shutil.which("gcc"):
+        pytest.skip("no gcc")
+    libs = sorted(
+        _glob.glob("/usr/lib/*/libtiff.so*")
+        + _glob.glob("/usr/lib/libtiff.so*")
+    )
+    if not libs:
+        pytest.skip("no libtiff")
+    exe = tmp_path_factory.mktemp("tiffref") / "tiff_ref_helper"
+    import os as _os
+
+    src = _os.path.join(_os.path.dirname(__file__), "tiff_ref_helper.c")
+    r = subprocess.run(
+        ["gcc", "-O2", "-o", str(exe), src, libs[0]], capture_output=True
+    )
+    if r.returncode != 0:
+        pytest.skip(f"libtiff link failed: {r.stderr.decode()[:200]}")
+    return str(exe)
+
+
+def test_decode_tiff_libtiff_cross_check(tiff_ref_helper, tmp_path):
+    """Bidirectional cross-check against REAL libtiff: (a) libtiff-
+    encoded streams (none/LZW/LZW+predictor/PackBits, gray and RGB,
+    multi-strip) decode to the exact source samples; (b) libtiff
+    reads back our renderer's TIFFs sample-identical."""
+    import subprocess
+
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _luma,
+        _render_tiff,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(7)
+    f = str(tmp_path / "t.tif")
+
+    # (a) libtiff encoder -> our decoder
+    for spp, comp, pred in (
+        (1, 1, 1), (3, 1, 1),
+        (1, 5, 1), (3, 5, 1), (1, 5, 2), (3, 5, 2),
+        (1, 32773, 1), (3, 32773, 1),
+    ):
+        w, h = 23, 14
+        px = rng.integers(0, 256, (h, w, spp), dtype=np.uint8)
+        p = subprocess.run(
+            [tiff_ref_helper, "encode", f, str(w), str(h), str(spp),
+             str(comp), str(pred)],
+            input=px.tobytes(),
+            capture_output=True,
+        )
+        assert p.returncode == 0, (spp, comp, pred, p.stderr)
+        img = decode_image(open(f, "rb").read())
+        want = _luma(px) if spp == 3 else px[..., 0]
+        assert np.array_equal(img, want), (spp, comp, pred)
+
+    # also a low-entropy image (long runs exercise deep LZW tables)
+    tiles = np.repeat(np.repeat(
+        rng.integers(0, 4, (4, 6), dtype=np.uint8) * 80, 8, 0), 8, 1)
+    p = subprocess.run(
+        [tiff_ref_helper, "encode", f, "48", "32", "1", "5", "1"],
+        input=tiles.tobytes(),
+        capture_output=True,
+    )
+    assert p.returncode == 0, p.stderr
+    assert np.array_equal(decode_image(open(f, "rb").read()), tiles)
+
+    # (b) our renderer -> libtiff
+    for kw in (dict(rgb=False), dict(packbits=True), dict(big_endian=True),
+               dict(rows_per_strip=3)):
+        data = _render_tiff(17, 11, 5, **kw)
+        open(f, "wb").write(data)
+        p = subprocess.run(
+            [tiff_ref_helper, "decode", f], capture_output=True
+        )
+        assert p.returncode == 0, (kw, p.stderr)
+        hdr, raw = p.stdout.split(b"\n", 1)
+        w, h, spp = map(int, hdr.split())
+        assert (w, h) == (17, 11), kw
+        ref = np.frombuffer(raw, np.uint8, h * w * spp).reshape(h, w, spp)
+        want = _luma(ref) if spp == 3 else ref[..., 0]
+        assert np.array_equal(decode_image(data), want), kw
+
+
+def test_tiff_lzw_contracts():
+    """LZW stream contracts: truncated stream, code-beyond-table, and
+    bad first code all raise ValueError; deferred clears reset the
+    table mid-stream."""
+    from pg_cjk_parser_spark.ops.multimodal import _tiff_lzw_decode
+
+    def pack_msb(codes, widths):
+        acc = nb = 0
+        out = bytearray()
+        for c, w in zip(codes, widths):
+            acc = (acc << w) | c
+            nb += w
+            while nb >= 8:
+                nb -= 8
+                out.append((acc >> nb) & 0xFF)
+        if nb:
+            out.append((acc << (8 - nb)) & 0xFF)
+        return bytes(out)
+
+    # Clear, 'A', 'B', Clear, 'C', EOI -> b'ABC' (mid-stream reset)
+    s = pack_msb([256, 65, 66, 256, 67, 257], [9] * 6)
+    assert _tiff_lzw_decode(s, 3) == b"ABC"
+    # KwKwK: Clear, 'A', 258 (= 'AA'), EOI
+    s = pack_msb([256, 65, 258, 257], [9] * 4)
+    assert _tiff_lzw_decode(s, 3) == b"AAA"
+    with pytest.raises(ValueError, match="beyond table"):
+        _tiff_lzw_decode(pack_msb([256, 65, 300, 257], [9] * 4), 5)
+    with pytest.raises(ValueError, match="first"):
+        _tiff_lzw_decode(pack_msb([256, 300, 257], [9] * 3), 2)
+    with pytest.raises(ValueError, match="truncated"):
+        _tiff_lzw_decode(pack_msb([256, 65], [9, 9]), 10)
