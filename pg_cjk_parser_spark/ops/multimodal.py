@@ -1174,9 +1174,10 @@ def _tiff_lzw_decode(src: bytes, expect: int) -> bytes:
 def _decode_tiff(b: bytes) -> np.ndarray:
     """Baseline TIFF (6.0): both byte orders (II/MM), first IFD,
     8-bit grayscale (photometric 0/1) or chunky RGB(A), strips,
-    compression none (1), LZW (5, incl. the horizontal-differencing
-    predictor), or PackBits (32773).  Tiled, planar, palette,
-    JPEG/deflate-compressed, and non-8-bit variants raise
+    compression none (1), LZW (5), deflate (8/32946), or PackBits
+    (32773) - LZW and deflate incl. the horizontal-differencing
+    predictor.  Tiled, planar, palette, JPEG-compressed, and
+    non-8-bit variants raise
     ``NotImplementedError``; malformed structures raise
     ``ValueError``.  Returns (h, w) uint8 luma like the other
     decoders.  Cross-checked against real libtiff in tests (helper
@@ -1240,12 +1241,12 @@ def _decode_tiff(b: bytes) -> np.ndarray:
         )
     planar = one(284, 1)
     predictor = one(317, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp}: only uncompressed, LZW, and "
-            "PackBits decode without codec libraries"
+            f"TIFF compression {comp}: only uncompressed, LZW, "
+            "deflate, and PackBits decode without codec libraries"
         )
-    if predictor not in (1, 2) or (predictor == 2 and comp == 1):
+    if predictor not in (1, 2) or (predictor == 2 and comp not in (5, 8, 32946)):
         raise NotImplementedError(
             f"TIFF predictor {predictor} with compression {comp} "
             "not supported"
@@ -1279,6 +1280,17 @@ def _decode_tiff(b: bytes) -> np.ndarray:
             raw += _packbits_decode(chunk, expect)
         elif comp == 5:
             raw += _tiff_lzw_decode(chunk, expect)
+        elif comp in (8, 32946):  # deflate (Adobe + old-style tags)
+            import zlib
+
+            try:
+                # bounded: a strip must not inflate past its rows
+                d = zlib.decompressobj().decompress(chunk, expect)
+            except zlib.error as ex:
+                raise ValueError(f"bad TIFF deflate strip: {ex}") from ex
+            if len(d) < expect:
+                raise ValueError("TIFF deflate strip shorter than declared")
+            raw += d
         else:
             if cnt < expect:
                 raise ValueError("truncated TIFF strip")

@@ -1755,6 +1755,7 @@ def test_decode_tiff_libtiff_cross_check(tiff_ref_helper, tmp_path):
     for spp, comp, pred in (
         (1, 1, 1), (3, 1, 1),
         (1, 5, 1), (3, 5, 1), (1, 5, 2), (3, 5, 2),
+        (1, 8, 1), (3, 8, 1), (3, 8, 2),  # deflate (+predictor)
         (1, 32773, 1), (3, 32773, 1),
     ):
         w, h = 23, 14

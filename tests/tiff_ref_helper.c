@@ -68,7 +68,7 @@ static int do_encode(const char *path, int w, int h, int spp,
     TIFFSetField(t, TAG_PHOTO, (unsigned short)(spp >= 3 ? 2 : 1));
     TIFFSetField(t, TAG_PLANAR, (unsigned short)1);
     TIFFSetField(t, TAG_RPS, (unsigned int)(h > 4 ? 4 : h)); /* multi-strip */
-    if (comp == 5 && pred == 2)
+    if ((comp == 5 || comp == 8) && pred == 2)
         TIFFSetField(t, TAG_PRED, (unsigned short)2);
     for (row = 0; row < h; row++) {
         if (fread(buf, 1, (size_t)w * spp, stdin) != (size_t)w * spp)
