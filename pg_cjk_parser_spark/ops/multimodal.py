@@ -1325,7 +1325,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     refinement scans, EOB runs) - 8-bit, any 1-4x sampling, restart
     markers: full T.81 entropy decode + float IDCT; the returned
     luma IS the Y plane - and baseline TIFF (II/MM byte orders,
-    8-bit gray/RGB(A) strips, uncompressed or PackBits).  Returns a
+    8-bit gray/RGB(A) strips; uncompressed, LZW, deflate - both with
+    the horizontal predictor - or PackBits).  Returns a
     (h, w) uint8 grayscale array (color reduces via Rec.601 luma;
     16-bit samples reduce to their high byte).  Any other CONTAINER
     - arithmetic-coded JPEG, BITMAPCOREHEADER BMP, LZW/tiled TIFF,
