@@ -1311,6 +1311,496 @@ def _decode_tiff(b: bytes) -> np.ndarray:
     return (255 - gray) if photo == 0 else gray.copy()
 
 
+class _Vp8lBits:
+    """LSB-first bit reader for the VP8L lossless bitstream."""
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        p = self.pos
+        end = p + n
+        if end > 8 * len(self.d):
+            raise ValueError("truncated VP8L bitstream")
+        v = 0
+        shift = 0
+        while p < end:
+            byte = self.d[p >> 3]
+            take = min(8 - (p & 7), end - p)
+            v |= ((byte >> (p & 7)) & ((1 << take) - 1)) << shift
+            shift += take
+            p += take
+        self.pos = end
+        return v
+
+
+class _Vp8lHuff:
+    """Canonical (deflate-style) Huffman decoder; codes are read one
+    bit at a time MSB-first off the LSB-first bitstream.  A code with
+    a single used symbol costs zero bits (libwebp semantics)."""
+
+    def __init__(self, lengths):
+        used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ValueError("empty VP8L huffman code")
+        if len(used) == 1:
+            self.single = used[0][1]
+            return
+        self.single = None
+        bl_count: dict[int, int] = {}
+        for ln, _ in used:
+            bl_count[ln] = bl_count.get(ln, 0) + 1
+        code = 0
+        next_code = {}
+        for ln in range(1, max(bl_count) + 1):
+            code = (code + bl_count.get(ln - 1, 0)) << 1
+            next_code[ln] = code
+        table = {}
+        for ln, sym in sorted(used):
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+        self.table = table
+        self.max_len = max(bl_count)
+
+    def read(self, br: _Vp8lBits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.bits(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L huffman code")
+
+
+_VP8L_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11,
+                  12, 13, 14, 15]
+
+
+def _vp8l_read_code(br: _Vp8lBits, alphabet_size: int) -> _Vp8lHuff:
+    """One Huffman code: 'simple' (1-2 symbols inline) or code-length
+    coded (spec 5.2.2, deflate-style 16/17/18 repeats)."""
+    if br.bits(1):  # simple
+        num_symbols = br.bits(1) + 1
+        if br.bits(1):
+            sym0 = br.bits(8)
+        else:
+            sym0 = br.bits(1)
+        lengths = [0] * alphabet_size
+        if sym0 >= alphabet_size:
+            raise ValueError("VP8L simple code symbol out of range")
+        lengths[sym0] = 1
+        if num_symbols == 2:
+            sym1 = br.bits(8)
+            if sym1 >= alphabet_size:
+                raise ValueError("VP8L simple code symbol out of range")
+            lengths[sym1] = 1
+        return _Vp8lHuff(lengths)
+    num_codes = 4 + br.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.bits(3)
+    cl = _Vp8lHuff(cl_lengths)
+    if br.bits(1):  # length-limited stream
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = cl.read(br)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev = s
+        else:
+            if s == 16:
+                repeat, val = 3 + br.bits(2), prev
+            elif s == 17:
+                repeat, val = 3 + br.bits(3), 0
+            else:
+                repeat, val = 11 + br.bits(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("VP8L code-length repeat overflow")
+            for _ in range(repeat):
+                lengths[symbol] = val
+                symbol += 1
+    return _Vp8lHuff(lengths)
+
+
+def _vp8l_prefix_value(br: _Vp8lBits, prefix: int) -> int:
+    """LZ77 length/distance prefix decoding (spec 4.2.2)."""
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+# 2D distance neighborhood (spec 4.2.2): the 120 closest (dx, dy)
+# offsets with dy 0..7, dx -7..8 (dy=0 restricted to dx>=1), ordered
+# by squared euclidean distance, then deeper rows first, then
+# positive dx before negative.  Validated against libwebp-encoded
+# streams in tests (wrong entries produce pixel mismatches on the
+# pattern-rich cross-check images).
+_VP8L_DIST_MAP = sorted(
+    [(dx, 0) for dx in range(1, 9)]
+    + [(dx, dy) for dy in range(1, 8) for dx in range(-7, 9)],
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0),
+)
+
+
+def _vp8l_meta(br: _Vp8lBits, w: int, h: int, top: bool):
+    """Entropy-coded image prelude: optional color cache, optional
+    meta-huffman (only at top level), then the huffman groups."""
+    cache_bits = 0
+    if br.bits(1):
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad VP8L color-cache size")
+    entropy = None
+    huff_bits = 0
+    num_groups = 1
+    if top and br.bits(1):
+        huff_bits = br.bits(3) + 2
+        ew = -(-w // (1 << huff_bits))
+        eh = -(-h // (1 << huff_bits))
+        entropy = _vp8l_decode_pixels(br, ew, eh, top=False)
+        idx = ((entropy >> 8) & 0xFFFF).astype(np.int64)
+        entropy = idx.reshape(eh, ew)
+        num_groups = int(entropy.max()) + 1
+    groups = []
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    for _ in range(num_groups):
+        groups.append((
+            _vp8l_read_code(br, green_size),
+            _vp8l_read_code(br, 256),   # red
+            _vp8l_read_code(br, 256),   # blue
+            _vp8l_read_code(br, 256),   # alpha
+            _vp8l_read_code(br, 40),    # distance
+        ))
+    return cache_bits, entropy, huff_bits, groups
+
+
+def _vp8l_decode_pixels(
+    br: _Vp8lBits, w: int, h: int, top: bool
+) -> np.ndarray:
+    """Decode one entropy-coded ARGB image (uint32 array of h*w) -
+    used for the main image, transform parameter images, the entropy
+    image, and palettes."""
+    cache_bits, entropy, huff_bits, groups = _vp8l_meta(br, w, h, top)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    n = w * h
+    out = np.zeros(n, np.uint32)
+    pos = 0
+    g = groups[0]
+    while pos < n:
+        if entropy is not None:
+            x, y = pos % w, pos // w
+            g = groups[entropy[y >> huff_bits, x >> huff_bits]]
+        s = g[0].read(br)
+        if s < 256:
+            red = g[1].read(br)
+            blue = g[2].read(br)
+            alpha = g[3].read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            if cache is not None:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+            pos += 1
+        elif s < 256 + 24:
+            length = _vp8l_prefix_value(br, s - 256)
+            dist_code = _vp8l_prefix_value(br, g[4].read(br))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache is not None:
+                    cache[
+                        (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = px
+                pos += 1
+        else:
+            out[pos] = cache[s - 256 - 24]
+            pos += 1
+    return out
+
+
+def _vp8l_avg2(a, b):
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_read_transform(br: _Vp8lBits, w: int, h: int):
+    ttype = br.bits(2)
+    if ttype == 0:  # PREDICTOR
+        size_bits = br.bits(3) + 2
+        bw = -(-w // (1 << size_bits))
+        bh = -(-h // (1 << size_bits))
+        img = _vp8l_decode_pixels(br, bw, bh, top=False)
+        return ("predictor", size_bits, img.reshape(bh, bw)), w
+    if ttype == 1:  # COLOR (cross-color)
+        size_bits = br.bits(3) + 2
+        bw = -(-w // (1 << size_bits))
+        bh = -(-h // (1 << size_bits))
+        img = _vp8l_decode_pixels(br, bw, bh, top=False)
+        return ("color", size_bits, img.reshape(bh, bw)), w
+    if ttype == 2:  # SUBTRACT_GREEN
+        return ("subtract_green",), w
+    # COLOR_INDEXING (palette)
+    n_colors = br.bits(8) + 1
+    pal = _vp8l_decode_pixels(br, n_colors, 1, top=False)
+    # palette entries are component-wise delta-coded
+    acc = 0
+    palette = []
+    for p in pal:
+        a = ((acc >> 24) + (int(p) >> 24)) & 0xFF
+        r = (((acc >> 16) & 0xFF) + ((int(p) >> 16) & 0xFF)) & 0xFF
+        gg = (((acc >> 8) & 0xFF) + ((int(p) >> 8) & 0xFF)) & 0xFF
+        bb = ((acc & 0xFF) + (int(p) & 0xFF)) & 0xFF
+        acc = (a << 24) | (r << 16) | (gg << 8) | bb
+        palette.append(acc)
+    if n_colors <= 2:
+        wbits = 3
+    elif n_colors <= 4:
+        wbits = 2
+    elif n_colors <= 16:
+        wbits = 1
+    else:
+        wbits = 0
+    new_w = -(-w // (1 << wbits)) if wbits else w
+    # w is carried so the inverse can clamp the bundle padding back
+    # to the pre-transform width
+    return ("palette", wbits, palette, w), new_w
+
+
+def _vp8l_apply_inverse(t, argb: np.ndarray, w: int, h: int):
+    """Apply one inverse transform; returns (argb, w) - palette
+    unbundling restores the full width."""
+    kind = t[0]
+    if kind == "subtract_green":
+        g = (argb >> 8) & 0xFF
+        r = (((argb >> 16) & 0xFF) + g) & 0xFF
+        b = ((argb & 0xFF) + g) & 0xFF
+        return (argb & np.uint32(0xFF00FF00)) | (r << 16) | b, w
+    if kind == "palette":
+        _, wbits, palette, orig_w = t
+        pal = np.array(
+            palette + [0] * (256 - len(palette)), np.uint32
+        )
+        if wbits == 0:
+            idx = (argb >> 8) & 0xFF
+            return pal[idx], orig_w
+        px_per = 1 << wbits
+        ibits = 8 >> wbits
+        packed = ((argb >> 8) & 0xFF).reshape(h, -1)
+        full_w = packed.shape[1] * px_per
+        idx = np.zeros((h, full_w), np.uint32)
+        for k in range(px_per):
+            idx[:, k::px_per] = (packed >> (k * ibits)) & ((1 << ibits) - 1)
+        idx = idx[:, :orig_w]  # drop the final byte's bundle padding
+        return pal[idx].reshape(-1), orig_w
+    if kind == "color":
+        _, size_bits, img = t
+        px = argb.reshape(h, w)
+        out = px.copy()
+        for y in range(h):
+            crow = img[y >> size_bits]
+            for x in range(w):
+                cte = int(crow[x >> size_bits])
+                g2r = cte & 0xFF
+                g2b = (cte >> 8) & 0xFF
+                r2b = (cte >> 16) & 0xFF
+                v = int(px[y, x])
+                green = (v >> 8) & 0xFF
+                red = (v >> 16) & 0xFF
+                blue = v & 0xFF
+                sg = green - 256 if green > 127 else green
+
+                def d(tbyte, col):
+                    tb = tbyte - 256 if tbyte > 127 else tbyte
+                    cc = col - 256 if col > 127 else col
+                    return (tb * cc) >> 5
+
+                red = (red + d(g2r, sg)) & 0xFF
+                sr = red - 256 if red > 127 else red
+                blue = (blue + d(g2b, sg) + d(r2b, sr)) & 0xFF
+                out[y, x] = (v & 0xFF00FF00) | (red << 16) | blue
+        return out.reshape(-1), w
+    # predictor
+    _, size_bits, img = t
+    px = argb.reshape(h, w).astype(np.int64)
+    out = np.zeros((h, w), np.int64)
+    for y in range(h):
+        mrow = img[y >> size_bits]
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(out[0, x - 1])  # left
+            elif x == 0:
+                pred = int(out[y - 1, 0])  # top
+            else:
+                mode = (int(mrow[x >> size_bits]) >> 8) & 0xFF
+                L = int(out[y, x - 1])
+                T = int(out[y - 1, x])
+                # last column: rows are contiguous in the reference
+                # implementation, so "top-right" wraps to the FIRST
+                # pixel of the CURRENT row - canonical behavior
+                TR = int(out[y - 1, x + 1]) if x + 1 < w else int(
+                    out[y, 0]
+                )
+                TL = int(out[y - 1, x - 1])
+                pred = _vp8l_predict(mode, L, T, TR, TL)
+            v = int(px[y, x])
+            out[y, x] = _vp8l_addpix(v, pred)
+    return out.reshape(-1).astype(np.uint32), w
+
+
+def _vp8l_addpix(a: int, b: int) -> int:
+    s = 0
+    for shift in (0, 8, 16, 24):
+        s |= (((a >> shift) + (b >> shift)) & 0xFF) << shift
+    return s
+
+
+def _vp8l_sub_abs(a: int, b: int) -> int:
+    tot = 0
+    for shift in (0, 8, 16, 24):
+        tot += abs(((a >> shift) & 0xFF) - ((b >> shift) & 0xFF))
+    return tot
+
+
+def _vp8l_clamp_add_sub_full(L, T, TL):
+    s = 0
+    for shift in (0, 8, 16, 24):
+        c = ((L >> shift) & 0xFF) + ((T >> shift) & 0xFF) - (
+            (TL >> shift) & 0xFF
+        )
+        s |= max(0, min(255, c)) << shift
+    return s
+
+
+def _vp8l_clamp_add_sub_half(ave, TL):
+    s = 0
+    for shift in (0, 8, 16, 24):
+        a = (ave >> shift) & 0xFF
+        b = (TL >> shift) & 0xFF
+        # reference formula a + (a - b) / 2 with C truncation
+        # toward zero
+        half = (a - b) // 2 if a >= b else -((b - a) // 2)
+        s |= max(0, min(255, a + half)) << shift
+    return s
+
+
+def _vp8l_predict(mode, L, T, TR, TL):
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T)
+    if mode == 6:
+        return _vp8l_avg2(L, TL)
+    if mode == 7:
+        return _vp8l_avg2(L, T)
+    if mode == 8:
+        return _vp8l_avg2(TL, T)
+    if mode == 9:
+        return _vp8l_avg2(T, TR)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+    if mode == 11:  # Select: smaller summed channel gradient wins,
+        # T on ties (reference Sub3/Select semantics)
+        diff = 0
+        for shift in (0, 8, 16, 24):
+            tl = (TL >> shift) & 0xFF
+            diff += abs(((L >> shift) & 0xFF) - tl) - abs(
+                ((T >> shift) & 0xFF) - tl
+            )
+        return T if diff <= 0 else L
+    if mode == 12:
+        return _vp8l_clamp_add_sub_full(L, T, TL)
+    if mode == 13:
+        return _vp8l_clamp_add_sub_half(_vp8l_avg2(L, T), TL)
+    raise ValueError(f"bad VP8L predictor mode {mode}")
+
+
+def _decode_webp(b: bytes) -> np.ndarray:
+    """Lossless WebP (VP8L): RIFF walk to the VP8L chunk, full
+    bitstream decode - meta-huffman groups, color cache, LZ77 over
+    the 2D distance map, and all four inverse transforms (predictor,
+    cross-color, subtract-green, palette incl. sub-byte bundling).
+    Returns (h, w) uint8 luma.  Lossy 'VP8 ' and animations raise
+    ``NotImplementedError``.  Cross-checked pixel-exact against real
+    libwebp in tests."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise NotImplementedError("not a WebP container")
+    i = 12
+    payload = None
+    while i + 8 <= len(b):
+        fourcc = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        if fourcc == b"VP8L":
+            payload = b[i + 8:i + 8 + size]
+            break
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) needs a full DCT codec; only "
+                "lossless VP8L decodes here"
+            )
+        i += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("WebP container without VP8L chunk")
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _Vp8lBits(payload[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha hint
+    if br.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    if w * h > (1 << 26):
+        raise ValueError(
+            f"WebP dimensions {w}x{h} exceed the 67-megapixel "
+            "decoder limit"
+        )
+    transforms = []
+    cur_w = w
+    while br.bits(1):
+        t, cur_w = _vp8l_read_transform(br, cur_w, h)
+        transforms.append(t)
+    argb = _vp8l_decode_pixels(br, cur_w, h, top=True)
+    for t in reversed(transforms):
+        argb, cur_w = _vp8l_apply_inverse(t, argb, cur_w, h)
+    px = argb.reshape(h, w)
+    rgb = np.stack(
+        [(px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF], axis=-1
+    ).astype(np.uint8)
+    return _luma(rgb)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode for the containers a pure stdlib+NumPy
     reader can handle: PPM (P6), PGM (P5), BMP (BITMAPINFOHEADER,
@@ -1324,13 +1814,15 @@ def decode_image(payload: bytes) -> np.ndarray:
     progressive (SOF2: DC/AC first + successive-approximation
     refinement scans, EOB runs) - 8-bit, any 1-4x sampling, restart
     markers: full T.81 entropy decode + float IDCT; the returned
-    luma IS the Y plane - and baseline TIFF (II/MM byte orders,
+    luma IS the Y plane - baseline TIFF (II/MM byte orders,
     8-bit gray/RGB(A) strips; uncompressed, LZW, deflate - both with
-    the horizontal predictor - or PackBits).  Returns a
+    the horizontal predictor - or PackBits) - and lossless WebP
+    (full VP8L: meta-huffman, color cache, LZ77, all four inverse
+    transforms).  Returns a
     (h, w) uint8 grayscale array (color reduces via Rec.601 luma;
     16-bit samples reduce to their high byte).  Any other CONTAINER
-    - arithmetic-coded JPEG, BITMAPCOREHEADER BMP, LZW/tiled TIFF,
-    WebP - raises ``NotImplementedError`` (those need codec
+    - arithmetic-coded JPEG, BITMAPCOREHEADER BMP, tiled TIFF,
+    lossy VP8 WebP - raises ``NotImplementedError`` (those need codec
     libraries this container does not ship); a truncated or
     malformed payload of a supported container raises
     ``ValueError``."""
@@ -1343,6 +1835,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_gif(b)
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return _decode_webp(b)
 
     def body(off, need):
         if len(b) - off < need:
@@ -1396,7 +1890,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         "unsupported image container (supported without codec "
         "libraries: PPM/P6, PGM/P5, uncompressed 8/24-bit BMP, PNG "
-        "incl. Adam7, GIF, baseline+progressive JPEG, baseline TIFF)"
+        "incl. Adam7, GIF, baseline+progressive JPEG, baseline TIFF, "
+        "lossless WebP)"
     )
 
 

@@ -249,8 +249,12 @@ def test_decode_image_unsupported_raises():
     # TIFF is a SUPPORTED container since round 5: malformed = ValueError
     with _pytest.raises(ValueError):
         decode_image(b"II*\x00" + b"\0" * 16)
+    # WebP is a SUPPORTED container since round 5 (VP8L); a RIFF
+    # wrapper with no VP8L chunk is malformed
+    with _pytest.raises(ValueError):
+        decode_image(b"RIFFxxxxWEBP" + b"\0" * 16)
     with _pytest.raises(NotImplementedError, match="PPM"):
-        decode_image(b"RIFFxxxxWEBP" + b"\0" * 16)  # WebP
+        decode_image(b"FORM1234ILBM" + b"\0" * 16)  # IFF
     # GIF is a SUPPORTED container since round 5: malformed = ValueError
     with _pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\0" * 16)
@@ -1830,3 +1834,145 @@ def test_tiff_lzw_contracts():
         _tiff_lzw_decode(pack_msb([256, 300, 257], [9] * 3), 2)
     with pytest.raises(ValueError, match="truncated"):
         _tiff_lzw_decode(pack_msb([256, 65], [9, 9]), 10)
+
+
+@pytest.fixture(scope="session")
+def webp_ref_helper(tmp_path_factory):
+    """Compile the libwebp reference helper (hand-declared public-ABI
+    prototypes linked against the system libwebp.so.N); skip when gcc
+    or the library is unavailable."""
+    import glob as _glob
+    import shutil as _shutil
+    import subprocess
+
+    if not _shutil.which("gcc"):
+        pytest.skip("no gcc")
+    libs = sorted(
+        _glob.glob("/usr/lib/*/libwebp.so*")
+        + _glob.glob("/usr/lib/libwebp.so*")
+    )
+    if not libs:
+        pytest.skip("no libwebp")
+    exe = tmp_path_factory.mktemp("webpref") / "webp_ref_helper"
+    import os as _os
+
+    src = _os.path.join(_os.path.dirname(__file__), "webp_ref_helper.c")
+    r = subprocess.run(
+        ["gcc", "-O2", "-o", str(exe), src, libs[0]], capture_output=True
+    )
+    if r.returncode != 0:
+        pytest.skip(f"libwebp link failed: {r.stderr.decode()[:200]}")
+    return str(exe)
+
+
+def test_decode_webp_libwebp_cross_check(webp_ref_helper):
+    """VP8L decode against REAL libwebp-lossless-encoded streams:
+    every image class the encoder's transform chooser reaches
+    (palette incl. sub-byte bundling, predictor+cross-color,
+    subtract-green, LZ77 over the 2D distance map, color cache,
+    multi-group meta-huffman).  The referee is libwebp's own decode
+    (default lossless encoding may rewrite RGB under alpha=0, so the
+    source array is not the ground truth)."""
+    import subprocess
+
+    from pg_cjk_parser_spark.ops.multimodal import _luma, decode_image
+
+    def enc(rgba):
+        h, w = rgba.shape[:2]
+        p = subprocess.run(
+            [webp_ref_helper, "encode", str(w), str(h)],
+            input=rgba.tobytes(),
+            capture_output=True,
+        )
+        assert p.returncode == 0, p.stderr
+        return p.stdout
+
+    def refdec(webp):
+        q = subprocess.run(
+            [webp_ref_helper, "decode"], input=webp, capture_output=True
+        )
+        assert q.returncode == 0, q.stderr
+        hdr, raw = q.stdout.split(b"\n", 1)
+        w, h = map(int, hdr.split())
+        return np.frombuffer(raw, np.uint8, h * w * 4).reshape(h, w, 4)
+
+    def check(rgba, label):
+        webp = enc(rgba)
+        want = _luma(refdec(webp)[..., :3])
+        got = decode_image(webp)
+        assert np.array_equal(got, want), label
+
+    rng = np.random.default_rng(7)
+    solid = np.zeros((10, 12, 4), np.uint8)
+    solid[...] = [10, 200, 30, 255]
+    check(solid, "solid")
+
+    # the shape that exposed the Select-predictor bug during
+    # development: 3 meta-huffman groups + 1-bit color cache +
+    # predictor/cross-color over a smooth/noisy split
+    yy, xx = np.mgrid[0:120, 0:160]
+    photo = np.zeros((120, 160, 4), np.uint8)
+    photo[..., 0] = (xx * 2 + yy + rng.integers(0, 32, (120, 160))) % 256
+    photo[..., 1] = (xx + yy * 3 + rng.integers(0, 16, (120, 160))) % 256
+    photo[..., 2] = (
+        (xx * xx // 64 + yy) // 2 + rng.integers(0, 8, (120, 160))
+    ) % 256
+    photo[..., 3] = 255
+    photo[60:, :, :3] = rng.integers(0, 256, (60, 160, 3))
+    check(photo, "meta-huffman mixed")
+
+    # structured fuzz over the encoder's transform space
+    for i in range(15):
+        r = np.random.default_rng(100 + i)
+        h, w = int(r.integers(5, 70)), int(r.integers(5, 90))
+        kind = i % 5
+        im = np.zeros((h, w, 4), np.uint8)
+        im[..., 3] = 255
+        if kind == 0:  # full noise + alpha noise
+            im[..., :3] = r.integers(0, 256, (h, w, 3))
+            im[..., 3] = r.integers(0, 256, (h, w))
+        elif kind == 1:  # small palettes (bundling paths)
+            cols = r.integers(0, 256, (int(r.integers(2, 17)), 3))
+            im[..., :3] = cols[r.integers(0, len(cols), (h, w))]
+        elif kind == 2:  # gradients (predictor/cross-color)
+            y2, x2 = np.mgrid[0:h, 0:w]
+            for c in range(3):
+                im[..., c] = (
+                    x2 * int(r.integers(1, 5)) + y2 * int(r.integers(1, 5))
+                    + r.integers(0, 12, (h, w))
+                ) % 256
+        elif kind == 3:  # tiled (LZ77 distance codes)
+            th, tw = int(r.integers(2, 9)), int(r.integers(2, 9))
+            tile = r.integers(0, 256, (th, tw, 3))
+            im[..., :3] = np.tile(
+                tile, (h // th + 1, w // tw + 1, 1)
+            )[:h, :w]
+        else:  # repeated rows (vertical distances)
+            rows = r.integers(0, 256, (4, w, 3))
+            im[..., :3] = rows[r.integers(0, 4, h)]
+        check(im, f"fuzz{i}")
+
+
+def test_decode_webp_contracts():
+    """Lossy VP8 raises NotImplementedError; malformed VP8L payloads
+    raise ValueError."""
+    from pg_cjk_parser_spark.ops.multimodal import decode_image
+
+    def riff(fourcc, payload):
+        chunk = fourcc + len(payload).to_bytes(4, "little") + payload
+        body = b"WEBP" + chunk
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_image(riff(b"VP8 ", b"\x00" * 20))
+    with pytest.raises(ValueError, match="signature"):
+        decode_image(riff(b"VP8L", b"\x00" * 8))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(riff(b"VP8L", b"\x2f\x10\x00"))  # header cut short
+    with pytest.raises(ValueError):  # no VP8L chunk at all
+        decode_image(riff(b"ALPH", b"\x00" * 4))
+    # absurd dims: 16383x16383 > 67 MP bound (14-bit max each)
+    hdr = 0x3FFF | (0x3FFF << 14)
+    payload = b"\x2f" + hdr.to_bytes(4, "little")
+    with pytest.raises(ValueError, match="megapixel"):
+        decode_image(riff(b"VP8L", payload))
