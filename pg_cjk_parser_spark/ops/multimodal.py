@@ -1351,6 +1351,13 @@ class _Vp8lHuff:
         bl_count: dict[int, int] = {}
         for ln, _ in used:
             bl_count[ln] = bl_count.get(ln, 0) + 1
+        max_len = max(bl_count)
+        kraft = sum(n << (max_len - ln) for ln, n in bl_count.items())
+        if kraft != 1 << max_len:
+            # over-subscribed codes would silently collide in the
+            # table; under-subscribed ones leave unmapped bit paths -
+            # the spec requires complete codes (libwebp rejects both)
+            raise ValueError("incomplete/over-subscribed VP8L huffman code")
         code = 0
         next_code = {}
         for ln in range(1, max(bl_count) + 1):
@@ -1616,31 +1623,32 @@ def _vp8l_apply_inverse(t, argb: np.ndarray, w: int, h: int):
         idx = idx[:, :orig_w]  # drop the final byte's bundle padding
         return pal[idx].reshape(-1), orig_w
     if kind == "color":
+        # no sequential dependency (unlike the predictor): expand the
+        # per-tile multipliers and invert every pixel vectorized
         _, size_bits, img = t
         px = argb.reshape(h, w)
-        out = px.copy()
-        for y in range(h):
-            crow = img[y >> size_bits]
-            for x in range(w):
-                cte = int(crow[x >> size_bits])
-                g2r = cte & 0xFF
-                g2b = (cte >> 8) & 0xFF
-                r2b = (cte >> 16) & 0xFF
-                v = int(px[y, x])
-                green = (v >> 8) & 0xFF
-                red = (v >> 16) & 0xFF
-                blue = v & 0xFF
-                sg = green - 256 if green > 127 else green
-
-                def d(tbyte, col):
-                    tb = tbyte - 256 if tbyte > 127 else tbyte
-                    cc = col - 256 if col > 127 else col
-                    return (tb * cc) >> 5
-
-                red = (red + d(g2r, sg)) & 0xFF
-                sr = red - 256 if red > 127 else red
-                blue = (blue + d(g2b, sg) + d(r2b, sr)) & 0xFF
-                out[y, x] = (v & 0xFF00FF00) | (red << 16) | blue
+        bs = 1 << size_bits
+        cte = np.repeat(np.repeat(img, bs, 0), bs, 1)[:h, :w].astype(
+            np.int64
+        )
+        g2r = (cte & 0xFF).astype(np.int8).astype(np.int32)
+        g2b = ((cte >> 8) & 0xFF).astype(np.int8).astype(np.int32)
+        r2b = ((cte >> 16) & 0xFF).astype(np.int8).astype(np.int32)
+        sg = ((px >> 8) & 0xFF).astype(np.int8).astype(np.int32)
+        red = (
+            (((px >> 16) & 0xFF).astype(np.int32) + ((g2r * sg) >> 5))
+            & 0xFF
+        )
+        sr = red.astype(np.uint8).astype(np.int8).astype(np.int32)
+        blue = (
+            ((px & 0xFF).astype(np.int32) + ((g2b * sg) >> 5)
+             + ((r2b * sr) >> 5)) & 0xFF
+        )
+        out = (
+            (px & np.uint32(0xFF00FF00))
+            | (red.astype(np.uint32) << 16)
+            | blue.astype(np.uint32)
+        )
         return out.reshape(-1), w
     # predictor
     _, size_bits, img = t
@@ -1677,13 +1685,6 @@ def _vp8l_addpix(a: int, b: int) -> int:
     for shift in (0, 8, 16, 24):
         s |= (((a >> shift) + (b >> shift)) & 0xFF) << shift
     return s
-
-
-def _vp8l_sub_abs(a: int, b: int) -> int:
-    tot = 0
-    for shift in (0, 8, 16, 24):
-        tot += abs(((a >> shift) & 0xFF) - ((b >> shift) & 0xFF))
-    return tot
 
 
 def _vp8l_clamp_add_sub_full(L, T, TL):
@@ -1770,6 +1771,11 @@ def _decode_webp(b: bytes) -> np.ndarray:
                 "lossy WebP (VP8) needs a full DCT codec; only "
                 "lossless VP8L decodes here"
             )
+        if fourcc in (b"ANIM", b"ANMF"):
+            raise NotImplementedError(
+                "animated WebP not supported (frames live inside "
+                "ANMF chunks)"
+            )
         i += 8 + size + (size & 1)
     if payload is None:
         raise ValueError("WebP container without VP8L chunk")
@@ -1781,10 +1787,12 @@ def _decode_webp(b: bytes) -> np.ndarray:
     br.bits(1)  # alpha hint
     if br.bits(3) != 0:
         raise ValueError("unknown VP8L version")
-    if w * h > (1 << 26):
+    if w * h > _JPEG_MAX_PIXELS:
+        # per-pixel pure-Python decode: same throughput class as the
+        # JPEG path, so it shares the tighter 4 MP executor bound
         raise ValueError(
-            f"WebP dimensions {w}x{h} exceed the 67-megapixel "
-            "decoder limit"
+            f"WebP dimensions {w}x{h} exceed the "
+            f"{_JPEG_MAX_PIXELS >> 20}-megapixel decoder limit"
         )
     transforms = []
     cur_w = w

@@ -1965,6 +1965,8 @@ def test_decode_webp_contracts():
 
     with pytest.raises(NotImplementedError, match="lossy"):
         decode_image(riff(b"VP8 ", b"\x00" * 20))
+    with pytest.raises(NotImplementedError, match="animated"):
+        decode_image(riff(b"ANIM", b"\x00" * 6))
     with pytest.raises(ValueError, match="signature"):
         decode_image(riff(b"VP8L", b"\x00" * 8))
     with pytest.raises(ValueError, match="truncated"):
