@@ -3017,6 +3017,88 @@ def _render_tiff(
     return hdr + ifd + bytes(ext) + b"".join(strips)
 
 
+class _Vp8lBitWriter:
+    """LSB-first bit writer (the inverse of ``_Vp8lBits``)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, nbits: int) -> None:
+        self.acc |= (v & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def done(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _render_webp(w: int, h: int, seed: int) -> bytes:
+    """Genuine lossless WebP: a minimal VP8L encoder emitting a
+    deterministic two-color pattern through 1-bit 'simple' Huffman
+    codes (no transforms, no cache - every field is real bitstream
+    per the spec, just with a trivial symbol set).  Canonical code
+    assignment gives the SMALLER symbol value code 0, matching the
+    reference table builder.  Decodes identically under libwebp and
+    :func:`_decode_webp` (cross-checked in tests)."""
+    rng = np.random.default_rng(seed)
+    # two colors differing in every channel so each channel gets a
+    # genuine 2-symbol code
+    c0 = rng.integers(0, 128, 3)
+    c1 = c0 + rng.integers(64, 128, 3)
+    mask = rng.integers(0, 2, (h, w))
+    bw = _Vp8lBitWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)  # no alpha hint
+    bw.put(0, 3)  # version
+    bw.put(0, 1)  # no transforms
+    bw.put(0, 1)  # no color cache
+    bw.put(0, 1)  # no meta-huffman
+
+    def simple2(a, b):
+        bw.put(1, 1)  # simple code
+        bw.put(1, 1)  # two symbols
+        bw.put(1, 1)  # 8-bit first symbol
+        bw.put(a, 8)
+        bw.put(b, 8)
+
+    def simple1(a):
+        bw.put(1, 1)
+        bw.put(0, 1)  # one symbol (zero-bit code)
+        bw.put(1, 1)
+        bw.put(a, 8)
+
+    chans = []  # (code0 value, code1 value) per channel in g, r, b order
+    for ci, comp in ((1, "g"), (0, "r"), (2, "b")):
+        a, b = int(c0[ci]), int(c1[ci])
+        lo, hi = (a, b) if a < b else (b, a)
+        simple2(lo, hi)
+        # mask value 0 -> c0; map to canonical code bit
+        chans.append((0 if a < b else 1, 1 if a < b else 0))
+    simple1(255)  # alpha
+    simple1(0)    # distance (never used)
+    for y in range(h):
+        for x in range(w):
+            m = int(mask[y, x])
+            for bit0, bit1 in chans:
+                bw.put(bit1 if m else bit0, 1)
+    payload = b"\x2f" + bw.done()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def _render_wav(sr: int, n_samples: int, seed: int) -> bytes:
     import io
     import wave
@@ -3260,8 +3342,9 @@ def _render_avi(
 def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table whose payloads are GENUINE encoded
     containers (rotating PGM/PPM/BMP/PNG/JPEG - incl. 4:2:0 with
-    restart markers and grayscale - plus GIF and baseline TIFF
-    (multi-strip and PackBits/big-endian slots) for images; PCM, G.711
+    restart markers and grayscale - plus GIF, baseline TIFF
+    (multi-strip and PackBits/big-endian slots), and lossless WebP
+    for images; PCM, G.711
     mu-law/A-law, and IMA ADPCM WAV for audio; uncompressed 24-bit
     and MJPEG AVI - incl. DHT-less frames - for video) so the real
     decoders run end to end with no external data."""
@@ -3293,7 +3376,8 @@ def synth_media_real(spark, n: int, seed: int = 42) -> DataFrame:
                         lambda w, h, s: _render_tiff(
                             w, h, s, rgb=False, packbits=True, big_endian=True
                         ),
-                    )[(i // 3) % 13]
+                        _render_webp,
+                    )[(i // 3) % 14]
                     payload = renderer(w, h, seed + i)
                 elif kind == "audio":
                     ns = 2000 + (i % 1000)

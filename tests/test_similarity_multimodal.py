@@ -1978,3 +1978,30 @@ def test_decode_webp_contracts():
     payload = b"\x2f" + hdr.to_bytes(4, "little")
     with pytest.raises(ValueError, match="megapixel"):
         decode_image(riff(b"VP8L", payload))
+
+
+def test_render_webp_minimal_encoder(webp_ref_helper):
+    """The hand-built VP8L streams from _render_webp are REAL webp:
+    accepted by libwebp and decoded identically by both decoders."""
+    import subprocess
+
+    from pg_cjk_parser_spark.ops.multimodal import (
+        _luma,
+        _render_webp,
+        decode_image,
+    )
+
+    for w, h, seed in ((19, 13, 42), (16, 12, 7), (33, 21, 3)):
+        webp = _render_webp(w, h, seed)
+        mine = decode_image(webp)
+        q = subprocess.run(
+            [webp_ref_helper, "decode"], input=webp, capture_output=True
+        )
+        assert q.returncode == 0, q.stderr
+        hdr, raw = q.stdout.split(b"\n", 1)
+        rw, rh = map(int, hdr.split())
+        assert (rw, rh) == (w, h)
+        ref = np.frombuffer(raw, np.uint8, h * w * 4).reshape(h, w, 4)
+        assert np.array_equal(mine, _luma(ref[..., :3]))
+        assert len(np.unique(mine)) == 2  # really two-color
+    assert _render_webp(19, 13, 42) == _render_webp(19, 13, 42)
