@@ -3622,7 +3622,10 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_URL_CANON_SQL = r"""
+# canonicalization CTE chain (u0 -> canon) shared by the
+# url_canonicalize and url_dedup oracles; ends at the `canon` CTE so
+# each row appends its own final SELECT.
+_URL_CANON_CTES = r"""
 WITH u0 AS (
   SELECT doc_id, """ + _SYNTH_URL_CASE + r""" AS url
   FROM documents
@@ -3660,15 +3663,20 @@ canon AS (
              AND p <> ''),
       '&'), '') AS clean_q
   FROM parts
-)
+)"""
+
+_URL_CANON_FINAL = r"""
 SELECT doc_id, url,
   CASE WHEN scheme = '' THEN url
        ELSE scheme || '://' || userinfo || host
          || CASE WHEN path = '' THEN '/' ELSE path END
          || CASE WHEN clean_q = '' THEN '' ELSE '?' || clean_q END
   END AS canon_url
-FROM canon ORDER BY doc_id
-"""
+FROM canon"""
+
+_URL_CANON_SQL = (
+    _URL_CANON_CTES + _URL_CANON_FINAL + "\nORDER BY doc_id"
+)
 
 
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3745,16 +3753,328 @@ FROM d GROUP BY domain ORDER BY domain
 """
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL re-crawl dedup: the 4-shape URL synth collapses
+    many doc_ids onto one canonical key (bare hosts, tracking-param
+    variants), and a deterministic doc_id-keyed capture timestamp
+    picks the newest capture per key (7919 is invertible mod the
+    prime 99991, so timestamps are distinct and the winner is
+    unambiguous)."""
+    from pg_cjk_parser_spark.ops.web import url_dedup
+
+    d = _synth_urls(spark, sf_dir).withColumn(
+        "warc_ts",
+        (F.lit(1600000000) + (F.col("doc_id") * 7919) % 99991).cast(
+            "long"
+        ),
+    )
+    return (
+        url_dedup(d, ts_col="warc_ts")
+        .select("doc_id", "warc_ts", "canon_url")
+        .orderBy("canon_url")
+    )
+
+
+_URL_DEDUP_SQL = (
+    _URL_CANON_CTES
+    + ",\nfinal AS ("
+    + _URL_CANON_FINAL
+    + r"""
+),
+wts AS (
+  SELECT doc_id,
+         (1600000000 + (doc_id * 7919) % 99991)::BIGINT AS warc_ts,
+         canon_url
+  FROM final
+)
+SELECT doc_id, warc_ts, canon_url FROM wts
+QUALIFY row_number() OVER (
+  PARTITION BY canon_url ORDER BY warc_ts DESC, doc_id ASC) = 1
+ORDER BY canon_url
+"""
+)
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact line dedup over a synthetic multi-line
+    corpus: every doc gets a header line shared by ~1/7 of the corpus
+    (dropped), its own text line (kept), one blank line (always
+    kept), an optional promo line shared by ~1/15 (dropped), and a
+    footer shared by all (dropped)."""
+    from pg_cjk_parser_spark.ops.web import line_dedup
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.lit("hdr "), d % 7, F.lit("\n"),
+            F.col("text"), F.lit("\n\n"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit("promo "), d % 5, F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.lit("footer legal"),
+        ).alias("text"),
+    )
+    return (
+        line_dedup(docs)
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "text_dedup",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LINE_DEDUP_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+    'hdr ' || (doc_id % 7) || chr(10) || text || chr(10) || chr(10)
+    || CASE WHEN doc_id % 3 = 0
+       THEN 'promo ' || (doc_id % 5) || chr(10) ELSE '' END
+    || 'footer legal' AS t
+  FROM documents
+),
+ls AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM src),
+lines AS (
+  SELECT doc_id, i.i AS pos, parts[i.i] AS line
+  FROM ls, (SELECT unnest(generate_series(1, 16)) AS i) i
+  WHERE i.i <= len(parts)
+),
+banned AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(*) > 1 AND trim(line) <> ''
+)
+SELECT l.doc_id,
+  count(*)::BIGINT AS n_lines,
+  sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                      chr(10) ORDER BY l.pos), '') AS text_dedup
+FROM lines l LEFT JOIN banned b ON l.line = b.line
+GROUP BY l.doc_id ORDER BY l.doc_id
+"""
+
+
+def _synth_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc_id-keyed HTML over the synthetic URL corpus:
+    one absolute cross-domain link, one single-quoted root-relative
+    link, an optional protocol-relative CDN link, plus a mailto and a
+    data-href decoy that extraction must skip."""
+    d = F.col("doc_id")
+    return _synth_urls(spark, sf_dir).select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lit('<html><a href="https://ext'), d % 4,
+            F.lit('.org/a?x='), d, F.lit('">t</a>'),
+            F.lit("<A CLASS='c' HREF='/p"), d % 5, F.lit("'>u</A>"),
+            F.when(
+                d % 2 == 0,
+                F.concat(
+                    F.lit("<a href='//cdn"), d % 3,
+                    F.lit(".net/q'>v</a>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(
+                '<a href="mailto:u@x.org">w</a>'
+                '<a data-href="https://no.com/z">z</a></html>'
+            ),
+        ).alias("html"),
+    )
+
+
+def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link graph extracted from the synthetic HTML
+    corpus (both quote styles, absolute / root-relative /
+    protocol-relative resolution, mailto + data-href decoys
+    skipped)."""
+    from pg_cjk_parser_spark.ops.graph import link_graph
+
+    return (
+        link_graph(_synth_html(spark, sf_dir))
+        .select(
+            "src_domain",
+            "dst_domain",
+            F.col("n_links").cast("long").alias("n_links"),
+        )
+        .orderBy("src_domain", "dst_domain")
+    )
+
+
+def _sql_host_of(hp: str) -> str:
+    """DuckDB host-normalization twin of ops.web.registrable_domain's
+    host step, over a hostport expression."""
+    return (
+        f"CASE WHEN {hp} LIKE '[%' "
+        f"THEN lower(regexp_extract({hp}, '^(\\[[^\\]]*\\])', 1)) "
+        f"ELSE regexp_replace(regexp_replace("
+        f"lower(regexp_replace({hp}, ':\\d*$', '')), '\\.$', ''), "
+        f"'^www\\.', '') END"
+    )
+
+
+def _sql_domain_of(host: str) -> str:
+    """DuckDB registrable-domain twin (last-2-labels, generic-SLD
+    3-label rule, IP literals verbatim) over a normalized host."""
+    lab = f"string_split({host}, '.')"
+    return f"""CASE
+      WHEN {host} LIKE '[%'
+           OR regexp_matches({host}, '^(\\d{{1,3}}\\.){{3}}\\d{{1,3}}$')
+      THEN {host}
+      WHEN len({lab}) >= 3 AND length({lab}[-1]) = 2
+           AND {lab}[-2] IN ('co','com','net','org','gov','ac','edu')
+      THEN {lab}[-3] || '.' || {lab}[-2] || '.' || {lab}[-1]
+      WHEN len({lab}) >= 2 THEN {lab}[-2] || '.' || {lab}[-1]
+      ELSE {host} END"""
+
+
+def _link_graph_sql() -> str:
+    from pg_cjk_parser_spark.ops.graph import HREF_DQ_RE, HREF_SQ_RE
+
+    dq = HREF_DQ_RE.replace("'", "''")
+    sq = HREF_SQ_RE.replace("'", "''")
+    uc = "trim(regexp_replace(coalesce(url, ''), '[\\t\\r\\n]', '', 'g'))"
+    scheme = (
+        f"lower(regexp_extract({uc}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    )
+    auth = (
+        f"regexp_extract({uc}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    )
+    hp = (
+        "regexp_extract(trim(regexp_replace(coalesce({u}, ''), "
+        "'[\\t\\r\\n]', '', 'g')), "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1)"
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {_SYNTH_URL_CASE} AS url,
+    '<html><a href="https://ext' || (doc_id % 4) || '.org/a?x='
+    || doc_id || '">t</a>'
+    || '<A CLASS=''c'' HREF=''/p' || (doc_id % 5) || '''>u</A>'
+    || CASE WHEN doc_id % 2 = 0
+       THEN '<a href=''//cdn' || (doc_id % 3) || '.net/q''>v</a>'
+       ELSE '' END
+    || '<a href="mailto:u@x.org">w</a>'
+    || '<a data-href="https://no.com/z">z</a></html>' AS html
+  FROM documents
+),
+hrefs AS (
+  SELECT url, unnest(list_concat(
+      regexp_extract_all(html, '{dq}', 2),
+      regexp_extract_all(html, '{sq}', 2))) AS href
+  FROM pages
+),
+res AS (
+  SELECT url,
+    CASE
+      WHEN regexp_matches(trim(href), '^[A-Za-z][A-Za-z0-9+.-]*://')
+        THEN trim(href)
+      WHEN trim(href) LIKE '//%' AND {scheme} <> ''
+        THEN {scheme} || ':' || trim(href)
+      WHEN trim(href) LIKE '/%' AND trim(href) NOT LIKE '//%'
+           AND {scheme} <> ''
+        THEN {scheme} || '://' || {auth} || trim(href)
+    END AS link_url
+  FROM hrefs
+),
+hps AS (
+  SELECT {hp.format(u="url")} AS hp_s, {hp.format(u="link_url")} AS hp_d
+  FROM res WHERE link_url IS NOT NULL
+),
+hosts AS (
+  SELECT {_sql_host_of("hp_s")} AS h_s, {_sql_host_of("hp_d")} AS h_d
+  FROM hps
+),
+dd AS (
+  SELECT {_sql_domain_of("h_s")} AS src_domain,
+         {_sql_domain_of("h_d")} AS dst_domain
+  FROM hosts
+)
+SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links
+FROM dd GROUP BY src_domain, dst_domain
+ORDER BY src_domain, dst_domain
+"""
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-authority PageRank over a deterministic doc_id-keyed
+    edge list (nodes n0..n12; n10-n12 appear only as targets -
+    crawl-frontier dangling nodes - exercising the dangling-mass
+    redistribution term); 3 power iterations, d=0.85, scores rounded
+    exactly once per side."""
+    from pg_cjk_parser_spark.ops.graph import pagerank
+
+    d = F.col("doc_id")
+    edges = _docs(spark, sf_dir).select(
+        F.concat(F.lit("n"), d % 10).alias("src"),
+        F.concat(F.lit("n"), d % 13).alias("dst"),
+    )
+    return (
+        pagerank(edges, iterations=3)
+        .select("node", F.round("pr", 6).alias("pr"))
+        .orderBy("node")
+    )
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank oracle with the same
+    expression shapes as ops.graph.pagerank (teleport constant
+    computed as (1-0.85)/N in double both sides, dangling sum
+    redistributed uniformly, one final round)."""
+    sql = r"""
+WITH e AS (
+  SELECT DISTINCT 'n' || (doc_id % 10) AS src,
+                  'n' || (doc_id % 13) AS dst
+  FROM documents
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+p AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outd AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM p) AS pr FROM nodes)"""
+    for k in range(iters):
+        sql += f""",
+d{k} AS (
+  SELECT coalesce(sum(r.pr), 0.0::DOUBLE) AS s
+  FROM r{k} r LEFT JOIN outd o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+c{k} AS (
+  SELECT e.dst AS node, sum(r.pr / o.outdeg) AS in_sum
+  FROM e JOIN r{k} r ON e.src = r.node JOIN outd o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{k + 1} AS (
+  SELECT n.node,
+    (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM p)
+    + 0.85::DOUBLE * (coalesce(c.in_sum, 0.0::DOUBLE)
+                      + (SELECT s FROM d{k}) / (SELECT n FROM p)) AS pr
+  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+)"""
+    sql += (
+        f"\nSELECT node, round(pr, 6) AS pr FROM r{iters} ORDER BY node"
+    )
+    return sql
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver hash-checks
     # only the FIRST 50 entries.  Positions 1-19 are the rows added in
     # rounds 3-4 that had never appeared in a committed CORRECTNESS
-    # artifact before r05; positions 20-50 re-certify the structurally
-    # distinct earlier rows (including term_suggest, whose round-5
-    # rewrite postdates its r04 certificate).  Positions 51-69 are
-    # variant rows whose hash-green certificates live in
-    # CORRECTNESS_r04.json (char_fingerprint moved there: unchanged
-    # since r04, tokenizer-independent).  The r04<->r05 mapping is
+    # artifact before r05; positions 20-26 are the seven round-5 rows
+    # (pii_scrub, url_canonicalize, domain_stats, url_dedup,
+    # line_dedup, link_graph, pagerank); positions 27-50 re-certify
+    # structurally distinct earlier rows (including term_suggest,
+    # whose round-5 rewrite postdates its r04 certificate).
+    # Positions 51-76 are variant rows whose hash-green certificates
+    # live in CORRECTNESS_r04.json (char_fingerprint, zht2zhs,
+    # exact_dedup, ann_cosine_topk, minhash_near_dups, simhash,
+    # hash_split, event_windows moved there: all eight are
+    # tokenizer-independent and byte-unchanged since their r04
+    # certificates — `git diff 254835d..HEAD` over ops/dedup.py,
+    # ops/similarity.py, ops/textstats.py, ops/stream_ops.py,
+    # functions/zht2zhs.py is empty).  The r04<->r05 mapping is
     # recorded in COVERAGE.md.
     return {
         # --- never-driver-certified before r05 (19) ---
@@ -3777,27 +4097,28 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_headline_prefix": _q_headline_prefix,
         "stratified_sample": _q_stratified_sample,
         "top_k_per_group": _q_top_k_per_group,
-        # --- re-certified structurally distinct rows (31) ---
+        # --- round-5 additions, never driver-certified (7) ---
+        "pii_scrub": _q_pii_scrub,
+        "url_canonicalize": _q_url_canonicalize,
+        "domain_stats": _q_domain_stats,
+        "url_dedup": _q_url_dedup,
+        "line_dedup": _q_line_dedup,
+        "link_graph": _q_link_graph,
+        "pagerank": _q_pagerank,
+        # --- re-certified structurally distinct rows (24) ---
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,
-        "zht2zhs": _q_zht2zhs,
         "doc_lengths": _q_doc_lengths,
-        "exact_dedup": _q_exact_dedup,
         "quality_signals": _q_quality,
-        "ann_cosine_topk": _q_ann_cosine,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_counts": _q_token_counts,
         "term_suggest": _q_term_suggest,
-        "minhash_near_dups": _q_minhash_near_dups,
-        "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "ts_headline": _q_headline,
         "ts_debug": _q_ts_debug,
         "bm25_or_topk": _q_bm25_or_topk,
-        "event_windows": _q_event_windows,
         "near_dup_clusters": _q_near_dup_clusters,
         "unigram_logprob": _q_unigram_logprob,
-        "hash_split": _q_hash_split,
         "contamination_overlap": _q_contamination,
         "repetition_signals": _q_repetition_signals,
         "duplicate_spans": _q_duplicate_spans,
@@ -3829,11 +4150,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_weighted": _q_ts_rank_weighted,
         "ts_rank_filtered": _q_ts_rank_filtered,
         "char_fingerprint": _q_fingerprint,
-        # --- round-5 additions (pytest-oracled; next round's gate
-        #     window rotates them into a driver certificate) ---
-        "pii_scrub": _q_pii_scrub,
-        "url_canonicalize": _q_url_canonicalize,
-        "domain_stats": _q_domain_stats,
+        "zht2zhs": _q_zht2zhs,
+        "exact_dedup": _q_exact_dedup,
+        "ann_cosine_topk": _q_ann_cosine,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash": _q_simhash,
+        "hash_split": _q_hash_split,
+        "event_windows": _q_event_windows,
     }
 
 
@@ -3890,6 +4213,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SCRUB_SQL,
         "url_canonicalize": _URL_CANON_SQL,
         "domain_stats": _DOMAIN_STATS_SQL,
+        "url_dedup": _URL_DEDUP_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
+        "link_graph": _link_graph_sql(),
+        "pagerank": _pagerank_sql(),
         "bm25_deleted": _BM25_DELETED_SQL,
         "bm25_upserted": _BM25_UPSERTED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,

@@ -1,10 +1,13 @@
-"""Web-corpus hygiene operators: PII scrubbing and URL
-canonicalization.
+"""Web-corpus hygiene operators: PII scrubbing, URL canonicalization,
+canonical-URL dedup, and cross-document line dedup.
 
-Both are standard steps in large-scale web-text curation (CCNet /
-Dolma / FineWeb-style pipelines) and both stay entirely JVM-side -
-single narrow projection per document, no shuffle, no Python in the
-hot path - so they run at scan speed on a 100 TB corpus.
+All are standard steps in large-scale web-text curation (CCNet /
+Dolma / FineWeb / MassiveText-style pipelines).  The per-document
+operators stay entirely JVM-side - single narrow projection per
+document, no shuffle, no Python in the hot path - so they run at scan
+speed on a 100 TB corpus; the corpus-wide dedup operators shuffle
+only on their natural keys (canonical URL, line text) with map-side
+partial aggregation.
 
 The regex patterns are written to the common subset of Java regex
 (Spark) and RE2 (DuckDB) semantics so the same pattern string is used
@@ -12,6 +15,8 @@ verbatim in the SQL oracles.
 """
 
 from __future__ import annotations
+
+import re as _re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -236,4 +241,113 @@ def domain_stats(
     return (
         df.groupBy(registrable_domain(F.col(url_col)).alias("domain"))
         .agg(*aggs)
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str | None = None,
+    id_col: str = "doc_id",
+    canon_col: str = "canon_url",
+) -> DataFrame:
+    """Keep exactly ONE page per canonical URL - the re-crawl dedup
+    every Common-Crawl-style pipeline runs before content dedup (the
+    same page is captured many times across fetches; CCNet/Dolma keep
+    the newest capture).
+
+    Winner per canonical key: highest ``ts_col`` (capture timestamp)
+    when given, ties (and the no-timestamp case) broken by LOWEST
+    ``id_col`` so the result is deterministic.  All input columns
+    pass through, plus ``canon_col`` (the dedup key, from
+    ``canonicalize_urls``).
+
+    Scale shape: canonicalization is a narrow projection, then ONE
+    exchange hash-partitioned on the canonical key with a map-side
+    partial ``max_by`` (the winner of each mapper's local key group
+    is combined before the shuffle, so the exchange carries at most
+    one row per (mapper, key) - re-crawl duplicates collapse early
+    instead of colocating raw).  No window sort, no join-back.
+    """
+    cols = df.columns
+    d = canonicalize_urls(df, url_col, canon_col)
+    order = [F.col(ts_col)] if ts_col is not None else []
+    # lowest id wins ties: maximize its negation
+    order.append(-F.col(id_col))
+    best = d.groupBy(canon_col).agg(
+        F.max_by(F.struct(*cols), F.struct(*order)).alias("_best")
+    )
+    return best.select(
+        *[F.col(f"_best.{c}").alias(c) for c in cols], F.col(canon_col)
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Cross-document exact line dedup (MassiveText / RefinedWeb
+    style): remove every line whose exact text occurs more than
+    ``max_occurrences`` times across the WHOLE corpus - the standard
+    boilerplate killer (nav bars, cookie banners, license footers
+    repeat verbatim across millions of pages; prose does not).
+    Whitespace-only lines are always kept: they carry paragraph
+    structure, and at corpus scale every blank line is "duplicated".
+
+    Returns one row per input document:
+    ``(id_col, n_lines, n_kept, text_dedup)`` with surviving lines
+    rejoined by ``sep`` in original order (documents whose every line
+    is boilerplate survive with ``text_dedup = ''``).
+
+    Scale shape: lines are exploded once, then the banned-line set is
+    built with a map-side-combined groupBy (duplicate lines collapse
+    to (line, count) per mapper BEFORE the shuffle, so the
+    line-cardinality exchange carries distinct lines, not
+    occurrences) and filtered to counts above the threshold - at web
+    scale that surviving banned set is the boilerplate tail, orders
+    of magnitude smaller than the corpus.  Tagging is a left join of
+    the exploded lines against the banned set: AQE both broadcasts
+    the banned side when it fits and skew-splits the hot boilerplate
+    keys when it does not (a window-function formulation would
+    instead pin every copy of a hot line into one unsplittable
+    partition).  Reassembly is one doc-cardinality exchange.  The
+    document text is scanned twice (count pass + tag pass), the
+    textbook trade for not materializing the exploded corpus.
+    """
+    pat = _re.escape(sep)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("pos", "line"),
+    )
+    banned = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(
+            (F.col("n_occ") > max_occurrences)
+            & (F.trim(F.col("line")) != "")
+        )
+        .withColumn("_banned", F.lit(True))
+    )
+    keep = F.col("_banned").isNull()
+    return (
+        lines.join(banned.select("line", "_banned"), "line", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x.getField("line"),
+                ),
+                sep,
+            ).alias("text_dedup"),
+        )
     )
