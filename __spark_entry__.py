@@ -3839,9 +3839,10 @@ WITH src AS (
 ),
 ls AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM src),
 lines AS (
-  SELECT doc_id, i.i AS pos, parts[i.i] AS line
-  FROM ls, (SELECT unnest(generate_series(1, 16)) AS i) i
-  WHERE i.i <= len(parts)
+  SELECT doc_id, pos, parts[pos] AS line
+  FROM (SELECT doc_id, parts,
+               unnest(generate_series(1, len(parts))) AS pos
+        FROM ls)
 ),
 banned AS (
   SELECT line FROM lines GROUP BY line
@@ -3931,21 +3932,30 @@ def _sql_domain_of(host: str) -> str:
 
 
 def _link_graph_sql() -> str:
+    # single source of truth: interpolate the very pattern constants
+    # the operators compile, so engine and oracle cannot drift
     from pg_cjk_parser_spark.ops.graph import HREF_DQ_RE, HREF_SQ_RE
+    from pg_cjk_parser_spark.ops.web import (
+        _URL_AUTH_RE,
+        _URL_HOSTPORT_RE,
+        _URL_SCHEME_RE,
+    )
 
     dq = HREF_DQ_RE.replace("'", "''")
     sq = HREF_SQ_RE.replace("'", "''")
-    uc = "trim(regexp_replace(coalesce(url, ''), '[\\t\\r\\n]', '', 'g'))"
-    scheme = (
-        f"lower(regexp_extract({uc}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    )
-    auth = (
-        f"regexp_extract({uc}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
-    )
+
+    def _preparse(u: str) -> str:
+        return (
+            f"trim(regexp_replace(coalesce({u}, ''), "
+            "'[\\t\\r\\n]', '', 'g'))"
+        )
+
+    uc = _preparse("url")
+    h = _preparse("href")  # hrefs get the same WHATWG pre-parse
+    scheme = f"lower(regexp_extract({uc}, '{_URL_SCHEME_RE}', 1))"
+    auth = f"regexp_extract({uc}, '{_URL_AUTH_RE}', 1)"
     hp = (
-        "regexp_extract(trim(regexp_replace(coalesce({u}, ''), "
-        "'[\\t\\r\\n]', '', 'g')), "
-        "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1)"
+        "regexp_extract(" + _preparse("{u}") + f", '{_URL_HOSTPORT_RE}', 1)"
     )
     return f"""
 WITH pages AS (
@@ -3969,13 +3979,13 @@ hrefs AS (
 res AS (
   SELECT url,
     CASE
-      WHEN regexp_matches(trim(href), '^[A-Za-z][A-Za-z0-9+.-]*://')
-        THEN trim(href)
-      WHEN trim(href) LIKE '//%' AND {scheme} <> ''
-        THEN {scheme} || ':' || trim(href)
-      WHEN trim(href) LIKE '/%' AND trim(href) NOT LIKE '//%'
+      WHEN regexp_matches({h}, '{_URL_SCHEME_RE}')
+        THEN {h}
+      WHEN {h} LIKE '//%' AND {scheme} <> ''
+        THEN {scheme} || ':' || {h}
+      WHEN {h} LIKE '/%' AND {h} NOT LIKE '//%'
            AND {scheme} <> ''
-        THEN {scheme} || '://' || {auth} || trim(href)
+        THEN {scheme} || '://' || {auth} || {h}
     END AS link_url
   FROM hrefs
 ),

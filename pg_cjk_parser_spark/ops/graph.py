@@ -51,8 +51,12 @@ def resolve_href(href: Column, base_url: Column) -> Column:
       (same-page relative links stay within the page's own domain
       anyway, and domain-level rollups key on the origin this
       operator already resolves exactly).
+
+    Both sides get the WHATWG pre-parse (tab/CR/LF stripped, then
+    trimmed) - pretty-printed HTML wraps long hrefs across lines, and
+    a resolved URL must never carry an embedded newline.
     """
-    h = F.trim(href)
+    h = _url_preparse(href)
     base = _url_preparse(base_url)
     scheme = F.lower(F.regexp_extract(base, _URL_SCHEME_RE, 1))
     auth = F.regexp_extract(base, _URL_AUTH_RE, 1)
@@ -181,7 +185,10 @@ def pagerank(
     e_out = e.join(outdeg, "src").cache()
     n = nodes.count()  # the one driver-side scalar (teleport constant)
     if n == 0:
-        return nodes.withColumn("pr", F.lit(0.0))
+        out = nodes.withColumn("pr", F.lit(0.0))
+        for cached in (nodes, outdeg, e_out):
+            cached.unpersist()
+        return out
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for _ in range(iterations):
@@ -213,4 +220,12 @@ def pagerank(
         new_ranks = new_ranks.localCheckpoint(eager=True)
         ranks.unpersist()
         ranks = new_ranks
+    if iterations <= 0:
+        # materialize before dropping the caches the plan depends on
+        ranks = ranks.localCheckpoint(eager=True)
+    # the returned ranks are checkpointed - release the scaffolding so
+    # repeated calls don't pin edge-list-sized caches in executor
+    # storage for the application's lifetime
+    for cached in (nodes, outdeg, e_out):
+        cached.unpersist()
     return ranks

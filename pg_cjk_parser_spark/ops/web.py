@@ -260,25 +260,44 @@ def url_dedup(
     when given, ties (and the no-timestamp case) broken by LOWEST
     ``id_col`` so the result is deterministic.  All input columns
     pass through, plus ``canon_col`` (the dedup key, from
-    ``canonicalize_urls``).
+    ``canonicalize_urls``; a pre-existing column of that name is
+    treated as the key rather than duplicated).
 
     Scale shape: canonicalization is a narrow projection, then ONE
-    exchange hash-partitioned on the canonical key with a map-side
-    partial ``max_by`` (the winner of each mapper's local key group
-    is combined before the shuffle, so the exchange carries at most
-    one row per (mapper, key) - re-crawl duplicates collapse early
-    instead of colocating raw).  No window sort, no join-back.
+    exchange hash-partitioned on the canonical key.  With a numeric
+    ``id_col`` the winner is a map-side partial ``max_by`` (each
+    mapper's local key group collapses before the shuffle, so the
+    exchange carries at most one row per (mapper, key) - re-crawl
+    duplicates collapse early instead of colocating raw; no window
+    sort, no join-back).  Non-numeric ids (WARC record IDs, UUIDs)
+    cannot ride an ascending field inside ``max_by``'s descending
+    struct comparator, so that case falls back to a row_number
+    window - still one exchange, plus a per-key sort.
     """
-    cols = df.columns
+    from pyspark.sql.types import NumericType
+
+    cols = [c for c in df.columns if c != canon_col]
     d = canonicalize_urls(df, url_col, canon_col)
     order = [F.col(ts_col)] if ts_col is not None else []
-    # lowest id wins ties: maximize its negation
-    order.append(-F.col(id_col))
-    best = d.groupBy(canon_col).agg(
-        F.max_by(F.struct(*cols), F.struct(*order)).alias("_best")
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        # lowest id wins ties: maximize its negation
+        order.append(-F.col(id_col))
+        best = d.groupBy(canon_col).agg(
+            F.max_by(F.struct(*cols), F.struct(*order)).alias("_best")
+        )
+        return best.select(
+            *[F.col(f"_best.{c}").alias(c) for c in cols],
+            F.col(canon_col),
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(canon_col).orderBy(
+        *[c.desc() for c in order], F.col(id_col).asc()
     )
-    return best.select(
-        *[F.col(f"_best.{c}").alias(c) for c in cols], F.col(canon_col)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*cols, canon_col)
     )
 
 
@@ -320,7 +339,12 @@ def line_dedup(
     pat = _re.escape(sep)
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), pat)).alias("pos", "line"),
+        # NULL text must still yield its one (empty) line: posexplode
+        # of a NULL array emits no rows and would silently DELETE the
+        # document from the output.
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), pat)
+        ).alias("pos", "line"),
     )
     banned = (
         lines.groupBy("line")

@@ -41,6 +41,48 @@ def test_url_dedup_keeps_newest_capture(spark):
     }
 
 
+def test_url_dedup_string_ids_and_canon_col_reuse(spark):
+    # WARC-style string record ids take the window fallback path
+    df = spark.createDataFrame(
+        [
+            ("rec-b", "http://t.com/p", 100),
+            ("rec-a", "http://T.COM/p", 100),
+            ("rec-c", "http://t.com/p", 300),
+        ],
+        "doc_id string, url string, warc_ts long",
+    )
+    rows = url_dedup(df, ts_col="warc_ts").collect()
+    assert len(rows) == 1 and rows[0].doc_id == "rec-c"
+    rows = url_dedup(df).collect()  # no ts: lexicographically lowest id
+    assert len(rows) == 1 and rows[0].doc_id == "rec-a"
+    # a frame that already carries canon_url must not yield duplicate
+    # columns when deduped again
+    from pg_cjk_parser_spark.ops.web import canonicalize_urls
+
+    pre = canonicalize_urls(df)
+    out = url_dedup(pre)
+    assert out.columns.count("canon_url") == 1
+    assert out.count() == 1
+
+
+def test_line_dedup_null_text_survives(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].text_dedup == "" and out[2].n_lines == 1
+
+
+def test_extract_links_strips_wrapped_href_whitespace(spark):
+    df = spark.createDataFrame(
+        [("https://h.com/x", '<a href="/long\n\tpath">t</a>')],
+        "url string, html string",
+    )
+    rows = extract_links(df).collect()
+    assert [r.link_url for r in rows] == ["https://h.com/longpath"]
+
+
 def test_url_dedup_tiebreak_lowest_id(spark):
     df = spark.createDataFrame(
         [(7, "http://t.com/p", 100), (3, "http://T.COM/p", 100)],
