@@ -512,6 +512,76 @@ def main() -> None:
             media_n / queries["ops_media_decode"], 1
         )
 
+        # web dedup + link graph over the corpus's REAL columns: the
+        # synth pages carry deterministic outlink anchors (html), a
+        # unique url, and sequential warc_ts.  Inputs that are derived
+        # tables (boilerplate-lined text, the extracted edge list) are
+        # materialized untimed, like the corpus itself - a real
+        # pipeline reads them from parquet.
+        from pg_cjk_parser_spark.ops.graph import link_graph, pagerank
+        from pg_cjk_parser_spark.ops.web import line_dedup, url_dedup
+
+        lined_path = os.path.join(work, "lined")
+        corpus.select(
+            "url",
+            F.concat(
+                F.lit("hdr "), F.abs(F.xxhash64("url")) % 1000,
+                F.lit("\n"), F.col("text"),
+                F.lit("\nfooter all rights reserved"),
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(lined_path)
+        lined = spark.read.parquet(lined_path)
+        timed(
+            "ops_line_dedup",
+            lambda: line_dedup(lined, id_col="url")
+            .agg(F.sum("n_kept"), F.sum(F.length("text_dedup")))
+            .collect(),
+            reset=_noop,
+        )
+        timed(
+            "ops_url_dedup",
+            lambda: url_dedup(
+                corpus, ts_col="warc_ts", id_col="doc_seq"
+            ).count(),
+            reset=_noop,
+        )
+        timed(
+            "ops_link_graph",
+            lambda: link_graph(corpus).count(),
+            reset=_noop,
+        )
+        for name in ("ops_line_dedup", "ops_url_dedup", "ops_link_graph"):
+            extras[f"{name}_docs_per_sec"] = round(
+                synth_n / queries[name], 1
+            )
+        # the north-rule invariant path: per-url text extraction from
+        # the raw html bytes (FSM tag handling, script/style ignore)
+        from pg_cjk_parser_spark.ops.multimodal import html_to_text
+
+        timed(
+            "ops_html_extract",
+            lambda: html_to_text(corpus)
+            .agg(F.sum(F.length("text_extracted")))
+            .collect(),
+            reset=_noop,
+        )
+        extras["ops_html_extract_docs_per_sec"] = round(
+            synth_n / queries["ops_html_extract"], 1
+        )
+        edges_path = os.path.join(work, "edges")
+        link_graph(corpus).select(
+            F.col("src_domain").alias("src"),
+            F.col("dst_domain").alias("dst"),
+        ).write.mode("overwrite").parquet(edges_path)
+        edges = spark.read.parquet(edges_path)
+        timed(
+            "ops_pagerank3",
+            lambda: pagerank(edges, iterations=3)
+            .agg(F.sum("pr"), F.count(F.lit(1)))
+            .collect(),
+            reset=_noop,
+        )
+
     # -- 8. ANN honesty: measured recall@20 at probe budgets where the
     # approximate paths actually approximate.  The driver-SF oracles are
     # exact because at 2k vectors the probe budget covers the corpus;

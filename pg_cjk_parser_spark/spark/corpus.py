@@ -72,10 +72,28 @@ def _doc_fields(i: int, seed: int) -> tuple[str, str, str]:
     return text, lang, url
 
 
+def _links_of(i: int) -> str:
+    """Deterministic outlinks for page i: two absolute cross-site
+    anchors (one per quote style), one root-relative nav link, and a
+    protocol-relative CDN link on every third page - the shapes
+    ``ops.graph.extract_links`` must handle on real crawl HTML."""
+    a = (i * 7 + 3) % 997
+    b = (i * 13 + 11) % 997
+    links = [
+        f'<a href="https://site{a}.example/ref/page{a}.html">ref{a}</a>',
+        f"<a href='https://site{b}.example/ref/page{b}.html'>ref{b}</a>",
+        '<a href="/nav/home.html">home</a>',
+    ]
+    if i % 3 == 0:
+        links.append(f'<a href="//cdn{i % 5}.example/asset.js">cdn</a>')
+    return "".join(links)
+
+
 def _html_of(i: int, text: str) -> bytes:
     return (
         f"<html><head><title>t{i}</title><style>.x{{color:red}}</style>"
-        f"</head><body><p>{text}</p><script>var x={i};</script>"
+        f"</head><body><p>{text}</p><nav>{_links_of(i)}</nav>"
+        f"<script>var x={i};</script>"
         f"</body></html>"
     ).encode("utf-8")
 

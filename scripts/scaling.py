@@ -167,6 +167,23 @@ per-payload decoders only gained work.  Like-for-like numbers (build
 docs/s, per-query medians) are the comparison basis, not the suite
 total.
 
+Round-5 late additions: the synthetic pages gained deterministic
+outlink anchors (2 absolute cross-site + 1 root-relative + periodic
+protocol-relative per page) so the corpus carries a real link graph;
+the indexed TEXT column is byte-unchanged (the pinned lexeme digests
+prove it), so build docs/s stays like-for-like - only the untimed
+corpus parquet grew.  New suite lines over the corpus's real columns:
+ops_line_dedup (MassiveText-style cross-corpus exact line dedup over
+a boilerplate-lined derivative table, materialized untimed),
+ops_url_dedup (canonical-key re-crawl dedup on url+warc_ts, map-side
+max_by), ops_link_graph (href extraction -> registrable-domain edge
+rollup over the html bytes), ops_html_extract (the north-rule per-url
+text-extraction invariant path: FSM tag handling over raw html), and
+ops_pagerank3 (3 power iterations with dangling-mass redistribution
+over the extracted domain graph, reported in seconds - iteration
+latency on a ~1k-node graph measures per-iteration job overhead, the
+fixed cost that dominates until the edge list outgrows a broadcast).
+
 
 Round-5 closing measurement (same-session, exclusive, local[32],
 sf0.1/200k): build 26,281 docs/s at suite steal-share 0.031 (the one

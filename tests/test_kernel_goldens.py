@@ -173,11 +173,14 @@ def test_extraction_determinism_pin():
                 hashlib.md5(lex.encode()).hexdigest()[:12],
             )
         )
+    # stream digests re-pinned 2026-08-17 when the synthetic pages
+    # gained deterministic outlink anchors (<nav> block); the lexeme
+    # digests over the text column are UNCHANGED from round 1.
     assert digests == [
-        ("https://site0.example/zh/page0.html", "3e26a1f5b195", "b5f3da556494"),
-        ("https://site1.example/ja/page1.html", "c773b29e1801", "fb960da1318e"),
-        ("https://site2.example/ko/page2.html", "980ec6a82910", "5f3d88739839"),
-        ("https://site3.example/en/page3.html", "2fd907bde334", "7e2b9215f1dc"),
-        ("https://site4.example/mixed/page4.html", "221803dc9646", "25d65de93865"),
-        ("https://site0.example/ko/page997.html", "b57b0d4a09da", "198826acbf9e"),
+        ("https://site0.example/zh/page0.html", "058680a0908f", "b5f3da556494"),
+        ("https://site1.example/ja/page1.html", "54b24d18fa1d", "fb960da1318e"),
+        ("https://site2.example/ko/page2.html", "28591845f5d6", "5f3d88739839"),
+        ("https://site3.example/en/page3.html", "cc9920584119", "7e2b9215f1dc"),
+        ("https://site4.example/mixed/page4.html", "e8309822f594", "25d65de93865"),
+        ("https://site0.example/ko/page997.html", "65836579ca06", "198826acbf9e"),
     ]
