@@ -3869,13 +3869,15 @@ def _synth_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         F.concat(
             F.lit('<html><a href="https://ext'), d % 4,
-            F.lit('.org/a?x='), d, F.lit('">t</a>'),
-            F.lit("<A CLASS='c' HREF='/p"), d % 5, F.lit("'>u</A>"),
+            F.lit('.org/a?x='), d, F.lit('">go ext'), d % 6,
+            F.lit("</a>"),
+            F.lit("<A CLASS='c' HREF='/p"), d % 5, F.lit("'>nav p"),
+            d % 5, F.lit("</A>"),
             F.when(
                 d % 2 == 0,
                 F.concat(
                     F.lit("<a href='//cdn"), d % 3,
-                    F.lit(".net/q'>v</a>"),
+                    F.lit(".net/q'>asset v"), d % 4, F.lit("</a>"),
                 ),
             ).otherwise(F.lit("")),
             F.lit(
@@ -3931,9 +3933,52 @@ def _sql_domain_of(host: str) -> str:
       ELSE {host} END"""
 
 
+# SQL twins of the URL machinery, parameterized on the input
+# expression - single source of truth: they interpolate the very
+# pattern constants the operators compile, so engine and oracle
+# cannot drift.
+def _sql_preparse(u: str) -> str:
+    return (
+        f"trim(regexp_replace(coalesce({u}, ''), "
+        "'[\\t\\r\\n]', '', 'g'))"
+    )
+
+
+def _synth_pages_cte() -> str:
+    """The `pages` CTE shared by the link_graph and incoming_anchors
+    oracles - byte-for-byte twin of `_synth_html`."""
+    return f"""pages AS (
+  SELECT doc_id, {_SYNTH_URL_CASE} AS url,
+    '<html><a href="https://ext' || (doc_id % 4) || '.org/a?x='
+    || doc_id || '">go ext' || (doc_id % 6) || '</a>'
+    || '<A CLASS=''c'' HREF=''/p' || (doc_id % 5) || '''>nav p'
+    || (doc_id % 5) || '</A>'
+    || CASE WHEN doc_id % 2 = 0
+       THEN '<a href=''//cdn' || (doc_id % 3) || '.net/q''>asset v'
+            || (doc_id % 4) || '</a>'
+       ELSE '' END
+    || '<a href="mailto:u@x.org">w</a>'
+    || '<a data-href="https://no.com/z">z</a></html>' AS html
+  FROM documents
+)"""
+
+
+def _sql_resolve_case(h: str, scheme: str, auth: str) -> str:
+    """SQL twin of ops.graph.resolve_href over pre-parsed pieces."""
+    from pg_cjk_parser_spark.ops.web import _URL_SCHEME_RE
+
+    return f"""CASE
+      WHEN regexp_matches({h}, '{_URL_SCHEME_RE}')
+        THEN {h}
+      WHEN {h} LIKE '//%' AND {scheme} <> ''
+        THEN {scheme} || ':' || {h}
+      WHEN {h} LIKE '/%' AND {h} NOT LIKE '//%'
+           AND {scheme} <> ''
+        THEN {scheme} || '://' || {auth} || {h}
+    END"""
+
+
 def _link_graph_sql() -> str:
-    # single source of truth: interpolate the very pattern constants
-    # the operators compile, so engine and oracle cannot drift
     from pg_cjk_parser_spark.ops.graph import HREF_DQ_RE, HREF_SQ_RE
     from pg_cjk_parser_spark.ops.web import (
         _URL_AUTH_RE,
@@ -3943,33 +3988,17 @@ def _link_graph_sql() -> str:
 
     dq = HREF_DQ_RE.replace("'", "''")
     sq = HREF_SQ_RE.replace("'", "''")
-
-    def _preparse(u: str) -> str:
-        return (
-            f"trim(regexp_replace(coalesce({u}, ''), "
-            "'[\\t\\r\\n]', '', 'g'))"
-        )
-
-    uc = _preparse("url")
-    h = _preparse("href")  # hrefs get the same WHATWG pre-parse
+    uc = _sql_preparse("url")
+    h = _sql_preparse("href")  # hrefs get the same WHATWG pre-parse
     scheme = f"lower(regexp_extract({uc}, '{_URL_SCHEME_RE}', 1))"
     auth = f"regexp_extract({uc}, '{_URL_AUTH_RE}', 1)"
     hp = (
-        "regexp_extract(" + _preparse("{u}") + f", '{_URL_HOSTPORT_RE}', 1)"
+        "regexp_extract("
+        + _sql_preparse("{u}")
+        + f", '{_URL_HOSTPORT_RE}', 1)"
     )
     return f"""
-WITH pages AS (
-  SELECT doc_id, {_SYNTH_URL_CASE} AS url,
-    '<html><a href="https://ext' || (doc_id % 4) || '.org/a?x='
-    || doc_id || '">t</a>'
-    || '<A CLASS=''c'' HREF=''/p' || (doc_id % 5) || '''>u</A>'
-    || CASE WHEN doc_id % 2 = 0
-       THEN '<a href=''//cdn' || (doc_id % 3) || '.net/q''>v</a>'
-       ELSE '' END
-    || '<a href="mailto:u@x.org">w</a>'
-    || '<a data-href="https://no.com/z">z</a></html>' AS html
-  FROM documents
-),
+WITH {_synth_pages_cte()},
 hrefs AS (
   SELECT url, unnest(list_concat(
       regexp_extract_all(html, '{dq}', 2),
@@ -3978,15 +4007,7 @@ hrefs AS (
 ),
 res AS (
   SELECT url,
-    CASE
-      WHEN regexp_matches({h}, '{_URL_SCHEME_RE}')
-        THEN {h}
-      WHEN {h} LIKE '//%' AND {scheme} <> ''
-        THEN {scheme} || ':' || {h}
-      WHEN {h} LIKE '/%' AND {h} NOT LIKE '//%'
-           AND {scheme} <> ''
-        THEN {scheme} || '://' || {auth} || {h}
-    END AS link_url
+    {_sql_resolve_case(h, scheme, auth)} AS link_url
   FROM hrefs
 ),
 hps AS (
@@ -4068,24 +4089,97 @@ r{k + 1} AS (
     return sql
 
 
+def _q_incoming_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-destination-domain anchor-text profile over the synthetic
+    HTML corpus (the web-IR signal: what other pages call a page);
+    anchors vary by doc_id so each domain accumulates a distinct
+    vocabulary."""
+    from pg_cjk_parser_spark.ops.graph import incoming_anchors
+
+    return (
+        incoming_anchors(_synth_html(spark, sf_dir))
+        .select(
+            "dst_domain",
+            F.col("n_anchors").cast("long").alias("n_anchors"),
+            "anchor_terms",
+        )
+        .orderBy("dst_domain")
+    )
+
+
+def _incoming_anchors_sql() -> str:
+    from pg_cjk_parser_spark.ops.graph import ANCHOR_DQ_RE, ANCHOR_SQ_RE
+    from pg_cjk_parser_spark.ops.web import (
+        _URL_AUTH_RE,
+        _URL_HOSTPORT_RE,
+        _URL_SCHEME_RE,
+    )
+
+    dq = ANCHOR_DQ_RE.replace("'", "''")
+    sq = ANCHOR_SQ_RE.replace("'", "''")
+    uc = _sql_preparse("url")
+    h = _sql_preparse("href")
+    scheme = f"lower(regexp_extract({uc}, '{_URL_SCHEME_RE}', 1))"
+    auth = f"regexp_extract({uc}, '{_URL_AUTH_RE}', 1)"
+    hp_d = (
+        "regexp_extract("
+        + _sql_preparse("link_url")
+        + f", '{_URL_HOSTPORT_RE}', 1)"
+    )
+    # aligned (href, anchor) pairs: index the two group-extractions of
+    # the SAME pattern over the SAME string, one arm per quote style
+    arm = """
+  SELECT url, hs[i] AS href, an[i] AS anchor
+  FROM (SELECT url, hs, an,
+               unnest(generate_series(1, len(hs))) AS i
+        FROM (SELECT url,
+                     regexp_extract_all(html, '{pat}', 2) AS hs,
+                     regexp_extract_all(html, '{pat}', 3) AS an
+              FROM pages))"""
+    return f"""
+WITH {_synth_pages_cte()},
+pairs AS ({arm.format(pat=dq)}
+  UNION ALL{arm.format(pat=sq)}
+),
+res AS (
+  SELECT trim(anchor) AS anchor,
+    {_sql_resolve_case(h, scheme, auth)} AS link_url
+  FROM pairs
+),
+ok AS (
+  SELECT anchor, link_url FROM res
+  WHERE link_url IS NOT NULL AND anchor <> ''
+),
+dom AS (
+  SELECT anchor,
+    {_sql_domain_of(_sql_host_of("hp_d"))} AS dst_domain
+  FROM (SELECT anchor, link_url, {hp_d} AS hp_d FROM ok)
+)
+SELECT dst_domain,
+       count(*)::BIGINT AS n_anchors,
+       string_agg(DISTINCT anchor, ' ' ORDER BY anchor) AS anchor_terms
+FROM dom GROUP BY dst_domain ORDER BY dst_domain
+"""
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver hash-checks
     # only the FIRST 50 entries.  Positions 1-19 are the rows added in
     # rounds 3-4 that had never appeared in a committed CORRECTNESS
-    # artifact before r05; positions 20-26 are the seven round-5 rows
+    # artifact before r05; positions 20-27 are the eight round-5 rows
     # (pii_scrub, url_canonicalize, domain_stats, url_dedup,
-    # line_dedup, link_graph, pagerank); positions 27-50 re-certify
-    # structurally distinct earlier rows (including term_suggest,
-    # whose round-5 rewrite postdates its r04 certificate).
-    # Positions 51-76 are variant rows whose hash-green certificates
-    # live in CORRECTNESS_r04.json (char_fingerprint, zht2zhs,
-    # exact_dedup, ann_cosine_topk, minhash_near_dups, simhash,
-    # hash_split, event_windows moved there: all eight are
-    # tokenizer-independent and byte-unchanged since their r04
-    # certificates — `git diff 254835d..HEAD` over ops/dedup.py,
-    # ops/similarity.py, ops/textstats.py, ops/stream_ops.py,
-    # functions/zht2zhs.py is empty).  The r04<->r05 mapping is
-    # recorded in COVERAGE.md.
+    # line_dedup, link_graph, pagerank, incoming_anchors); positions
+    # 28-50 re-certify structurally distinct earlier rows (including
+    # term_suggest, whose round-5 rewrite postdates its r04
+    # certificate).  Positions 51-77 are variant rows whose
+    # hash-green certificates live in CORRECTNESS_r04.json
+    # (char_fingerprint, zht2zhs, exact_dedup, ann_cosine_topk,
+    # minhash_near_dups, simhash, hash_split, event_windows,
+    # duplicate_spans moved there: all nine are tokenizer-independent
+    # and byte-unchanged since their r04 certificates — `git diff
+    # 254835d..HEAD` over ops/dedup.py, ops/similarity.py,
+    # ops/textstats.py, ops/stream_ops.py, functions/zht2zhs.py is
+    # empty).  The r04<->r05 mapping is recorded in COVERAGE.md.
     return {
         # --- never-driver-certified before r05 (19) ---
         "websearch_match": _q_websearch_match,
@@ -4115,7 +4209,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "link_graph": _q_link_graph,
         "pagerank": _q_pagerank,
-        # --- re-certified structurally distinct rows (24) ---
+        "incoming_anchors": _q_incoming_anchors,
+        # --- re-certified structurally distinct rows (23) ---
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,
         "doc_lengths": _q_doc_lengths,
@@ -4131,7 +4226,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "contamination_overlap": _q_contamination,
         "repetition_signals": _q_repetition_signals,
-        "duplicate_spans": _q_duplicate_spans,
         "corpus_curation": _q_curation,
         "session_stats": _q_session_stats,
         "ts_rank_or": _q_ts_rank_or,
@@ -4167,6 +4261,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "hash_split": _q_hash_split,
         "event_windows": _q_event_windows,
+        "duplicate_spans": _q_duplicate_spans,
     }
 
 
@@ -4227,6 +4322,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "link_graph": _link_graph_sql(),
         "pagerank": _pagerank_sql(),
+        "incoming_anchors": _incoming_anchors_sql(),
         "bm25_deleted": _BM25_DELETED_SQL,
         "bm25_upserted": _BM25_UPSERTED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,

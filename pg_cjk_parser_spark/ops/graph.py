@@ -35,6 +35,14 @@ from pg_cjk_parser_spark.ops.web import (
 HREF_DQ_RE = r"""(?i)<a\s([^>]*\s)?href\s*=\s*"([^"]*)\""""
 HREF_SQ_RE = r"(?i)<a\s([^>]*\s)?href\s*=\s*'([^']*)'"
 
+# same anchors WITH their plain-text link text: group 2 = href,
+# group 3 = anchor text.  `[^<]*` deliberately limits capture to
+# plain-text anchors (an anchor wrapping nested markup simply doesn't
+# match - use extract_links for coverage); anchor text is a relevance
+# signal, not an inventory.
+ANCHOR_DQ_RE = HREF_DQ_RE + r"[^>]*>([^<]*)</a>"
+ANCHOR_SQ_RE = HREF_SQ_RE + r"[^>]*>([^<]*)</a>"
+
 
 def resolve_href(href: Column, base_url: Column) -> Column:
     """Resolve an extracted href against its page URL into an
@@ -99,6 +107,98 @@ def extract_links(
         F.col(url_col), F.explode(hrefs).alias("href")
     ).withColumn("link_url", resolve_href(F.col("href"), F.col(url_col)))
     return out.filter(F.col("link_url").isNotNull())
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Explode each page's plain-text anchors:
+    one row per resolvable ``<a href>...</a>`` whose link text is
+    plain text, columns ``(url_col, link_url, anchor)`` with
+    ``anchor`` the whitespace-trimmed link text (empty anchors and
+    unresolvable hrefs dropped; anchors wrapping nested markup do not
+    match - see ``ANCHOR_DQ_RE``).
+
+    The two capture groups of one pattern are extracted by two
+    aligned ``regexp_extract_all`` calls and zipped - Spark evaluates
+    the same pattern over the same string, so the arrays index the
+    same matches.  All JVM, one narrow projection + explode.
+    """
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    pairs = F.concat(
+        F.arrays_zip(
+            F.regexp_extract_all(h, F.lit(ANCHOR_DQ_RE), F.lit(2)).alias(
+                "href"
+            ),
+            F.regexp_extract_all(h, F.lit(ANCHOR_DQ_RE), F.lit(3)).alias(
+                "anchor"
+            ),
+        ),
+        F.arrays_zip(
+            F.regexp_extract_all(h, F.lit(ANCHOR_SQ_RE), F.lit(2)).alias(
+                "href"
+            ),
+            F.regexp_extract_all(h, F.lit(ANCHOR_SQ_RE), F.lit(3)).alias(
+                "anchor"
+            ),
+        ),
+    )
+    out = (
+        df.select(F.col(url_col), F.explode(pairs).alias("p"))
+        .select(
+            F.col(url_col),
+            resolve_href(F.col("p.href"), F.col(url_col)).alias(
+                "link_url"
+            ),
+            F.trim(F.col("p.anchor")).alias("anchor"),
+        )
+        .filter(F.col("link_url").isNotNull() & (F.col("anchor") != ""))
+    )
+    return out
+
+
+def incoming_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_terms: int = 1024,
+) -> DataFrame:
+    """Anchor-text profile of each link TARGET - the classic web
+    relevance signal (text other pages use to link to a page
+    describes it better than the page itself; search engines index it
+    with the target):
+    ``(dst_domain, n_anchors, anchor_terms)`` where ``anchor_terms``
+    is the sorted, deduplicated anchor vocabulary (capped at
+    ``max_terms`` entries AFTER sorting, so truncation is
+    deterministic) joined by spaces, ready to feed ``to_tsvector`` /
+    ``build_index`` as an auxiliary field.
+
+    Scale shape: extraction is narrow, then ONE exchange keyed on the
+    destination domain with partial ``collect_set`` - duplicate
+    anchors (nav boilerplate is the common case) collapse map-side.
+    The per-domain distinct-anchor set is what can grow on celebrity
+    domains; the cap bounds the output row, and n_anchors still
+    counts every occurrence.
+    """
+    a = extract_anchor_texts(df, html_col, url_col)
+    return (
+        a.groupBy(
+            registrable_domain(F.col("link_url")).alias("dst_domain")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_set("anchor")),
+                    1,
+                    max_terms,
+                ),
+                " ",
+            ).alias("anchor_terms"),
+        )
+    )
 
 
 def link_graph(

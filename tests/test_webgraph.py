@@ -7,7 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from pg_cjk_parser_spark.ops.graph import (
+    extract_anchor_texts,
     extract_links,
+    incoming_anchors,
     link_graph,
     pagerank,
     resolve_href,
@@ -202,6 +204,46 @@ def test_link_graph_rollup_and_self_edges(spark):
     assert {(r.src_domain, r.dst_domain) for r in cross} == {
         ("src.com", "ext.org")
     }
+
+
+# ------------------------------------------------------------- anchor text
+
+
+def test_extract_anchor_texts_alignment_and_contract(spark):
+    html = (
+        '<a href="https://a.org/1">first</a>'
+        "<a class='c' href='/two' rel='x'>  second  </a>"
+        '<a href="https://b.org/3"><b>nested</b></a>'  # not plain text
+        '<a href="https://c.org/4"></a>'  # empty anchor
+        '<a href="mailto:x@y.z">mail</a>'  # unresolvable
+    )
+    df = spark.createDataFrame(
+        [("https://src.com/p", html)], "url string, html string"
+    )
+    got = {r.link_url: r.anchor for r in extract_anchor_texts(df).collect()}
+    assert got == {
+        "https://a.org/1": "first",
+        "https://src.com/two": "second",  # trimmed, sq quote style
+    }
+
+
+def test_incoming_anchors_rollup_and_cap(spark):
+    rows = [
+        ("https://s1.com/a", '<a href="https://t.org/x">alpha</a>'),
+        ("https://s2.com/b", '<a href="https://www.t.org/y">beta</a>'),
+        ("https://s3.com/c", '<a href="https://t.org/z">alpha</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = incoming_anchors(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # www. collapses onto the registrable domain; duplicates counted
+    # in n_anchors but deduped + sorted in the vocabulary
+    assert (r.dst_domain, r.n_anchors, r.anchor_terms) == (
+        "t.org", 3, "alpha beta"
+    )
+    capped = incoming_anchors(df, max_terms=1).collect()[0]
+    assert capped.anchor_terms == "alpha"  # deterministic truncation
 
 
 # ----------------------------------------------------------------- pagerank
