@@ -4126,6 +4126,11 @@ def _incoming_anchors_sql() -> str:
         + _sql_preparse("link_url")
         + f", '{_URL_HOSTPORT_RE}', 1)"
     )
+    hp_s = (
+        "regexp_extract("
+        + _sql_preparse("url")
+        + f", '{_URL_HOSTPORT_RE}', 1)"
+    )
     # aligned (href, anchor) pairs: index the two group-extractions of
     # the SAME pattern over the SAME string, one arm per quote style
     arm = """
@@ -4142,23 +4147,26 @@ pairs AS ({arm.format(pat=dq)}
   UNION ALL{arm.format(pat=sq)}
 ),
 res AS (
-  SELECT trim(anchor) AS anchor,
+  SELECT url, trim(anchor) AS anchor,
     {_sql_resolve_case(h, scheme, auth)} AS link_url
   FROM pairs
 ),
 ok AS (
-  SELECT anchor, link_url FROM res
+  SELECT url, anchor, link_url FROM res
   WHERE link_url IS NOT NULL AND anchor <> ''
 ),
 dom AS (
   SELECT anchor,
+    {_sql_domain_of(_sql_host_of("hp_s"))} AS src_domain,
     {_sql_domain_of(_sql_host_of("hp_d"))} AS dst_domain
-  FROM (SELECT anchor, link_url, {hp_d} AS hp_d FROM ok)
+  FROM (SELECT anchor, {hp_s} AS hp_s, {hp_d} AS hp_d FROM ok)
 )
 SELECT dst_domain,
        count(*)::BIGINT AS n_anchors,
        string_agg(DISTINCT anchor, ' ' ORDER BY anchor) AS anchor_terms
-FROM dom GROUP BY dst_domain ORDER BY dst_domain
+FROM dom
+WHERE src_domain <> dst_domain
+GROUP BY dst_domain ORDER BY dst_domain
 """
 
 

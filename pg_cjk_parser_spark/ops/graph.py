@@ -127,24 +127,14 @@ def extract_anchor_texts(
     same matches.  All JVM, one narrow projection + explode.
     """
     h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
-    pairs = F.concat(
-        F.arrays_zip(
-            F.regexp_extract_all(h, F.lit(ANCHOR_DQ_RE), F.lit(2)).alias(
-                "href"
-            ),
-            F.regexp_extract_all(h, F.lit(ANCHOR_DQ_RE), F.lit(3)).alias(
-                "anchor"
-            ),
-        ),
-        F.arrays_zip(
-            F.regexp_extract_all(h, F.lit(ANCHOR_SQ_RE), F.lit(2)).alias(
-                "href"
-            ),
-            F.regexp_extract_all(h, F.lit(ANCHOR_SQ_RE), F.lit(3)).alias(
-                "anchor"
-            ),
-        ),
-    )
+
+    def _zip_arm(pat: str) -> Column:
+        return F.arrays_zip(
+            F.regexp_extract_all(h, F.lit(pat), F.lit(2)).alias("href"),
+            F.regexp_extract_all(h, F.lit(pat), F.lit(3)).alias("anchor"),
+        )
+
+    pairs = F.concat(_zip_arm(ANCHOR_DQ_RE), _zip_arm(ANCHOR_SQ_RE))
     out = (
         df.select(F.col(url_col), F.explode(pairs).alias("p"))
         .select(
@@ -164,36 +154,57 @@ def incoming_anchors(
     html_col: str = "html",
     url_col: str = "url",
     max_terms: int = 1024,
+    keep_self: bool = False,
 ) -> DataFrame:
     """Anchor-text profile of each link TARGET - the classic web
     relevance signal (text other pages use to link to a page
     describes it better than the page itself; search engines index it
     with the target):
     ``(dst_domain, n_anchors, anchor_terms)`` where ``anchor_terms``
-    is the sorted, deduplicated anchor vocabulary (capped at
-    ``max_terms`` entries AFTER sorting, so truncation is
-    deterministic) joined by spaces, ready to feed ``to_tsvector`` /
-    ``build_index`` as an auxiliary field.
+    is the sorted, deduplicated anchor vocabulary (first ``max_terms``
+    entries in sort order, so truncation is deterministic) joined by
+    spaces, ready to feed ``to_tsvector`` / ``build_index`` as an
+    auxiliary field.
 
-    Scale shape: extraction is narrow, then ONE exchange keyed on the
-    destination domain with partial ``collect_set`` - duplicate
-    anchors (nav boilerplate is the common case) collapse map-side.
-    The per-domain distinct-anchor set is what can grow on celebrity
-    domains; the cap bounds the output row, and n_anchors still
-    counts every occurrence.
+    Same-domain anchors are EXCLUDED by default: the signal's trust
+    property comes from other sites' words, and counting a page's own
+    nav/self links would let it describe itself (``keep_self=True``
+    restores the raw rollup).
+
+    Scale shape: occurrences first collapse onto distinct
+    (dst_domain, anchor) pairs via a map-side-combined groupBy (nav
+    boilerplate - the common case - dedups in the mapper), then a
+    per-domain rank caps the vocabulary BEFORE the final
+    aggregation, so no executor ever materializes a celebrity
+    domain's unbounded distinct-anchor set; the final collect_list
+    receives at most ``max_terms`` rows per domain while ``n_anchors``
+    still sums every occurrence.
     """
-    a = extract_anchor_texts(df, html_col, url_col)
+    from pyspark.sql.window import Window
+
+    a = extract_anchor_texts(df, html_col, url_col).select(
+        registrable_domain(F.col(url_col)).alias("src_domain"),
+        registrable_domain(F.col("link_url")).alias("dst_domain"),
+        "anchor",
+    )
+    if not keep_self:
+        a = a.filter(F.col("src_domain") != F.col("dst_domain"))
+    per = a.groupBy("dst_domain", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("dst_domain").orderBy("anchor")
+    )
     return (
-        a.groupBy(
-            registrable_domain(F.col("link_url")).alias("dst_domain")
-        )
+        per.withColumn("_rn", rn)
+        .groupBy("dst_domain")
         .agg(
-            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum("cnt").alias("n_anchors"),
             F.array_join(
-                F.slice(
-                    F.array_sort(F.collect_set("anchor")),
-                    1,
-                    max_terms,
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= max_terms, F.col("anchor"))
+                    )
                 ),
                 " ",
             ).alias("anchor_terms"),

@@ -246,6 +246,20 @@ def test_incoming_anchors_rollup_and_cap(spark):
     assert capped.anchor_terms == "alpha"  # deterministic truncation
 
 
+def test_incoming_anchors_excludes_self_description(spark):
+    rows = [
+        ("https://evil.com/a", '<a href="/">best deals online</a>'),
+        ("https://other.org/b", '<a href="https://evil.com/">scam</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r.dst_domain: r for r in incoming_anchors(df).collect()}
+    # a page cannot describe itself; only the external anchor counts
+    assert set(out) == {"evil.com"}
+    assert out["evil.com"].anchor_terms == "scam"
+    raw = {r.dst_domain: r for r in incoming_anchors(df, keep_self=True).collect()}
+    assert raw["evil.com"].n_anchors == 2
+
+
 # ----------------------------------------------------------------- pagerank
 
 
