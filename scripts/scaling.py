@@ -124,8 +124,10 @@ input). The same 800k-doc build reaches 34-45k docs/s at local[32]
 (45,134 best-of-2 warm, 17.7 s; +-30% VM variance).  Measured
 efficiency across reruns ranges 0.81-1.07 (rounds 2-3,
 nominally superlinear because the local[2] leg absorbed VM noise and
-per-job fixed costs) - both comfortably above the 0.8 bar; treat the
-RANGE, not a single rerun, as the number of record.
+per-job fixed costs); the round-5 final-code rerun measured 0.982
+(6.2k -> 24.3k docs/s, the tables above).  All comfortably above the
+0.8 bar; treat the RANGE, not a single rerun, as the number of
+record.
 
 ## Throughput history at 200k docs / local[32]
 
@@ -197,6 +199,21 @@ docs/s with build attempts at 9.6-16.6% steal discarded by
 best-of-N - absolute build numbers on this VM remain
 steal-lottery; the embedded per-section steal shares are the
 defensibility evidence.
+
+Round-5 FINAL session pair of exclusive sf0.1 runs (steal episodes
+rolled through both, hitting different sections - numbers of record
+taken per-section from whichever run's window was clean): build
+22,624 docs/s at 1.3% build-window steal (the other run's build was
+flagged contaminated at 16.0k); query medians 0.39-0.53 s
+(q_bm25_single 0.409, のび太 0.422, 8-term Korean 0.624, WAND-OR
+0.386; serving q_local_nobita 0.048-0.058 s).  The new web/graph
+lines, from their clean windows: ops_url_dedup 215-228k docs/s
+(map-side max_by), ops_line_dedup 166k docs/s (clean window; 68k in
+the steal-hit run), ops_link_graph 104-126k docs/s, ops_html_extract
+38-40k docs/s (FSM tag handling over raw html - comfortably above
+index-build throughput, so extraction never gates the pipeline), and
+ops_pagerank3 3.2-3.8 s for 3 iterations on the ~1k-domain graph
+(per-iteration job overhead; the graph itself is broadcast-sized).
 
 ## Scale ladder (same job, local[32]; corpus size x20)
 
