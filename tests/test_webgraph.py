@@ -321,3 +321,55 @@ def test_pagerank_multi_edge_weighting(spark):
 def test_pagerank_empty_graph(spark):
     e = spark.createDataFrame([], "src string, dst string")
     assert pagerank(e).collect() == []
+
+
+# ------------------------------------------------- end-to-end integration
+
+
+def test_anchor_terms_make_pages_searchable(spark, tmp_path):
+    """The north-star integration: the anchor-text profile feeds
+    build_index as an auxiliary field, so a page becomes findable by
+    what OTHER sites call it even when its own text never says so."""
+    from pg_cjk_parser_spark.index.build import build_index
+    from pg_cjk_parser_spark.query.topk import search
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://shop.example/catalog",
+             "widget catalog with many products", ""),
+            (2, "https://blog.org/review",
+             "my favorite store reviewed",
+             '<a href="https://shop.example/catalog">cheap doraemon '
+             "merchandise</a>"),
+            (3, "https://news.net/story",
+             "unrelated news story",
+             '<a href="https://shop.example/">doraemon deals</a>'),
+        ],
+        "doc_id long, url string, text string, html string",
+    )
+    profiles = incoming_anchors(pages)
+    from pg_cjk_parser_spark.ops.web import registrable_domain
+
+    enriched = (
+        pages.withColumn("domain", registrable_domain(F.col("url")))
+        .join(
+            profiles.withColumnRenamed("dst_domain", "domain"),
+            "domain",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("text"), F.coalesce("anchor_terms", F.lit(""))
+            ).alias("text"),
+        )
+    )
+    idx = str(tmp_path / "anchor_idx")
+    build_index(
+        spark, enriched, idx, docid_col="doc_id",
+        num_buckets=4, num_salts=2,
+    )
+    # the shop page never says "doraemon" itself - only its incoming
+    # anchors do; it must now be retrievable by that term
+    hits = [r.docid for r in search(spark, idx, "doraemon", k=5).collect()]
+    assert 1 in hits
