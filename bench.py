@@ -538,11 +538,18 @@ def main() -> None:
             .collect(),
             reset=_noop,
         )
+        # aggregate over the WINNER ROWS, not count(): a bare count
+        # lets Catalyst prune the max_by struct entirely and the
+        # section would measure a key-distinct, not the dedup
         timed(
             "ops_url_dedup",
-            lambda: url_dedup(
-                corpus, ts_col="warc_ts", id_col="doc_seq"
-            ).count(),
+            lambda: url_dedup(corpus, ts_col="warc_ts", id_col="doc_seq")
+            .agg(
+                F.count(F.lit(1)),
+                F.max("warc_ts"),
+                F.sum(F.length("url")),
+            )
+            .collect(),
             reset=_noop,
         )
         timed(
@@ -558,9 +565,12 @@ def main() -> None:
         # the raw html bytes (FSM tag handling, script/style ignore)
         from pg_cjk_parser_spark.ops.multimodal import html_to_text
 
+        # project first: html_to_text passes every input column through
+        # the Arrow boundary, and the extraction metric should not pay
+        # round-trip serialization of the unrelated text/metadata cols
         timed(
             "ops_html_extract",
-            lambda: html_to_text(corpus)
+            lambda: html_to_text(corpus.select("url", "html"))
             .agg(F.sum(F.length("text_extracted")))
             .collect(),
             reset=_noop,
@@ -574,9 +584,12 @@ def main() -> None:
             F.col("dst_domain").alias("dst"),
         ).write.mode("overwrite").parquet(edges_path)
         edges = spark.read.parquet(edges_path)
+        # the link_graph rollup is one row per (src, dst) by
+        # construction - dedupe=False skips a pointless extra exchange
+        # inside the per-iteration-overhead metric
         timed(
             "ops_pagerank3",
-            lambda: pagerank(edges, iterations=3)
+            lambda: pagerank(edges, iterations=3, dedupe=False)
             .agg(F.sum("pr"), F.count(F.lit(1)))
             .collect(),
             reset=_noop,

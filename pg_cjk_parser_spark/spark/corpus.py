@@ -73,10 +73,13 @@ def _doc_fields(i: int, seed: int) -> tuple[str, str, str]:
 
 
 def _links_of(i: int) -> str:
-    """Deterministic outlinks for page i: two absolute cross-site
-    anchors (one per quote style), one root-relative nav link, and a
-    protocol-relative CDN link on every third page - the shapes
-    ``ops.graph.extract_links`` must handle on real crawl HTML."""
+    """Deterministic outlinks for page i: two absolute anchors (one
+    per quote style; cross-site except when the target index collides
+    with i's own site - at i % 997 in {498, 913} one of them is a
+    same-site self-edge, which real crawls have too), one
+    root-relative nav link, and a protocol-relative CDN link on every
+    third page - the shapes ``ops.graph.extract_links`` must handle
+    on real crawl HTML."""
     a = (i * 7 + 3) % 997
     b = (i * 13 + 11) % 997
     links = [

@@ -200,20 +200,26 @@ best-of-N - absolute build numbers on this VM remain
 steal-lottery; the embedded per-section steal shares are the
 defensibility evidence.
 
-Round-5 FINAL session pair of exclusive sf0.1 runs (steal episodes
-rolled through both, hitting different sections - numbers of record
-taken per-section from whichever run's window was clean): build
-22,624 docs/s at 1.3% build-window steal (the other run's build was
-flagged contaminated at 16.0k); query medians 0.39-0.53 s
-(q_bm25_single 0.409, のび太 0.422, 8-term Korean 0.624, WAND-OR
-0.386; serving q_local_nobita 0.048-0.058 s).  The new web/graph
-lines, from their clean windows: ops_url_dedup 215-228k docs/s
-(map-side max_by), ops_line_dedup 166k docs/s (clean window; 68k in
-the steal-hit run), ops_link_graph 104-126k docs/s, ops_html_extract
-38-40k docs/s (FSM tag handling over raw html - comfortably above
+Round-5 FINAL session: three exclusive sf0.1 runs (steal episodes
+rolled through all three, hitting different sections - numbers of
+record taken per-section from clean windows).  Build 22,624 docs/s at
+1.3% build-window steal (the other two runs' builds were flagged
+contaminated at 16.0-17.2k); query medians 0.38-0.53 s (q_bm25_single
+0.41-0.47, のび太 0.41-0.47, 8-term Korean 0.58-0.64, WAND-OR
+0.39-0.50; serving q_local_nobita 0.048-0.058 s).  The new web/graph
+lines - after a review pass caught the first two runs' ops_url_dedup
+timing a Catalyst-PRUNED plan (bare count() optimized the max_by
+winner computation away; the 215-228k docs/s those runs printed
+measured a key-distinct, not the dedup) and fixed the section to
+aggregate over the winner rows: ops_url_dedup 133k docs/s computing
+the REAL map-side max_by, ops_line_dedup 71-166k docs/s across runs,
+ops_link_graph 86-126k docs/s, ops_html_extract 43.4k docs/s after
+projecting to (url, html) so the Arrow boundary stops round-tripping
+unrelated columns (FSM tag handling over raw html - comfortably above
 index-build throughput, so extraction never gates the pipeline), and
-ops_pagerank3 3.2-3.8 s for 3 iterations on the ~1k-domain graph
-(per-iteration job overhead; the graph itself is broadcast-sized).
+ops_pagerank3 2.8 s for 3 iterations on the ~1k-domain graph once the
+redundant distinct() left the timed window (per-iteration job
+overhead; the graph itself is broadcast-sized).
 
 ## Scale ladder (same job, local[32]; corpus size x20)
 
