@@ -16,7 +16,7 @@ import sys
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 # location-independence, driver side: importing this module by file
 # path (or from a foreign cwd) must still resolve pg_cjk_parser_spark
@@ -3795,6 +3795,22 @@ ORDER BY canon_url
 )
 
 
+def _synth_lines_col() -> Column:
+    """doc_id-keyed multi-line text (header/blank/promo/footer
+    boilerplate around the real doc text) - Spark twin of
+    `_SYNTH_LINES_EXPR`."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("hdr "), d % 7, F.lit("\n"),
+        F.col("text"), F.lit("\n\n"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("promo "), d % 5, F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.lit("footer legal"),
+    )
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact line dedup over a synthetic multi-line
     corpus: every doc gets a header line shared by ~1/7 of the corpus
@@ -3803,18 +3819,8 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer shared by all (dropped)."""
     from pg_cjk_parser_spark.ops.web import line_dedup
 
-    d = F.col("doc_id")
     docs = _docs(spark, sf_dir).select(
-        d,
-        F.concat(
-            F.lit("hdr "), d % 7, F.lit("\n"),
-            F.col("text"), F.lit("\n\n"),
-            F.when(
-                d % 3 == 0,
-                F.concat(F.lit("promo "), d % 5, F.lit("\n")),
-            ).otherwise(F.lit("")),
-            F.lit("footer legal"),
-        ).alias("text"),
+        F.col("doc_id"), _synth_lines_col().alias("text")
     )
     return (
         line_dedup(docs)
@@ -3828,15 +3834,19 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LINE_DEDUP_SQL = r"""
-WITH src AS (
-  SELECT doc_id,
-    'hdr ' || (doc_id % 7) || chr(10) || text || chr(10) || chr(10)
+# the doc_id-keyed multi-line synth shared by the line_dedup and
+# web_curation oracles (byte-for-byte twin of the Spark synth in
+# _q_line_dedup / _q_web_curation)
+_SYNTH_LINES_EXPR = r"""'hdr ' || (doc_id % 7) || chr(10) || text || chr(10) || chr(10)
     || CASE WHEN doc_id % 3 = 0
        THEN 'promo ' || (doc_id % 5) || chr(10) ELSE '' END
-    || 'footer legal' AS t
-  FROM documents
-),
+    || 'footer legal'"""
+
+
+def _line_dedup_ctes(src_cte: str) -> str:
+    """The explode/ban CTE chain of the line-dedup oracle over a
+    source CTE named ``src`` providing (doc_id, t)."""
+    return f"""{src_cte},
 ls AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM src),
 lines AS (
   SELECT doc_id, pos, parts[pos] AS line
@@ -3847,7 +3857,18 @@ lines AS (
 banned AS (
   SELECT line FROM lines GROUP BY line
   HAVING count(*) > 1 AND trim(line) <> ''
-)
+)"""
+
+
+_LINE_DEDUP_SQL = (
+    "WITH "
+    + _line_dedup_ctes(
+        f"""src AS (
+  SELECT doc_id, {_SYNTH_LINES_EXPR} AS t
+  FROM documents
+)"""
+    )
+    + r"""
 SELECT l.doc_id,
   count(*)::BIGINT AS n_lines,
   sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
@@ -3856,6 +3877,7 @@ SELECT l.doc_id,
 FROM lines l LEFT JOIN banned b ON l.line = b.line
 GROUP BY l.doc_id ORDER BY l.doc_id
 """
+)
 
 
 def _synth_html(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4170,24 +4192,95 @@ GROUP BY dst_domain ORDER BY dst_domain
 """
 
 
+def _q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-hygiene pipeline, one oracle: canonical-URL
+    re-crawl dedup first (newest capture per canonical key), then
+    cross-document exact line dedup computed over the SURVIVOR corpus
+    only - the real order of operations (re-crawl copies must not
+    inflate boilerplate counts).  Output: one row per surviving page
+    with its canonical key and deduped text."""
+    from pg_cjk_parser_spark.ops.web import line_dedup, url_dedup
+
+    d = _synth_urls(spark, sf_dir).withColumn(
+        "warc_ts",
+        (F.lit(1600000000) + (F.col("doc_id") * 7919) % 99991).cast(
+            "long"
+        ),
+    )
+    winners = url_dedup(d, ts_col="warc_ts").select("doc_id", "canon_url")
+    lined = _docs(spark, sf_dir).select(
+        F.col("doc_id"), _synth_lines_col().alias("text")
+    )
+    surv_text = lined.join(winners, "doc_id")
+    out = line_dedup(surv_text.select("doc_id", "text"))
+    return (
+        out.join(winners, "doc_id")
+        .select(
+            "doc_id",
+            "canon_url",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "text_dedup",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WEB_CURATION_SQL = (
+    _URL_CANON_CTES
+    + ",\nfinal AS ("
+    + _URL_CANON_FINAL
+    + r"""
+),
+wts AS (
+  SELECT doc_id,
+         (1600000000 + (doc_id * 7919) % 99991)::BIGINT AS warc_ts,
+         canon_url
+  FROM final
+),
+winners AS (
+  SELECT doc_id, canon_url FROM wts
+  QUALIFY row_number() OVER (
+    PARTITION BY canon_url ORDER BY warc_ts DESC, doc_id ASC) = 1
+),
+"""
+    + _line_dedup_ctes(
+        f"""src AS (
+  SELECT d.doc_id, {_SYNTH_LINES_EXPR} AS t
+  FROM documents d JOIN winners USING (doc_id)
+)"""
+    )
+    + r"""
+SELECT l.doc_id, w.canon_url,
+  sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                      chr(10) ORDER BY l.pos), '') AS text_dedup
+FROM lines l
+LEFT JOIN banned b ON l.line = b.line
+JOIN winners w ON l.doc_id = w.doc_id
+GROUP BY l.doc_id, w.canon_url ORDER BY l.doc_id
+"""
+)
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver hash-checks
     # only the FIRST 50 entries.  Positions 1-19 are the rows added in
     # rounds 3-4 that had never appeared in a committed CORRECTNESS
-    # artifact before r05; positions 20-27 are the eight round-5 rows
+    # artifact before r05; positions 20-28 are the nine round-5 rows
     # (pii_scrub, url_canonicalize, domain_stats, url_dedup,
-    # line_dedup, link_graph, pagerank, incoming_anchors); positions
-    # 28-50 re-certify structurally distinct earlier rows (including
-    # term_suggest, whose round-5 rewrite postdates its r04
-    # certificate).  Positions 51-77 are variant rows whose
-    # hash-green certificates live in CORRECTNESS_r04.json
+    # line_dedup, link_graph, pagerank, incoming_anchors,
+    # web_curation); positions 29-50 re-certify structurally distinct
+    # earlier rows (including term_suggest, whose round-5 rewrite
+    # postdates its r04 certificate).  Positions 51-78 are variant
+    # rows whose hash-green certificates live in CORRECTNESS_r04.json
     # (char_fingerprint, zht2zhs, exact_dedup, ann_cosine_topk,
     # minhash_near_dups, simhash, hash_split, event_windows,
-    # duplicate_spans moved there: all nine are tokenizer-independent
-    # and byte-unchanged since their r04 certificates — `git diff
-    # 254835d..HEAD` over ops/dedup.py, ops/similarity.py,
-    # ops/textstats.py, ops/stream_ops.py, functions/zht2zhs.py is
-    # empty).  The r04<->r05 mapping is recorded in COVERAGE.md.
+    # duplicate_spans, contamination_overlap moved there: all ten are
+    # tokenizer-independent and byte-unchanged since their r04
+    # certificates — `git diff 254835d..HEAD` over ops/dedup.py,
+    # ops/similarity.py, ops/textstats.py, ops/stream_ops.py,
+    # functions/zht2zhs.py is empty).  The r04<->r05 mapping is
+    # recorded in COVERAGE.md.
     return {
         # --- never-driver-certified before r05 (19) ---
         "websearch_match": _q_websearch_match,
@@ -4218,7 +4311,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": _q_link_graph,
         "pagerank": _q_pagerank,
         "incoming_anchors": _q_incoming_anchors,
-        # --- re-certified structurally distinct rows (23) ---
+        "web_curation": _q_web_curation,
+        # --- re-certified structurally distinct rows (22) ---
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,
         "doc_lengths": _q_doc_lengths,
@@ -4232,7 +4326,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_topk": _q_bm25_or_topk,
         "near_dup_clusters": _q_near_dup_clusters,
         "unigram_logprob": _q_unigram_logprob,
-        "contamination_overlap": _q_contamination,
         "repetition_signals": _q_repetition_signals,
         "corpus_curation": _q_curation,
         "session_stats": _q_session_stats,
@@ -4270,6 +4363,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "event_windows": _q_event_windows,
         "duplicate_spans": _q_duplicate_spans,
+        "contamination_overlap": _q_contamination,
     }
 
 
@@ -4331,6 +4425,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _link_graph_sql(),
         "pagerank": _pagerank_sql(),
         "incoming_anchors": _incoming_anchors_sql(),
+        "web_curation": _WEB_CURATION_SQL,
         "bm25_deleted": _BM25_DELETED_SQL,
         "bm25_upserted": _BM25_UPSERTED_SQL,
         "websearch_match": _WEBSEARCH_MATCH_SQL,
