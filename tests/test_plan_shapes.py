@@ -120,3 +120,59 @@ def test_rank_paths_push_term_filter_single_scan(spark, tmp_path_factory):
         assert "PushedFilters: [In(term" in plan, plan
         assert _count(plan, "Scan parquet") == 1, plan
         assert _count(plan, "Exchange") <= 2, plan  # salt hash + final sort
+
+
+def test_url_dedup_partial_max_by_one_exchange(spark, tmp_path_factory):
+    """The numeric-id path must combine winners map-side (partial
+    max_by BEFORE the single canonical-key Exchange) - a window/sort
+    or a pruned-aggregate regression changes the scale story."""
+    import pyspark.sql.functions as F
+
+    from pg_cjk_parser_spark.ops.web import url_dedup
+
+    p = str(tmp_path_factory.mktemp("urls") / "u.parquet")
+    spark.createDataFrame(
+        [(i, f"http://h{i % 5}.com/p", i) for i in range(40)],
+        "doc_id long, url string, warc_ts long",
+    ).write.parquet(p)
+    d = spark.read.parquet(p)
+    plan = _plan(
+        url_dedup(d, ts_col="warc_ts").agg(
+            F.count(F.lit(1)), F.max("warc_ts")
+        )
+    )
+    assert "partial_max_by" in plan, plan
+    assert _count(plan, "Window") == 0, plan
+    # one exchange for the key, one single-partition exchange for the
+    # final scalar agg
+    assert _count(plan, "Exchange") <= 2, plan
+
+
+def test_line_dedup_join_not_window_with_partial_counts(docs):
+    """The banned-line set must be a map-side-combined aggregate
+    joined back (AQE can skew-split/broadcast a join; a window over
+    the line column would pin hot boilerplate into one partition)."""
+    from pg_cjk_parser_spark.ops.web import line_dedup
+
+    plan = _plan(line_dedup(docs))
+    assert _count(plan, "Window") == 0, plan
+    assert "partial_count" in plan, plan
+    assert _count(plan, "Generate") == 2, plan  # count pass + tag pass
+
+
+def test_link_graph_single_scan_single_exchange(spark, tmp_path_factory):
+    """Extraction + rollup: one corpus scan, one domain-pair Exchange
+    with map-side combine."""
+    from pg_cjk_parser_spark.ops.graph import link_graph
+
+    p = str(tmp_path_factory.mktemp("pages") / "p.parquet")
+    spark.createDataFrame(
+        [(f"https://s{i % 3}.com/p", '<a href="https://t.org/x">t</a>')
+         for i in range(30)],
+        "url string, html string",
+    ).write.parquet(p)
+    d = spark.read.parquet(p)
+    plan = _plan(link_graph(d))
+    assert _count(plan, "Scan parquet") == 1, plan
+    assert _count(plan, "Exchange") == 1, plan
+    assert "partial_count" in plan, plan
