@@ -118,16 +118,49 @@ def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
     for the packed-cell shuffle (build.py:_encode_cells) - the same
     cells-not-rows strategy as the batch build, so compaction never
     pays the per-posting Arrow row boundary the original row path did.
-    """
-    from .build import _enc_pos, _pack_cell
 
-    cells: dict[tuple[int, int], tuple[list, list, list, list, list]] = {}
+    Fast path (every block no tombstone touches): a block's
+    ``positions`` buffer (codec.encode_positions) is byte-for-byte the
+    concatenation of the per-posting ``_enc_pos`` blobs the cell
+    payload wants, so the blob is SLICED at vectorized varint
+    boundaries instead of decoded and re-encoded posting by posting -
+    the per-posting Python work that used to dominate compaction.
+    The boundary walk assumes npos == tf (true by construction for
+    every block this engine writes) and is guarded: a mismatch falls
+    back to the exact decode/re-encode path, as does any block that
+    loses postings to tombstones.
+    """
+    import struct
+
+    from .build import _enc_pos
+
+    # (bucket, salt) -> [n_total, termlen_parts, id_parts, tf_parts,
+    #                    dl_parts, plen_parts, term_blob_parts,
+    #                    pos_blob_parts]
+    cells: dict[tuple[int, int], list] = {}
     count = 0
 
     def flush():
         rb, rs, rp = [], [], []
-        for (b, s), (t, d, tf, dl, ps) in sorted(cells.items()):
-            rp.append(_pack_cell(t, d, tf, dl, ps))
+        for (b, s), acc in sorted(cells.items()):
+            n_tot, tl, idp, tfp, dlp, plp, tb, pp = acc
+            # same wire format as build._pack_cell:
+            # [i64 n][docids 8n][tf 4n][doclen 4n][poslen 4n]
+            # [termlen 4n][term utf8 blob][positions blob]
+            rp.append(
+                b"".join(
+                    (
+                        struct.pack("<q", n_tot),
+                        np.concatenate(idp).astype(np.int64).tobytes(),
+                        np.concatenate(tfp).astype(np.int32).tobytes(),
+                        np.concatenate(dlp).astype(np.int32).tobytes(),
+                        np.concatenate(plp).astype(np.int32).tobytes(),
+                        np.concatenate(tl).astype(np.int32).tobytes(),
+                        b"".join(tb),
+                        b"".join(pp),
+                    )
+                )
+            )
             rb.append(b)
             rs.append(s)
         cells.clear()
@@ -149,27 +182,49 @@ def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
         ):
             ids = delta_decode(docids_b).view(np.int64)
             n = len(ids)
+            if not n:
+                continue
             tfs_d = decode_varints(tfs_b)
             dls_d = decode_varints(dls_b)
-            pos_d = decode_positions(pos_b, n)
             alive = alive_mask(ids, deleted, int(ep))
-            if alive is not None:
-                # tombstoned postings drop here, permanently
-                ids = ids[alive]
-                tfs_d = tfs_d[alive]
-                dls_d = dls_d[alive]
-                pos_d = [p for p, a in zip(pos_d, alive.tolist()) if a]
-                n = len(ids)
-                if not n:
-                    continue
-            cell = cells.setdefault(
-                (int(bucket), int(salt)), ([], [], [], [], [])
+            plens = None
+            if alive is None:
+                pb = np.frombuffer(pos_b, np.uint8)
+                ends = np.flatnonzero((pb & 0x80) == 0)
+                vidx = np.cumsum(tfs_d.astype(np.int64) + 1)
+                if ends.size == vidx[-1]:  # npos == tf guard
+                    byte_ends = ends[vidx - 1] + 1
+                    plens = np.diff(byte_ends, prepend=0).astype(np.int32)
+                    pos_blob = pos_b
+            if plens is None:
+                # exact path: tombstoned block, or npos != tf
+                pos_d = decode_positions(pos_b, n)
+                if alive is not None:
+                    ids = ids[alive]
+                    tfs_d = tfs_d[alive]
+                    dls_d = dls_d[alive]
+                    pos_d = [
+                        p for p, a in zip(pos_d, alive.tolist()) if a
+                    ]
+                    n = len(ids)
+                    if not n:
+                        continue
+                blobs = [_enc_pos(ps) for ps in pos_d]
+                plens = np.fromiter(map(len, blobs), np.int32, n)
+                pos_blob = b"".join(blobs)
+            t = term.encode("utf-8", "surrogatepass")
+            acc = cells.setdefault(
+                (int(bucket), int(salt)),
+                [0, [], [], [], [], [], [], []],
             )
-            cell[0].extend([term.encode("utf-8", "surrogatepass")] * n)
-            cell[1].extend(ids.tolist())
-            cell[2].extend(tfs_d.tolist())
-            cell[3].extend(dls_d.tolist())
-            cell[4].extend(_enc_pos(ps) for ps in pos_d)
+            acc[0] += n
+            acc[1].append(np.full(n, len(t), np.int32))
+            acc[2].append(ids)
+            acc[3].append(tfs_d)
+            acc[4].append(dls_d)
+            acc[5].append(plens)
+            acc[6].append(t * n)
+            acc[7].append(pos_blob)
             count += n
             if count >= flush_at:
                 df = flush()

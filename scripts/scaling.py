@@ -221,6 +221,19 @@ ops_pagerank3 2.8 s for 3 iterations on the ~1k-domain graph once the
 redundant distinct() left the timed window (per-iteration job
 overhead; the graph itself is broadcast-sized).
 
+Round-5 final-session compaction lever: _decode_to_cells (the
+decode->re-encode pipeline under compact_index AND merge_epochs) now
+SLICES each clean block's positions blob at vectorized varint
+boundaries instead of decoding and re-encoding posting by posting -
+the per-posting Python work that dominated the rewrite.  Byte-
+identical output (differential-tested against the old path on clean,
+tombstoned, and npos!=tf-guard blocks); tombstone-touched blocks keep
+the exact filter path.  Interleaved same-process A/B on the bench's
+4-epoch 200k index: old 11.0-19.1 s, new 7.4-10.0 s per compaction -
+1.48x, putting compact_index back at its round-2-era cost with all
+the round-3+ correctness machinery (per-version stats, generation
+stamps, crash journals) retained.
+
 ## Scale ladder (same job, local[32]; corpus size x20)
 
 | docs | postings | build | docs/s | index | driver RSS | notes |
