@@ -234,6 +234,21 @@ the exact filter path.  Interleaved same-process A/B on the bench's
 the round-3+ correctness machinery (per-version stats, generation
 stamps, crash journals) retained.
 
+16M epoch-rung RERUN with the sliced decode (round-5 final session):
+maintain_index folding all 4 epochs (801M postings) dropped 238.2 s
+-> 207.8 s at 4.0% in-window steal (~77k docs/s compaction; the gain
+is smaller than the 200k-scale 1.48x because at ladder scale the
+exchange + block encode + parquet I/O dominate the rewrite, not the
+per-block Python the slice removed).  Ingest 508.3 s at 5.3% steal
+(vs 473.0 s at 2.1% - steal-lottery, same code path).  Post-merge
+のび太 0.70 s.  The post-merge 8-term conjunction measured 0.305 s vs
+the batch rung's recorded 4.8 s; a 2M-doc batch-vs-merged check shows
+doc sets AND scores identical on both query shapes, and the
+conjunction is in fact EMPTY (no doc holds all 8 bigrams), so its
+latency hinges on how early the intersection drains block decode -
+treat the conj8 rows as a decode-pressure indicator, not a stable
+latency.
+
 ## Scale ladder (same job, local[32]; corpus size x20)
 
 | docs | postings | build | docs/s | index | driver RSS | notes |
