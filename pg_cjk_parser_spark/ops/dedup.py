@@ -478,13 +478,16 @@ def duplicate_spans(
     arrays are the single-node tool.
 
     Scale shape: spans hash to 64 bits JVM-side (xxhash64 of the
-    joined words - the text never travels past the projection), one
-    distinct on (doc, span) with map-side partial dedup, then a
-    window ``count(*) over (partition by span)`` marks shared spans.
-    The window formulation is deliberate: the naive
-    groupBy-then-join-back reads the corpus and recomputes the
-    explode+distinct TWICE (Catalyst does not dedupe common
-    subtrees), while the window is one corpus scan and one extra
+    joined words - the text never travels past the projection), and
+    the per-doc dedup happens BEFORE the explode with
+    ``array_distinct`` on the doc's own hash array: a doc's duplicate
+    spans are all inside its one row, so the (doc, span) ``distinct``
+    exchange the previous shape paid (a full corpus-of-spans shuffle)
+    was pure overhead.  Then a window ``count(*) over (partition by
+    span)`` marks shared spans.  The window formulation is
+    deliberate: the naive groupBy-then-join-back reads the corpus and
+    recomputes the explode+distinct TWICE (Catalyst does not dedupe
+    common subtrees), while the window is one corpus scan and one
     shuffle of two-long rows.  Hot boilerplate spans make one large
     window group of (doc, span) pairs - WindowExec spills beyond its
     buffer, and the group is the same size the join probe side would
@@ -495,13 +498,13 @@ def duplicate_spans(
     from .textstats import word_ngrams_col
 
     t = F.split(F.col(text_col), " ")
-    spans = (
-        docs.select(
-            F.col(id_col).alias(id_col),
-            F.explode(word_ngrams_col(t, k)).alias("g"),
-        )
-        .select(id_col, F.xxhash64("g").alias("h"))
-        .distinct()
+    spans = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams_col(t, k), lambda g: F.xxhash64(g))
+            )
+        ).alias("h"),
     )
     nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (

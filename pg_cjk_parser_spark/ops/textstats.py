@@ -368,56 +368,75 @@ def repetition_signals(
     Output: ``(id, dup{n}_frac, top{n}_frac, ...)`` one row per doc
     with at least ``max(ns)`` words.
 
-    Scale shape: ONE corpus scan - all n sizes explode in a single
-    tagged pass (a per-n loop joining per-n aggregates would re-read
-    and re-explode the corpus ``len(ns)`` times; Catalyst does not
-    dedupe common subtrees), then ``groupBy(id, n, gram)`` and
-    ``groupBy(id, n)`` hash aggregations with map-side partial
-    combine, and a pivot of the (already tiny) per-doc rows into
-    columns.  No self-join, no UDF."""
-    t = F.split(F.col(text_col), " ")
+    Scale shape: every signal here is a function of ONE document, so
+    nothing corpus-sized needs to shuffle at all - the n-gram counting
+    runs per row with JVM array functions (sort the doc's gram array
+    once per n, then a single ``aggregate`` pass counts distinct grams
+    and the longest equal run = the top gram's count).  The previous
+    explode + ``groupBy(id, n, gram)`` formulation moved ~200 gram
+    rows per doc through two corpus-sized exchanges and a pivot to
+    compute the same per-doc numbers; this shape's only exchange is
+    the final ``orderBy`` of the one-row-per-doc result.  No UDF."""
+    nmax = max(ns)
+    words = F.split(F.col(text_col), " ")
 
-    # a two-arg lambda would make F.transform bind (element, INDEX) -
-    # the index would shadow an `n=n` default - so close over n here
-    def _tag(n: int):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+    def _stats(n: int):
+        """One pass over the doc's sorted n-gram array: (best, nd) =
+        (count of the most frequent gram, number of distinct grams).
+        Equal grams are adjacent after the sort, so the longest equal
+        run IS the top gram's count and run starts count distincts."""
+        g = F.array_sort(word_ngrams_col(words, n))
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("nd"),
+        )
 
-    tagged = F.concat(
-        *[F.transform(word_ngrams_col(t, n), _tag(n)) for n in ns]
-    )
-    per_gram = (
-        docs.select(
-            F.col(id_col).alias(id_col),
-            F.explode(tagged).alias("x"),
-        )
-        .select(id_col, F.col("x.n").alias("n"), F.col("x.gram").alias("gram"))
-        .groupBy(id_col, "n", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    per_doc_n = per_gram.groupBy(id_col, "n").agg(
-        F.round(
-            F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), round_digits
-        ).alias("dup_frac"),
-        F.round(F.max("c") / F.sum("c"), round_digits).alias("top_frac"),
-    )
-    wide = (
-        per_doc_n.groupBy(id_col)
-        .pivot("n", list(ns))
-        .agg(
-            F.first("dup_frac").alias("dup"),
-            F.first("top_frac").alias("top"),
-        )
+        def step(acc, x):
+            run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1)
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                (
+                    acc["nd"]
+                    + F.when(x.eqNullSafe(acc["prev"]), F.lit(0)).otherwise(
+                        F.lit(1)
+                    )
+                ).alias("nd"),
+            )
+
+        return F.aggregate(g, init, step)
+
+    # docs shorter than max(ns) words have no n-gram row for that n;
+    # keep the per-n inner-join semantics of the aggregated
+    # formulation by dropping them (split(null) has size -1, so null
+    # texts drop too, as explode used to drop them)
+    base = docs.where(F.size(words) >= nmax).select(
+        F.col(id_col).alias(id_col),
+        F.size(words).alias("_nw"),
+        *[_stats(n).alias(f"_s{n}") for n in ns],
     )
     cols = [F.col(id_col)]
-    notnull = None
     for n in ns:
-        cols.append(F.col(f"{n}_dup").alias(f"dup{n}_frac"))
-        cols.append(F.col(f"{n}_top").alias(f"top{n}_frac"))
-        cond = F.col(f"{n}_dup").isNotNull()
-        notnull = cond if notnull is None else notnull & cond
-    # docs shorter than max(ns) words have no row for that n; keep the
-    # per-n inner-join semantics by dropping them
-    return wide.where(notnull).select(*cols).orderBy(id_col)
+        # grams per doc = n_words - n + 1 (>= 1 after the filter);
+        # int/int division promotes to double exactly as the long/long
+        # count()/sum(c) division did, so the rounded values match
+        total = F.col("_nw") - (n - 1)
+        cols.append(
+            F.round(
+                F.lit(1.0) - F.col(f"_s{n}.nd") / total, round_digits
+            ).alias(f"dup{n}_frac")
+        )
+        cols.append(
+            F.round(F.col(f"_s{n}.best") / total, round_digits).alias(
+                f"top{n}_frac"
+            )
+        )
+    return base.select(*cols).orderBy(id_col)
 
 def stratified_sample(
     docs: DataFrame,

@@ -137,6 +137,44 @@ def _parse_query(query: str, websearch: bool):
     return websearch_to_tsquery(query) if websearch else to_tsquery(query)
 
 
+def _cd_required_substrings(node):
+    """Terms that must appear VERBATIM in the source text for
+    ``ts_rank_cd`` to be nonzero, or None when no such set is provable.
+
+    Valid only for And/Phrase-only trees whose leaves are all pure-CJK
+    lexemes: cover-density rank is 0 unless some window matches the
+    whole query, which needs every And/Phrase leaf in the tsvector;
+    and a CJK lexeme (2-gram or unigram, identity under lowercasing,
+    never stemmed) can only enter a tsvector as a literal slice of the
+    text, so "substring absent => term absent => rank 0" is exact.
+    ASCII leaves (stemmed), prefix, Or and Not operands all bail to
+    None - the caller then ranks every row, as before."""
+    from ..kernel.charclass import CJK
+    from ..kernel.fsm import CLS_LIST
+    from ..kernel.tsvector import And, Phrase
+
+    terms: list[str] = []
+    ncp = len(CLS_LIST)
+
+    def walk(nd) -> bool:
+        if isinstance(nd, Phrase):
+            for t, _ in nd.items:
+                if not t or any(
+                    ord(c) >= ncp or not (CLS_LIST[ord(c)] & CJK)
+                    for c in t
+                ):
+                    return False
+                terms.append(t)
+            return True
+        if isinstance(nd, And):
+            return all(walk(c) for c in nd.children)
+        return False
+
+    if node is None or not walk(node):
+        return None
+    return terms or None
+
+
 def make_ts_rank_udf(
     query: str,
     weights=None,
@@ -148,16 +186,38 @@ def make_ts_rank_udf(
     for a fixed query, returning the raw float64 rank (round in the
     caller if comparing against an oracle).  The query is parsed once
     on the driver; per-row work is tokenize + rank inside one Arrow
-    batch."""
+    batch.
+
+    Scan-path fast path: for cover-density queries whose terms are all
+    CJK n-grams (see :func:`_cd_required_substrings`), two vectorized
+    ``str.contains`` passes skip the tokenize+rank kernel for every
+    row that provably ranks 0.0 - most of a web corpus for a typical
+    query - leaving the Python kernel to the candidate rows only."""
     from ..kernel import tsrank
     from ..kernel.tsvector import to_tsvector
 
     node = _parse_query(query, websearch)
     w = tuple(weights) if weights is not None else tsrank.DEF_WEIGHTS
     fn = tsrank.ts_rank_cd if cd else tsrank.ts_rank
+    req = _cd_required_substrings(node) if cd else None
 
     @pandas_udf(DoubleType())
     def rank_udf(texts: pd.Series) -> pd.Series:
+        if req is not None:
+            mask = pd.Series(True, index=texts.index)
+            for rt in req:
+                mask &= texts.str.contains(rt, regex=False).fillna(False)
+            ml = mask.tolist()
+            return pd.Series(
+                [
+                    None
+                    if t is None
+                    else (
+                        fn(to_tsvector(t), node, w, method) if m else 0.0
+                    )
+                    for t, m in zip(texts, ml)
+                ]
+            )
         return texts.map(
             lambda t: fn(to_tsvector(t), node, w, method)
             if t is not None
