@@ -38,6 +38,7 @@ from .charclass import (
     CLS,
     DIGIT,
     MAX_CP,
+    SPACE,
     SPECIAL,
     UNIPUNCT,
     URLCHAR,
@@ -56,6 +57,7 @@ from .fsm import (
     PROTOCOL,
     SCIENTIFIC,
     SPACE_T,
+    TAG_T,
     TPS_Base,
     UNSIGNEDINT,
     URL_T,
@@ -250,11 +252,60 @@ def _build_master() -> tuple[re.Pattern, re.Pattern]:
     # full FSM fallback; the FSM emits exactly one 1-char blank.
     eosdot = r"(?P<D>\.)\Z"
 
+    # HTML tag (InTagFirst/InTagName/InTag/InTagEscape*): the dominant
+    # token class of raw HTML, which otherwise pays a full FSM
+    # fallback PER TAG (measured ~4.7x slower tokenization on web
+    # pages).  Shapes mirrored exactly from the FSM tables:
+    #   <name>      name = [A-Za-z:_][0-9A-Za-z:_.-]*  (open)
+    #   </name>     close names start with a letter
+    #   <name/>     InTagBeginEnd: '/' must be followed by '>'
+    #   <name SP body>   InTag body: the listed ASCII chars, spaces,
+    #                    and '...'/"..." strings with backslash escapes
+    # Everything else with '<' (comments, DOCTYPE, <?xml, non-ASCII
+    # name/body chars, unterminated tags) falls back to the FSM.
+    # Opening <script/<style tags are EXCLUDED (negative lookahead):
+    # their S_TAGS special flips the parser's ignore mode, which only
+    # the FSM path maintains; closing tags only clear an already-clear
+    # flag here, so they may match.  (The S_TAGS check compares the
+    # exact prefixes '<script'/'<style' before a space or '>', so the
+    # guard mirrors that shape - <scripts> or <script/> never ignore.)
+    spc_m = (CLS & SPACE) != 0
+    spc_m = spc_m.copy()
+    spc_m[0xD800:0xE000] = False
+    spc_c = _ranges_to_class(spc_m)
+    q1 = r"'(?:\\[\s\S]|[^'\\])*'"
+    q2 = r'"(?:\\[\s\S]|[^"\\])*"'
+    tbody = rf"(?:[0-9A-Za-z=\-_#/:.&?%~{spc_c}]|{q1}|{q2})*"
+    tguard = (
+        rf"(?!(?:[sS][cC][rR][iI][pP][tT]|[sS][tT][yY][lL][eE])[{spc_c}>])"
+    )
+    tag = (
+        rf"(?P<T><(?:/[A-Za-z]|{tguard}[A-Za-z:_])[0-9A-Za-z:_.\-]*"
+        rf"(?:/?>|[{spc_c}]{tbody}>))"
+    )
+    # Complete <script>/<style> element with a SIMPLE body: inside the
+    # parser's ignore mode, Base still dispatches CJK chars to InCJK
+    # and '<' to a tag parse, and everything else runs into ONE blank
+    # token - so a body free of '<' and CJK chars is exactly
+    # [open tag][one blank][close tag].  The S_TAGS special compares
+    # only the '<script'/'</script'/'<style'/'</style' prefixes
+    # (case-insensitive, no name matching), so EITHER close tag ends
+    # EITHER element, and a close tag may carry trailing spaces before
+    # '>'.  Bodies with '<' (nested tags inside scripts, '</script'
+    # inside a JS string) or CJK fall back to the exact FSM.
+    scrname = r"(?:[sS][cC][rR][iI][pP][tT]|[sS][tT][yY][lL][eE])"
+    script = (
+        rf"(?P<S><{scrname}(?:>|[{spc_c}]{tbody}>))"
+        rf"(?P<Sb>[^<{cjk_cls}]*)"
+        rf"(?P<Sc></{scrname}[{spc_c}]*>)"
+    )
+
     pat = (
         f"(?P<c>[{cjk_cls}]+)"
         f"|(?P<w>[A-Za-z]+)(?=[{tw}]|$|{wdot})"
         f"|(?P<u>[0-9]+)(?=[{tu}]|$|{udot})"
         f"|(?P<b>(?:[{bs}]|\\.(?!$|[./]))[{bc}]*)"
+        f"|{tag}|{script}"
         f"|{host}|{sfl}|{ver}|{flt}|{ent}|{word}"
         f"|{email}|{urlp}|{urlb}|{filep}|{hword}"
         f"|{numh}|{eosdot}"
@@ -287,6 +338,7 @@ def _build_master() -> tuple[re.Pattern, re.Pattern]:
         f"|(?P<w>[A-Za-z]+)(?=[{tw}]|$|{wdot}){tail}"
         f"|(?P<u>[0-9]+)(?=[{tu}]|$|{udot}){tail}"
         f"|(?P<b>(?:[{bs}]|\\.(?!$|[./]))[{bc}]*)"
+        f"|{tag}|{script}"
         f"|{host}|{sfl}|{ver}|{flt}|{ent}|{word}"
         f"|{email}|{urlp}|{urlb}|{filep}|{hword}"
         f"|{numh}|{eosdot}"
@@ -304,6 +356,7 @@ _GROUP_TYPE = {
     "n": WORD_T,
     "E": EMAIL,
     "Z": FILEPATH,
+    "T": TAG_T,
 }
 
 
@@ -388,6 +441,13 @@ def tokenize(s: str) -> list[tuple[int, int, int]]:
                 out.append((y_end + 1, q - y_end - 1, UNSIGNEDINT))
             elif g == "D":
                 out.append((p, 1, SPACE_T))
+            elif g == "Sc":  # whole script/style element: tag+blank+tag
+                so, se = m.span("S")
+                out.append((so, se - so, TAG_T))
+                bo, be = m.span("Sb")
+                if be > bo:
+                    out.append((bo, be - bo, SPACE_T))
+                out.append((be, q - be, TAG_T))
             else:
                 out.append((p, q - p, _GROUP_TYPE[g]))
             p = q
@@ -624,6 +684,20 @@ def lexemes(s: str) -> list[tuple[str, int]]:
                             pos if pos < MEP else MEP,
                         )
                     )
+            elif g == "Sc":
+                # whole script/style element: the two tags take
+                # positions and lexize via the simple dictionary; the
+                # ignore-mode body is one blank (no position)
+                for ts_, te_ in (m.span("S"), m.span("Sc")):
+                    ln = te_ - ts_
+                    pos += 1
+                    text = s[ts_:te_]
+                    if ln >= 512 and len(
+                        text.encode("utf-8", "surrogatepass")
+                    ) >= 2047:
+                        pos -= 1
+                        continue
+                    append((text.lower(), pos if pos < MEP else MEP))
             elif g not in ("b", "D"):
                 # host / sfloat / version / float / entity / email /
                 # file: lowercased, no stemming (simple dictionary),
