@@ -113,6 +113,101 @@ def decode_postings(spark: SparkSession, index_dir: str):
     )
 
 
+def _accumulate_batch_fast(pdf, cells) -> int:
+    """Whole-batch vectorized decode for the no-tombstone case: ONE
+    varint decode per column over the batch's concatenated blobs
+    (docid deltas, tfs, doclens) with per-block cumsum resets, and the
+    position blobs sliced at vectorized varint boundaries - replacing
+    3 ``decode_varints`` + ~10 small numpy calls PER BLOCK (measured
+    ~40% of compaction's map side).  Appends per-block slices (views)
+    into ``cells`` exactly like the per-block path and returns the
+    posting count, or -1 when the batch fails the alignment guards
+    (npos != tf anywhere, or byte/value counts off) - the caller then
+    redoes the batch with the exact per-block path.
+
+    Requires an ``n`` column (postings per block) in the input."""
+    nb = len(pdf)
+    if nb == 0 or "n" not in pdf.columns:
+        return -1
+    ns = pdf["n"].to_numpy().astype(np.int64, copy=False)
+    if (ns <= 0).any():
+        return -1  # degenerate empty blocks: exact path
+    d_list = pdf["docids"].tolist()
+    t_list = pdf["tfs"].tolist()
+    l_list = pdf["doclens"].tolist()
+    p_list = pdf["positions"].tolist()
+    total = int(ns.sum())
+
+    vals_d = decode_varints(b"".join(d_list))
+    vals_t = decode_varints(b"".join(t_list))
+    vals_l = decode_varints(b"".join(l_list))
+    if vals_d.size != total or vals_t.size != total or vals_l.size != total:
+        return -1
+
+    ends_n = np.cumsum(ns)
+    starts_n = ends_n - ns
+    # per-block delta->absolute: global cumsum minus the cumsum value
+    # just before each block's first delta (the first delta per block
+    # is the absolute first docid); uint64 wraparound is the codec's
+    # documented arithmetic
+    c = np.cumsum(vals_d, dtype=np.uint64)
+    off = np.zeros(nb, dtype=np.uint64)
+    off[1:] = c[starts_n[1:] - 1]
+    ids_all = (c - np.repeat(off, ns)).view(np.int64)
+
+    # positions: value-end boundaries over the concatenated stream,
+    # then per-posting byte lengths; guarded per block (value count
+    # must equal sum(tf)+n and the last boundary must close the blob)
+    all_p = b"".join(p_list)
+    pb = np.frombuffer(all_p, np.uint8)
+    vends = np.flatnonzero((pb & 0x80) == 0)
+    blk_bytes = np.fromiter(map(len, p_list), np.int64, nb)
+    blk_byte_ends = np.cumsum(blk_bytes)
+    seg_tf = np.add.reduceat(
+        vals_t.astype(np.int64), starts_n
+    ) if total else np.zeros(0, np.int64)
+    expect_vals = seg_tf + ns
+    got_vals = np.diff(
+        np.searchsorted(vends, blk_byte_ends - 1, side="right"),
+        prepend=0,
+    )
+    if vends.size != int(expect_vals.sum()) or not np.array_equal(
+        got_vals, expect_vals
+    ):
+        return -1
+    post_val_idx = np.cumsum(vals_t.astype(np.int64) + 1)
+    post_byte_ends = vends[post_val_idx - 1] + 1
+    plens_all = np.diff(post_byte_ends, prepend=0).astype(np.int32)
+    blk_byte_starts = blk_byte_ends - blk_bytes
+
+    terms = pdf["term"].tolist()
+    buckets = pdf["bucket"].tolist()
+    salts = pdf["salt"].tolist()
+    sn = starts_n.tolist()
+    en = ends_n.tolist()
+    b0 = blk_byte_starts.tolist()
+    b1 = blk_byte_ends.tolist()
+    for ri in range(nb):
+        s, e = sn[ri], en[ri]
+        if s == e:
+            continue
+        t = terms[ri].encode("utf-8", "surrogatepass")
+        acc = cells.setdefault(
+            (int(buckets[ri]), int(salts[ri])),
+            [0, [], [], [], [], [], [], []],
+        )
+        n = e - s
+        acc[0] += n
+        acc[1].append(np.full(n, len(t), np.int32))
+        acc[2].append(ids_all[s:e])
+        acc[3].append(vals_t[s:e])
+        acc[4].append(vals_l[s:e])
+        acc[5].append(plens_all[s:e])
+        acc[6].append(t * n)
+        acc[7].append(all_p[b0[ri]:b1[ri]])
+    return total
+
+
 def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
     """Decode posting blocks straight into packed (bucket, salt) cells
     for the packed-cell shuffle (build.py:_encode_cells) - the same
@@ -173,6 +268,16 @@ def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
         )
 
     for pdf in batches:
+        if deleted is None:
+            got = _accumulate_batch_fast(pdf, cells)
+            if got >= 0:
+                count += got
+                if count >= flush_at:
+                    df = flush()
+                    count = 0
+                    if len(df):
+                        yield df
+                continue
         eps = epochs_of(pdf)
         for bucket, salt, term, docids_b, tfs_b, dls_b, pos_b, ep in zip(
             pdf["bucket"].tolist(), pdf["salt"].tolist(),
@@ -293,7 +398,8 @@ def compact_index(
             )
     epoch_col = epoch_from_file_path()
     cells = postings.select(
-        "bucket", "salt", "term", "docids", "tfs", "doclens", "positions"
+        "bucket", "salt", "term", "n", "docids", "tfs", "doclens",
+        "positions"
     ).withColumn("epoch", epoch_col).mapInPandas(
         lambda it: _decode_to_cells(it, deleted=deleted), PACKED_SCHEMA
     )
@@ -635,7 +741,7 @@ def merge_epochs(
         )
         epoch_col = epoch_from_file_path()
         cells = postings.select(
-            "bucket", "salt", "term", "docids", "tfs", "doclens",
+            "bucket", "salt", "term", "n", "docids", "tfs", "doclens",
             "positions",
         ).withColumn("epoch", epoch_col).mapInPandas(
             lambda it: _decode_to_cells(it, deleted=deleted), PACKED_SCHEMA
