@@ -243,31 +243,38 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
     (bit-identical to F.xxhash64; tests/test_xxh64.py), so packed and
     staged builds address the same shards.
 
-    Positions are NOT varint-encoded per posting in the doc loop: each
-    cell accumulates a flat ``[npos, p1, p2, ...]`` int stream, and
-    flush time delta-encodes + LEB128-encodes EVERY cell's stream in
-    one vectorized pass (codec.encode_varints_offsets), slicing the
-    shared byte buffer back into per-cell blobs by offset - same wire
-    format (byte-identical; differentially tested), one NumPy call per
-    ~flush_at postings instead of one Python encoder call per posting.
-    Measured best-of-7 interleaved on 22k mixed ASCII/CJK docs: the
-    post-tokenize loop drops 9% (0.675 -> 0.613 s); the tokenizer
-    still dominates the map phase, so end-to-end map gain is ~2-3%."""
+    The post-tokenize aggregation is vectorized per Arrow batch: the
+    batch's (term, position) pairs factorize to integer codes (C
+    hash), one stable argsort on a (doc, code) key yields the per-doc
+    term groups with positions in emission (= ascending) order, salts
+    come from the vectorized xxh64 lane, buckets from a vocabulary-
+    sized cache, and one more stable argsort groups postings by cell.
+    The per-posting dict/append loop this replaces measured 72% of
+    map-side time once the tokenizer had its own fast paths; only
+    vocabulary-sized loops remain in Python.
+
+    Positions accumulate per cell as interleaved ``[npos, p1, ...]``
+    int streams (built with a head-slot scatter, no per-posting
+    work), and flush time delta-encodes + LEB128-encodes EVERY cell's
+    stream in one vectorized pass (codec.encode_varints_offsets),
+    slicing the shared byte buffer back into per-cell blobs by offset
+    - same wire format as the per-doc loop produced (differential
+    test: identical final index blocks)."""
     from ..kernel.tokenizer import lexemes
     from .codec import encode_varints_offsets
-    from .xxh64 import pmod, spark_xxhash64_long, spark_xxhash64_str
+    from .xxh64 import pmod, spark_xxhash64_long_vec, spark_xxhash64_str
 
     norm = None
     if normalize_zht:
         from ..functions.zht2zhs import zht2zhs as norm
 
     ncells = num_buckets * num_salts
-    terms: list[list] = [[] for _ in range(ncells)]
-    docids: list[list] = [[] for _ in range(ncells)]
-    tfs: list[list] = [[] for _ in range(ncells)]
-    dls: list[list] = [[] for _ in range(ncells)]
-    posv: list[list] = [[] for _ in range(ncells)]
-    bucket_cache: dict[str, int] = {}
+    terms: list[list] = [[] for _ in range(ncells)]   # flat bytes per posting
+    docids: list[list] = [[] for _ in range(ncells)]  # int64 array chunks
+    tfs: list[list] = [[] for _ in range(ncells)]     # int64 array chunks
+    dls: list[list] = [[] for _ in range(ncells)]     # int64 array chunks
+    posv: list[list] = [[] for _ in range(ncells)]    # stream array chunks
+    bucket_cache: dict[str, tuple] = {}  # term -> (bucket, utf8 bytes)
     count = 0
 
     def flush():
@@ -281,11 +288,16 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
                 }
             )
         # one delta+varint pass over every live cell's position stream
-        tf_cat = np.concatenate(
-            [np.asarray(tfs[c], np.int64) for c in live]
-        )
+        tf_cells = [
+            tfs[c][0] if len(tfs[c]) == 1 else np.concatenate(tfs[c])
+            for c in live
+        ]
+        tf_cat = np.concatenate(tf_cells)
         vals = np.concatenate(
-            [np.asarray(posv[c], np.int64) for c in live]
+            [
+                posv[c][0] if len(posv[c]) == 1 else np.concatenate(posv[c])
+                for c in live
+            ]
         )
         seg = tf_cat + 1  # values per posting: npos + positions
         ends_v = np.cumsum(seg)
@@ -305,7 +317,7 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
         blob_all = buf.tobytes()
         post_ends = ends_b[ends_v - 1]
         plens = np.diff(post_ends, prepend=np.int64(0))
-        cell_counts = np.asarray([len(tfs[c]) for c in live], np.int64)
+        cell_counts = np.asarray([x.size for x in tf_cells], np.int64)
         cell_post_ends = np.cumsum(cell_counts)
         cell_b_ends = post_ends[cell_post_ends - 1]
         cell_b_starts = np.concatenate(([0], cell_b_ends[:-1]))
@@ -316,7 +328,14 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
             n = int(cell_counts[i])
             rp.append(
                 _pack_cell_pre(
-                    terms[c], docids[c], tfs[c], dls[c],
+                    terms[c],
+                    docids[c][0]
+                    if len(docids[c]) == 1
+                    else np.concatenate(docids[c]),
+                    tf_cells[i],
+                    dls[c][0]
+                    if len(dls[c]) == 1
+                    else np.concatenate(dls[c]),
                     plens[pe : pe + n],
                     blob_all[int(cell_b_starts[i]) : int(cell_b_ends[i])],
                 )
@@ -338,36 +357,110 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
         )
 
     for pdf in batches:
-        for docid, text in zip(pdf["docid"].tolist(), pdf["text"].tolist()):
-            if norm is not None and text is not None:
+        texts = pdf["text"].tolist()
+        nd = len(texts)
+        if nd == 0:
+            continue
+        all_terms: list[str] = []
+        all_pos: list[int] = []
+        doc_lens = np.zeros(nd, np.int64)
+        for i, text in enumerate(texts):
+            if text is None:
+                continue
+            if norm is not None:
                 text = norm(text)
-            lex = lexemes(text) if text is not None else []
+            lex = lexemes(text)
             if not lex:
                 continue
-            salt = pmod(spark_xxhash64_long(docid), num_salts)
-            agg: dict[str, list[int]] = {}
-            for term, p_ in lex:
-                l = agg.get(term)
-                if l is None:
-                    agg[term] = [p_]
-                else:
-                    l.append(p_)
-            dl = len(lex)
-            for term, ps in agg.items():
-                bkt = bucket_cache.get(term)
-                if bkt is None:
-                    bkt = pmod(spark_xxhash64_str(term), num_buckets)
-                    if len(bucket_cache) < (1 << 20):
-                        bucket_cache[term] = bkt
-                c = bkt * num_salts + salt
-                terms[c].append(term.encode("utf-8", "surrogatepass"))
-                docids[c].append(docid)
-                tfs[c].append(len(ps))
-                dls[c].append(dl)
-                pv = posv[c]
-                pv.append(len(ps))
-                pv.extend(ps)
-                count += 1
+            doc_lens[i] = len(lex)
+            ts_, ps_ = zip(*lex)
+            all_terms.extend(ts_)
+            all_pos.extend(ps_)
+        npost_all = len(all_terms)
+        if npost_all == 0:
+            continue
+        codes, uniq = pd.factorize(np.asarray(all_terms, dtype=object))
+        V = len(uniq)
+        del all_terms
+        pos_arr = np.asarray(all_pos, np.int64)
+        del all_pos
+        doc_idx = np.repeat(np.arange(nd, dtype=np.int64), doc_lens)
+        codes = codes.astype(np.int64, copy=False)
+
+        # group (doc, term) with positions in emission order (stable)
+        key = doc_idx * np.int64(V) + codes
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        ps = pos_arr[order]
+        change = np.empty(npost_all, bool)
+        change[0] = True
+        change[1:] = ks[1:] != ks[:-1]
+        gstarts = np.flatnonzero(change)
+        tf = np.diff(np.append(gstarts, npost_all))
+        g_key = ks[gstarts]
+        g_doc = g_key // V
+        g_code = g_key - g_doc * V
+
+        docid_arr = pdf["docid"].to_numpy().astype(np.int64, copy=False)
+        # numpy % with a positive divisor matches pmod
+        salts_doc = spark_xxhash64_long_vec(docid_arr) % num_salts
+
+        bkt_u = np.empty(V, np.int64)
+        ub: list[bytes] = [b""] * V
+        for j, t in enumerate(uniq.tolist()):
+            ent = bucket_cache.get(t)
+            if ent is None:
+                ent = (
+                    pmod(spark_xxhash64_str(t), num_buckets),
+                    t.encode("utf-8", "surrogatepass"),
+                )
+                if len(bucket_cache) < (1 << 20):
+                    bucket_cache[t] = ent
+            bkt_u[j] = ent[0]
+            ub[j] = ent[1]
+
+        # group postings by cell (stable keeps doc/term order inside)
+        p_cell = bkt_u[g_code] * num_salts + salts_doc[g_doc]
+        po = np.argsort(p_cell, kind="stable")
+        cell_s = p_cell[po]
+        tf_o = tf[po]
+        g_doc_o = g_doc[po]
+        did_o = docid_arr[g_doc_o]
+        dl_o = doc_lens[g_doc_o]
+        code_o = g_code[po]
+        pstart_o = gstarts[po]
+
+        # gather positions into cell-sorted posting order, then build
+        # the interleaved [npos, positions...] stream with one scatter
+        ng = tf_o.size
+        cum = np.cumsum(tf_o)
+        offs = cum - tf_o
+        out_idx = np.repeat(pstart_o - offs, tf_o) + np.arange(
+            npost_all, dtype=np.int64
+        )
+        pos_g = ps[out_idx]
+        stream = np.empty(npost_all + ng, np.int64)
+        heads = np.arange(ng, dtype=np.int64) + offs
+        stream[heads] = tf_o
+        msk = np.ones(stream.size, bool)
+        msk[heads] = False
+        stream[msk] = pos_g
+
+        cchange = np.empty(ng, bool)
+        cchange[0] = True
+        cchange[1:] = cell_s[1:] != cell_s[:-1]
+        cstarts = np.flatnonzero(cchange).tolist()
+        cends = cstarts[1:] + [ng]
+        heads_ext = np.append(heads, stream.size)
+        code_l = code_o.tolist()
+        for cs, cex in zip(cstarts, cends):
+            c = int(cell_s[cs])
+            terms[c].extend([ub[j] for j in code_l[cs:cex]])
+            docids[c].append(did_o[cs:cex])
+            tfs[c].append(tf_o[cs:cex])
+            dls[c].append(dl_o[cs:cex])
+            posv[c].append(stream[heads_ext[cs] : heads_ext[cex]])
+        count += ng
         if count >= flush_at:
             df = flush()
             if len(df):

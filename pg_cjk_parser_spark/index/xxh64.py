@@ -91,3 +91,32 @@ def spark_xxhash64_long(v: int) -> int:
 
 def pmod(x: int, m: int) -> int:
     return x % m if x >= 0 else (x % m + m) % m
+
+
+def spark_xxhash64_long_vec(v):
+    """Vectorized :func:`spark_xxhash64_long` over an int64 numpy
+    array (one fixed 8-byte lane: the XXH64 short path specializes to
+    a handful of uint64 multiply/rotate/xor steps, which numpy wraps
+    mod 2^64 natively).  Bit-identical to the scalar (tested)."""
+    import numpy as np
+
+    P1 = np.uint64(_P1)
+    P2 = np.uint64(_P2)
+    P3 = np.uint64(_P3)
+    P4 = np.uint64(_P4)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    x = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.uint64((42 + _P5 + 8) & _M)
+        k1 = rotl(x * P2, 31) * P1
+        h = h ^ k1
+        h = rotl(h, 27) * P1 + P4
+        h ^= h >> np.uint64(33)
+        h = h * P2
+        h ^= h >> np.uint64(29)
+        h = h * P3
+        h ^= h >> np.uint64(32)
+    return h.view(np.int64)
