@@ -170,57 +170,76 @@ def _postings_gen(batches, normalize_zht: bool = False):
 PACKED_SCHEMA = "bucket int, salt int, payload binary"
 
 
-def _pack_cell(terms_b, docids, tfs, dls, poss) -> bytes:
-    """Pack one (bucket, salt) cell's postings into a single blob:
-    [i64 n][docids 8n][tf 4n][doclen 4n][poslen 4n][termlen 4n]
-    [term utf8 blob][positions blob]."""
+def _pack_cell_idx(
+    uterms_b, tidx, docids, tfs, dls, plens, pos_blob
+) -> bytes:
+    """Pack one (bucket, salt) cell's postings into a single blob,
+    with the term VOCABULARY stored once and an int32 index per
+    posting (head CJK terms repeat across thousands of postings -
+    per-posting term bytes measured ~30% of the cell shuffle volume,
+    and re-ranking them cost a dict lookup per posting on the reduce
+    side):
+
+    [i64 n][i32 nuniq][docids 8n][tf 4n][doclen 4n][poslen 4n]
+    [termidx 4n][utermlen 4nu][uterm utf8 blob][positions blob]
+    """
     import struct
 
     return b"".join(
         (
-            struct.pack("<q", len(terms_b)),
-            np.array(docids, np.int64).tobytes(),
-            np.array(tfs, np.int32).tobytes(),
-            np.array(dls, np.int32).tobytes(),
-            np.fromiter(map(len, poss), np.int32, len(poss)).tobytes(),
-            np.fromiter(map(len, terms_b), np.int32, len(terms_b)).tobytes(),
-            b"".join(terms_b),
-            b"".join(poss),
-        )
-    )
-
-
-def _pack_cell_pre(terms_b, docids, tfs, dls, plens, pos_blob) -> bytes:
-    """:func:`_pack_cell` for a cell whose positions were already
-    varint-encoded in the flush-wide vectorized pass: takes the
-    per-posting byte lengths and the cell's slice of the shared
-    position stream instead of per-posting blobs.  Same wire format."""
-    import struct
-
-    return b"".join(
-        (
-            struct.pack("<q", len(terms_b)),
-            np.array(docids, np.int64).tobytes(),
-            np.array(tfs, np.int32).tobytes(),
-            np.array(dls, np.int32).tobytes(),
+            struct.pack("<qi", len(tidx), len(uterms_b)),
+            np.ascontiguousarray(docids, np.int64).tobytes(),
+            np.ascontiguousarray(tfs, np.int32).tobytes(),
+            np.ascontiguousarray(dls, np.int32).tobytes(),
             np.ascontiguousarray(plens, np.int32).tobytes(),
-            np.fromiter(map(len, terms_b), np.int32, len(terms_b)).tobytes(),
-            b"".join(terms_b),
+            np.ascontiguousarray(tidx, np.int32).tobytes(),
+            np.fromiter(
+                map(len, uterms_b), np.int32, len(uterms_b)
+            ).tobytes(),
+            b"".join(uterms_b),
             pos_blob,
         )
     )
 
 
+def _pack_cell(terms_b, docids, tfs, dls, poss) -> bytes:
+    """Per-posting-terms convenience packer (tests / small callers):
+    dedupes the term list in first-occurrence order and emits the
+    same wire format as :func:`_pack_cell_idx`."""
+    seen: dict[bytes, int] = {}
+    tidx = np.empty(len(terms_b), np.int32)
+    for i, t in enumerate(terms_b):
+        j = seen.get(t)
+        if j is None:
+            j = len(seen)
+            seen[t] = j
+        tidx[i] = j
+    return _pack_cell_idx(
+        list(seen),
+        tidx,
+        np.array(docids, np.int64),
+        np.array(tfs, np.int32),
+        np.array(dls, np.int32),
+        np.fromiter(map(len, poss), np.int32, len(poss)),
+        b"".join(poss),
+    )
+
+
 def _unpack_cell(buf: bytes):
+    """Inverse of :func:`_pack_cell_idx`:
+    (docids, tfs, doclens, plens, tidx, utermlens, uterm_blob,
+    pos_blob)."""
     n = int(np.frombuffer(buf, np.int64, 1)[0])
-    o = 8
+    nu = int(np.frombuffer(buf, np.int32, 1, 8)[0])
+    o = 12
     d = np.frombuffer(buf, np.int64, n, o); o += 8 * n
     t = np.frombuffer(buf, np.int32, n, o); o += 4 * n
     dl = np.frombuffer(buf, np.int32, n, o); o += 4 * n
     plen = np.frombuffer(buf, np.int32, n, o); o += 4 * n
-    tlen = np.frombuffer(buf, np.int32, n, o); o += 4 * n
-    tb_end = o + int(tlen.sum())
-    return d, t, dl, plen, tlen, buf[o:tb_end], buf[tb_end:]
+    tidx = np.frombuffer(buf, np.int32, n, o); o += 4 * n
+    utlen = np.frombuffer(buf, np.int32, nu, o); o += 4 * nu
+    tb_end = o + int(utlen.sum())
+    return d, t, dl, plen, tidx, utlen, buf[o:tb_end], buf[tb_end:]
 
 
 def _blob_slices(blob: bytes, lens: np.ndarray) -> list[bytes]:
@@ -269,7 +288,9 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
         from ..functions.zht2zhs import zht2zhs as norm
 
     ncells = num_buckets * num_salts
-    terms: list[list] = [[] for _ in range(ncells)]   # flat bytes per posting
+    uterms: list[list] = [[] for _ in range(ncells)]  # cell vocabulary
+    udicts: list[dict] = [{} for _ in range(ncells)]  # bytes -> vocab idx
+    tidx: list[list] = [[] for _ in range(ncells)]    # int32 array chunks
     docids: list[list] = [[] for _ in range(ncells)]  # int64 array chunks
     tfs: list[list] = [[] for _ in range(ncells)]     # int64 array chunks
     dls: list[list] = [[] for _ in range(ncells)]     # int64 array chunks
@@ -278,7 +299,7 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
     count = 0
 
     def flush():
-        live = [c for c in range(ncells) if terms[c]]
+        live = [c for c in range(ncells) if tfs[c]]
         if not live:
             return pd.DataFrame(
                 {
@@ -327,8 +348,11 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
         for i, c in enumerate(live):
             n = int(cell_counts[i])
             rp.append(
-                _pack_cell_pre(
-                    terms[c],
+                _pack_cell_idx(
+                    uterms[c],
+                    tidx[c][0]
+                    if len(tidx[c]) == 1
+                    else np.concatenate(tidx[c]),
                     docids[c][0]
                     if len(docids[c]) == 1
                     else np.concatenate(docids[c]),
@@ -343,7 +367,9 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
             rb.append(c // num_salts)
             rs.append(c % num_salts)
             pe += n
-            terms[c] = []
+            uterms[c] = []
+            udicts[c] = {}
+            tidx[c] = []
             docids[c] = []
             tfs[c] = []
             dls[c] = []
@@ -452,10 +478,24 @@ def _packed_postings_gen(batches, num_buckets, num_salts, flush_at=500_000,
         cstarts = np.flatnonzero(cchange).tolist()
         cends = cstarts[1:] + [ng]
         heads_ext = np.append(heads, stream.size)
-        code_l = code_o.tolist()
         for cs, cex in zip(cstarts, cends):
             c = int(cell_s[cs])
-            terms[c].extend([ub[j] for j in code_l[cs:cex]])
+            # per-cell vocabulary: unique batch codes remap onto the
+            # cell's running vocab (vocabulary-sized Python, not
+            # posting-sized)
+            lu, inv = np.unique(code_o[cs:cex], return_inverse=True)
+            ud = udicts[c]
+            ul = uterms[c]
+            remap = np.empty(lu.size, np.int32)
+            for k, j in enumerate(lu.tolist()):
+                tb_ = ub[j]
+                x = ud.get(tb_)
+                if x is None:
+                    x = len(ul)
+                    ud[tb_] = x
+                    ul.append(tb_)
+                remap[k] = x
+            tidx[c].append(remap[inv])
             docids[c].append(did_o[cs:cex])
             tfs[c].append(tf_o[cs:cex])
             dls[c].append(dl_o[cs:cex])
@@ -494,20 +534,45 @@ def _encode_cells(batches, block_size: int):
         d = np.concatenate([x[0] for x in parts])
         t = np.concatenate([x[1] for x in parts]).astype(np.int64)
         dl = np.concatenate([x[2] for x in parts]).astype(np.int64)
-        tb: list[bytes] = []
-        pb: list[bytes] = []
+        plen = np.concatenate([x[3] for x in parts]).astype(np.int64)
+        # per-part vocab -> cell vocab (vocabulary-sized Python), then
+        # one gather per part for the posting codes
+        ud: dict[bytes, int] = {}
+        code_parts = []
         for x in parts:
-            tb += _blob_slices(x[5], x[4])
-            pb += _blob_slices(x[6], x[3])
-        uniq = sorted(set(tb))
-        rank_of = {u: i for i, u in enumerate(uniq)}
-        ranks = np.fromiter((rank_of[x] for x in tb), np.int64, len(tb))
+            utb = _blob_slices(x[6], x[5])
+            lookup = np.empty(len(utb), np.int64)
+            for k, u in enumerate(utb):
+                j = ud.get(u)
+                if j is None:
+                    j = len(ud)
+                    ud[u] = j
+                lookup[k] = j
+            code_parts.append(lookup[x[4]])
+        codes = np.concatenate(code_parts)
+        uniq_b = list(ud)
+        order_u = sorted(range(len(uniq_b)), key=uniq_b.__getitem__)
+        rank_arr = np.empty(len(uniq_b), np.int64)
+        for r, i in enumerate(order_u):
+            rank_arr[i] = r
+        ranks = rank_arr[codes]
         idx = np.lexsort((d, ranks))
         rs_ = ranks[idx]
         ds = np.ascontiguousarray(d[idx])
         ts = np.ascontiguousarray(t[idx])
         dls_ = np.ascontiguousarray(dl[idx])
-        poss = [pb[i] for i in idx.tolist()]
+        # positions: byte-level gather into sorted posting order - no
+        # per-posting bytes objects
+        bigbuf = np.frombuffer(b"".join([x[7] for x in parts]), np.uint8)
+        starts = np.cumsum(plen) - plen
+        lens_o = plen[idx]
+        starts_o = starts[idx]
+        p_ends = np.cumsum(lens_o)
+        total_pb = int(p_ends[-1]) if lens_o.size else 0
+        out_i = np.repeat(starts_o - (p_ends - lens_o), lens_o) + np.arange(
+            total_pb, dtype=np.int64
+        )
+        pos_bytes = bigbuf[out_i]
 
         n = len(rs_)
         change = np.empty(n, dtype=bool)
@@ -521,12 +586,14 @@ def _encode_cells(batches, block_size: int):
         gid = np.searchsorted(gstarts, bstarts, side="right") - 1
         bends = np.minimum(bstarts + bs, gends[gid])
         bids = (bstarts - gstarts[gid]) // bs
-        uniq_str = [u.decode("utf-8", "surrogatepass") for u in uniq]
+        uniq_str = [
+            uniq_b[i].decode("utf-8", "surrogatepass") for i in order_u
+        ]
         gterm = [uniq_str[int(rs_[i])] for i in gstarts.tolist()]
         gl = gid.tolist()
         _slice_blocks(
             out_rows, lambda i: (bkt, salt, gterm[gl[i]]), bids,
-            bstarts, bends, ds, ts, dls_, poss,
+            bstarts, bends, ds, ts, dls_, (pos_bytes, p_ends),
             ds.view(np.uint64), ts.view(np.uint64), dls_.view(np.uint64),
         )
         if len(out_rows) >= 2000:
@@ -576,7 +643,12 @@ def _slice_blocks(
     """Assemble block rows: one vectorized varint encode per column for
     ALL blocks, then per-block byte-range slicing.  ``bstarts`` must
     partition [0, len(du)) contiguously (block starts include every
-    group start), so ``reduceat`` segments == blocks."""
+    group start), so ``reduceat`` segments == blocks.
+
+    ``poss`` is either a list of per-posting position blobs (row
+    path: joined per block) or a ``(uint8 array, int64 ends)`` pair of
+    the already-ordered position byte stream plus per-posting end
+    offsets (cell path: sliced per block, no per-posting objects)."""
     deltas = du.copy()
     deltas[1:] -= du[:-1]
     deltas[bstarts] = du[bstarts]  # first docid of each block is absolute
@@ -597,6 +669,19 @@ def _slice_blocks(
     dmax = d[bends - 1]
     bl = bstarts.tolist()
     be = bends.tolist()
+    if isinstance(poss, tuple):
+        pb_arr, p_ends = poss
+        pb0 = np.where(bstarts > 0, p_ends[bstarts - 1], 0).tolist()
+        pb1 = p_ends[bends - 1].tolist()
+
+        def get_pos(i):
+            return pb_arr[pb0[i] : pb1[i]].tobytes()
+
+    else:
+
+        def get_pos(i):
+            return b"".join(poss[bl[i] : be[i]])
+
     for i in range(len(bl)):
         key = keys_of(i)
         out_rows.append(
@@ -606,7 +691,7 @@ def _slice_blocks(
                 dbuf[b0d[i]:b1d[i]].tobytes(),
                 tbuf[b0t[i]:b1t[i]].tobytes(),
                 lbuf[b0l[i]:b1l[i]].tobytes(),
-                b"".join(poss[bl[i]:be[i]]),
+                get_pos(i),
                 int(max_tf[i]), int(min_dl[i]), int(sum_tf[i]),
             )
         )

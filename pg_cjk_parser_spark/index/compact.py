@@ -193,19 +193,32 @@ def _accumulate_batch_fast(pdf, cells) -> int:
             continue
         t = terms[ri].encode("utf-8", "surrogatepass")
         acc = cells.setdefault(
-            (int(buckets[ri]), int(salts[ri])),
-            [0, [], [], [], [], [], [], []],
+            (int(buckets[ri]), int(salts[ri])), _new_cell_acc()
         )
         n = e - s
         acc[0] += n
-        acc[1].append(np.full(n, len(t), np.int32))
-        acc[2].append(ids_all[s:e])
-        acc[3].append(vals_t[s:e])
-        acc[4].append(vals_l[s:e])
-        acc[5].append(plens_all[s:e])
-        acc[6].append(t * n)
-        acc[7].append(all_p[b0[ri]:b1[ri]])
+        x = acc[2].get(t)
+        if x is None:
+            x = len(acc[1])
+            acc[2][t] = x
+            acc[1].append(t)
+        acc[3].append(x)
+        acc[4].append(n)
+        acc[5].append(ids_all[s:e])
+        acc[6].append(vals_t[s:e])
+        acc[7].append(vals_l[s:e])
+        acc[8].append(plens_all[s:e])
+        acc[9].append(all_p[b0[ri]:b1[ri]])
     return total
+
+
+def _new_cell_acc() -> list:
+    """[n_total, uterm_list, uterm_dict, per-block vocab idx,
+    per-block n, id chunks, tf chunks, doclen chunks, plen chunks,
+    position blob chunks] - blocks are single-term, so the term index
+    is one int per block, repeated into the int32 posting column only
+    at pack time."""
+    return [0, [], {}, [], [], [], [], [], [], []]
 
 
 def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
@@ -229,31 +242,28 @@ def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
 
     from .build import _enc_pos
 
-    # (bucket, salt) -> [n_total, termlen_parts, id_parts, tf_parts,
-    #                    dl_parts, plen_parts, term_blob_parts,
-    #                    pos_blob_parts]
+    # (bucket, salt) -> accumulator, see _new_cell_acc
     cells: dict[tuple[int, int], list] = {}
     count = 0
 
     def flush():
+        from .build import _pack_cell_idx
+
         rb, rs, rp = [], [], []
         for (b, s), acc in sorted(cells.items()):
-            n_tot, tl, idp, tfp, dlp, plp, tb, pp = acc
-            # same wire format as build._pack_cell:
-            # [i64 n][docids 8n][tf 4n][doclen 4n][poslen 4n]
-            # [termlen 4n][term utf8 blob][positions blob]
+            n_tot, ul, _ud, xs, ns_, idp, tfp, dlp, plp, pp = acc
             rp.append(
-                b"".join(
-                    (
-                        struct.pack("<q", n_tot),
-                        np.concatenate(idp).astype(np.int64).tobytes(),
-                        np.concatenate(tfp).astype(np.int32).tobytes(),
-                        np.concatenate(dlp).astype(np.int32).tobytes(),
-                        np.concatenate(plp).astype(np.int32).tobytes(),
-                        np.concatenate(tl).astype(np.int32).tobytes(),
-                        b"".join(tb),
-                        b"".join(pp),
-                    )
+                _pack_cell_idx(
+                    ul,
+                    np.repeat(
+                        np.asarray(xs, np.int32),
+                        np.asarray(ns_, np.int64),
+                    ),
+                    np.concatenate(idp).astype(np.int64),
+                    np.concatenate(tfp),
+                    np.concatenate(dlp),
+                    np.concatenate(plp),
+                    b"".join(pp),
                 )
             )
             rb.append(b)
@@ -319,17 +329,21 @@ def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
                 pos_blob = b"".join(blobs)
             t = term.encode("utf-8", "surrogatepass")
             acc = cells.setdefault(
-                (int(bucket), int(salt)),
-                [0, [], [], [], [], [], [], []],
+                (int(bucket), int(salt)), _new_cell_acc()
             )
             acc[0] += n
-            acc[1].append(np.full(n, len(t), np.int32))
-            acc[2].append(ids)
-            acc[3].append(tfs_d)
-            acc[4].append(dls_d)
-            acc[5].append(plens)
-            acc[6].append(t * n)
-            acc[7].append(pos_blob)
+            x = acc[2].get(t)
+            if x is None:
+                x = len(acc[1])
+                acc[2][t] = x
+                acc[1].append(t)
+            acc[3].append(x)
+            acc[4].append(n)
+            acc[5].append(ids)
+            acc[6].append(tfs_d)
+            acc[7].append(dls_d)
+            acc[8].append(plens)
+            acc[9].append(pos_blob)
             count += n
             if count >= flush_at:
                 df = flush()

@@ -44,13 +44,19 @@ def _cells_to_postings(frames):
         for b, s, p in zip(
             fr["bucket"].tolist(), fr["salt"].tolist(), fr["payload"].tolist()
         ):
-            d, t, dl, plen, tlen, tb, pb = _unpack_cell(p)
+            d, t, dl, plen, tidx, utlen, utb, pb = _unpack_cell(p)
             acc = out.setdefault((b, s), [])
-            tb_sl = _blob_slices(tb, tlen)
+            ut_sl = _blob_slices(utb, utlen)
             pb_sl = _blob_slices(pb, plen)
             for k in range(len(d)):
                 acc.append(
-                    (tb_sl[k], int(d[k]), int(t[k]), int(dl[k]), pb_sl[k])
+                    (
+                        ut_sl[int(tidx[k])],
+                        int(d[k]),
+                        int(t[k]),
+                        int(dl[k]),
+                        pb_sl[k],
+                    )
                 )
     return {k: sorted(v) for k, v in out.items()}
 
