@@ -93,6 +93,43 @@ def pmod(x: int, m: int) -> int:
     return x % m if x >= 0 else (x % m + m) % m
 
 
+def spark_mmh3_int(v: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one IntegerType value (hashInt,
+    seed 42) - the hash behind ``HashPartitioning``, so the driver can
+    predict which shuffle partition an int key lands in.  Bit-tested
+    against ``F.hash``."""
+    M = 0xFFFFFFFF
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (v & M) * c1 & M
+    k = ((k << 15) | (k >> 17)) & M
+    k = k * c2 & M
+    h = (seed ^ k) & M
+    h = ((h << 13) | (h >> 19)) & M
+    h = (h * 5 + 0xE6546B64) & M
+    h ^= 4  # length in bytes
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & M
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & M
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def salt_partition_count(num_salts: int) -> int:
+    """Smallest shuffle-partition count >= ``num_salts`` under which
+    Spark's hash partitioning sends every salt id 0..num_salts-1 to
+    its OWN partition.  ``repartition(num_salts, "salt")`` routinely
+    collides (measured: salts {0,1,3} of 4 all hashed to one
+    partition, so one scoring task did 75% of the query) - the
+    classic few-distinct-keys repartition skew.  Empty partitions
+    cost a no-op task each, so the search is capped."""
+    hs = [spark_mmh3_int(s) for s in range(num_salts)]
+    for p in range(num_salts, 64 * num_salts + 1):
+        if len({h % p if h % p >= 0 else h % p + p for h in hs}) == num_salts:
+            return p
+    return num_salts
+
+
 def spark_xxhash64_long_vec(v):
     """Vectorized :func:`spark_xxhash64_long` over an int64 numpy
     array (one fixed 8-byte lane: the XXH64 short path specializes to

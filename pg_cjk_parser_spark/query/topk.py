@@ -50,6 +50,7 @@ from ..kernel.tsvector import (
     to_tsquery,
 )
 from ..index.codec import decode_varints
+from ..index.xxh64 import salt_partition_count
 from ..index.tombstones import (
     alive_mask,
     epoch_dir_layout,
@@ -599,7 +600,7 @@ def search(
         if out is not None:
             yield out
 
-    scored = blocks.repartition(num_salts, "salt").mapInPandas(
+    scored = blocks.repartition(salt_partition_count(num_salts), "salt").mapInPandas(
         score_partition, "docid long, score double"
     )
     return (
@@ -667,7 +668,7 @@ def search_rank_cd(
         if out is not None:
             yield out
 
-    ranked = blocks.repartition(num_salts, "salt").mapInPandas(
+    ranked = blocks.repartition(salt_partition_count(num_salts), "salt").mapInPandas(
         rank_partition, "docid long, rank double"
     )
     return (
@@ -872,7 +873,7 @@ def search_rank(
         if out is not None:
             yield out
 
-    ranked = blocks.repartition(num_salts, "salt").mapInPandas(
+    ranked = blocks.repartition(salt_partition_count(num_salts), "salt").mapInPandas(
         rank_partition, "docid long, rank double"
     )
     return (
@@ -1320,7 +1321,7 @@ def search_many_rank(
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
-    ranked = blocks.repartition(num_salts, "salt").mapInPandas(
+    ranked = blocks.repartition(salt_partition_count(num_salts), "salt").mapInPandas(
         rank_partition, "query string, docid long, rank double"
     )
     from pyspark.sql.window import Window
@@ -1485,7 +1486,7 @@ def search_many(
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
-    scored = blocks.repartition(num_salts, "salt").mapInPandas(
+    scored = blocks.repartition(salt_partition_count(num_salts), "salt").mapInPandas(
         score_partition, "query string, docid long, score double"
     )
     from pyspark.sql.window import Window

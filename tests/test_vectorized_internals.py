@@ -21,6 +21,8 @@ from pg_cjk_parser_spark.index.build import (
 )
 from pg_cjk_parser_spark.index.xxh64 import (
     pmod,
+    salt_partition_count,
+    spark_mmh3_int,
     spark_xxhash64_long,
     spark_xxhash64_long_vec,
     spark_xxhash64_str,
@@ -35,6 +37,25 @@ def test_xxh64_long_vec_bit_identity():
     out = spark_xxhash64_long_vec(np.array(vals, np.int64))
     for i, v in enumerate(vals):
         assert int(out[i]) == spark_xxhash64_long(v)
+
+
+def test_mmh3_int_matches_spark_hash(spark):
+    from pyspark.sql import functions as F
+
+    rows = spark.range(-50, 200).select(
+        F.col("id").cast("int").alias("v"),
+        F.hash(F.col("id").cast("int")).alias("h"),
+    ).collect()
+    for r in rows:
+        assert spark_mmh3_int(r.v) == r.h
+
+
+def test_salt_partition_count_is_collision_free():
+    for s in (1, 2, 3, 4, 8, 16, 32, 64):
+        p = salt_partition_count(s)
+        assert p >= s
+        mods = {pmod(spark_mmh3_int(x), p) for x in range(s)}
+        assert len(mods) == s, (s, p)
 
 
 def _cells_to_postings(frames):
