@@ -307,10 +307,17 @@ def _decode_to_cells(batches, flush_at: int = 500_000, deleted=None):
                 pb = np.frombuffer(pos_b, np.uint8)
                 ends = np.flatnonzero((pb & 0x80) == 0)
                 vidx = np.cumsum(tfs_d.astype(np.int64) + 1)
-                if ends.size == vidx[-1]:  # npos == tf guard
+                # npos == tf guard, plus blob closure: the last sliced
+                # boundary must consume the whole blob, so a foreign
+                # block whose per-posting npos differ from tf but sum
+                # to the same total cannot slice misaligned silently
+                if ends.size == vidx[-1]:
                     byte_ends = ends[vidx - 1] + 1
-                    plens = np.diff(byte_ends, prepend=0).astype(np.int32)
-                    pos_blob = pos_b
+                    if int(byte_ends[-1]) == len(pos_b):
+                        plens = np.diff(byte_ends, prepend=0).astype(
+                            np.int32
+                        )
+                        pos_blob = pos_b
             if plens is None:
                 # exact path: tombstoned block, or npos != tf
                 pos_d = decode_positions(pos_b, n)

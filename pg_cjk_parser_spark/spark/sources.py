@@ -9,8 +9,10 @@ exercised only by plan construction at deploy time; Parquet is the
 tested path, and the index layout itself (hive-partitioned parquet +
 manifests) is directly registrable as an external Iceberg table.
 
-Vendoring attempts (2026-08-16, re-verified twice on 2026-08-17,
-latest in round 5): ``pip download pyiceberg`` fails with DNS
+Vendoring attempts (2026-08-16, re-verified twice on 2026-08-17 in
+round 5, and again on 2026-08-22 in round 6 - curl to repo1.maven.org
+still exits 000 and ``pip download pyiceberg`` still finds no
+distribution): ``pip download pyiceberg`` fails with DNS
 resolution errors against the sandbox's package index, Maven Central
 (repo1.maven.org) is unreachable (curl exit 000), and no iceberg jar
 exists anywhere on the filesystem, so neither iceberg-spark-runtime
