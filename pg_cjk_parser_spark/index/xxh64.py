@@ -115,6 +115,10 @@ def spark_mmh3_int(v: int, seed: int = 42) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def salt_partition_count(num_salts: int) -> int:
     """Smallest shuffle-partition count >= ``num_salts`` under which
     Spark's hash partitioning sends every salt id 0..num_salts-1 to
