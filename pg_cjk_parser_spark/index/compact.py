@@ -177,6 +177,11 @@ def _accumulate_batch_fast(pdf, cells) -> int:
         return -1
     post_val_idx = np.cumsum(vals_t.astype(np.int64) + 1)
     post_byte_ends = vends[post_val_idx - 1] + 1
+    # every block's LAST posting must close the block's blob exactly:
+    # a dangling continuation byte would pass the value-count checks
+    # yet shift the next block's first posting length
+    if not np.array_equal(post_byte_ends[ends_n - 1], blk_byte_ends):
+        return -1
     plens_all = np.diff(post_byte_ends, prepend=0).astype(np.int32)
     blk_byte_starts = blk_byte_ends - blk_bytes
 
