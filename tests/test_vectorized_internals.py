@@ -119,6 +119,15 @@ def corpus_pdf():
     rows[5] = (rows[5][0], None)
     rows[6] = (rows[6][0], "")
     rows[7] = (rows[7][0], "the of and")  # stopword-only doc
+    # giant doc: positions clamp at MAXENTRYPOS, so the vectorized
+    # grouping must keep non-strictly-ascending position runs intact
+    rows[8] = (
+        rows[8][0],
+        " ".join(f"w{i % 97} 漢字" for i in range(9000)),
+    )
+    # negative docid (xxhash64(url) ids): exercises the uint64
+    # wraparound path in the vectorized salt lane and delta codec
+    rows[9] = (-rows[9][0], rows[9][1])
     return pd.DataFrame(
         {"docid": [r[0] for r in rows], "text": [r[1] for r in rows]}
     )
